@@ -1,0 +1,158 @@
+"""Event-time windowed aggregation — the reference's core surface.
+
+Implements SURVEY §2 O5-O13 as composable DataFrame transforms:
+
+- tumbling windows (O6), keyed tumbling (O10+O11), sliding (O12) via the
+  built-in ``F.window`` grouping column — identical ``[start, end)``
+  epoch-aligned bucketing to Flink's ``TimeWindow`` (both align window k
+  to ``[k*size, (k+1)*size)``), so the reference's golden counts
+  (FlinkWindowLearning.scala:63-72, :141-157, :185-219) carry over;
+- the conditional count (O7/O8/O14/O15) as ``count(when(pred, 1))`` —
+  Spark always plans this as partial + final HashAggregate, i.e. the
+  reference's "memory-efficient incremental aggregation" (Approach 2,
+  FlinkWindowLearning.scala:95-109) is the only physical shape we ever
+  generate, never the buffer-everything AllWindowFunction (Approach 1);
+- the count-triggered global window (O13, FlinkWindowLearning.scala:242-255)
+  which has no Structured Streaming primitive: batch semantics are
+  expressed with analytic window functions (row_number bucketing +
+  running conditional sum). See the FIRE-without-PURGE semantics note in
+  SURVEY §2 — the cumulative variant reproduces Flink's behavior exactly.
+
+Scale notes: windowed groupBy shuffles on (window, key); with few distinct
+keys (event_type has 5) the map-side partial aggregation collapses each
+upstream partition to ~|windows|x|keys| rows before the shuffle, so the
+exchange is tiny regardless of input size. The count-trigger operator is
+inherently sequential (a total arrival order); `count_trigger_buckets`
+documents the scalable contract: the arrival index must come from the
+source (log offset), after which bucketing is an ordinary hash groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_event_time(df: DataFrame, ts_col: str = "ts", source_col: str | None = None) -> DataFrame:
+    """O4: event-time extraction. ISO-8601 string → TimestampType.
+
+    The reference parses per record on demand (package.scala:11,
+    ``Instant.parse``); here it is a single codegen'd cast done once at
+    the edge.
+    """
+    if source_col is None:
+        return df
+    return df.withColumn(ts_col, F.to_timestamp(F.col(source_col)))
+
+
+def conditional_count(pred: Column, alias: str = "cnt") -> Column:
+    """O7/O8/O14/O15: count of rows satisfying ``pred`` (else-NULL count)."""
+    return F.count(F.when(pred, F.lit(1))).alias(alias)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    size: str,
+    *aggs: Column,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """O6 (+O10/O11 when ``keys``): tumbling event-time window aggregation.
+
+    Returns columns: window_start, window_end (timestamps), *keys, *aggs.
+    """
+    grouping = [F.window(F.col(ts_col), size).alias("w")] + [F.col(k) for k in (keys or [])]
+    out = df.groupBy(*grouping).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[F.col(k) for k in (keys or [])],
+        *[F.col(c) for c in out.columns if c != "w" and c not in (keys or [])],
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    size: str,
+    slide: str,
+    *aggs: Column,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """O12: sliding event-time window aggregation (overlapping windows).
+
+    Each event lands in ``size/slide`` windows; Spark expands this with a
+    generator inside the aggregation — no self-join needed.
+    """
+    grouping = [F.window(F.col(ts_col), size, slide).alias("w")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    out = df.groupBy(*grouping).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[F.col(k) for k in (keys or [])],
+        *[F.col(c) for c in out.columns if c != "w" and c not in (keys or [])],
+    )
+
+
+def count_trigger_cumulative(
+    df: DataFrame,
+    pred: Column,
+    every: int = 5,
+    order_col: str = "arrival",
+    alias: str = "cnt",
+) -> DataFrame:
+    """O13, exact Flink semantics: CountTrigger.of(n) on a GlobalWindow.
+
+    Flink FIREs without PURGE (FlinkWindowLearning.scala:245): every n-th
+    arrival re-evaluates the window over *all retained* elements, so the
+    emitted value is the cumulative count of ``pred`` over arrivals
+    1..k*n. Expressed with analytic functions: a running conditional sum
+    ordered by arrival, sampled where ``row_number() % n == 0``.
+
+    Returns: fire_seq (1-based fire index), arrival (1-based dense rank of
+    the triggering element in ``order_col`` order — dense even when the
+    order column itself has gaps), cnt (cumulative).
+    """
+    w = Window.orderBy(F.col(order_col))
+    running = df.select(
+        F.row_number().over(w).alias("_rn"),
+        F.sum(F.when(pred, 1).otherwise(0)).over(w).alias(alias),
+    )
+    return running.filter(F.col("_rn") % every == 0).select(
+        (F.col("_rn") / every).cast("long").alias("fire_seq"),
+        F.col("_rn").cast("long").alias("arrival"),
+        F.col(alias).cast("long").alias(alias),
+    )
+
+
+def count_trigger_buckets(
+    df: DataFrame,
+    pred: Column,
+    every: int = 5,
+    order_col: str = "arrival",
+    alias: str = "cnt",
+) -> DataFrame:
+    """O13, per-bucket variant (the generally useful operator).
+
+    Buckets arrivals into consecutive groups of ``every`` and counts
+    ``pred`` per *complete* bucket (incomplete tail buckets do not fire,
+    matching the trigger never firing for a partial batch). When the
+    arrival index comes from the source (e.g. a log offset) the bucket id
+    is a pure projection and the aggregation is an ordinary scalable hash
+    groupBy — only this fixture-sized path computes row_number globally.
+    """
+    w = Window.orderBy(F.col(order_col))
+    bucketed = df.select(
+        F.floor((F.row_number().over(w) - F.lit(1)) / every).alias("bucket"),
+        F.when(pred, 1).otherwise(0).alias("_hit"),
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.sum("_hit").cast("long").alias(alias), F.count("*").alias("_sz")
+    )
+    return (
+        agg.filter(F.col("_sz") == every)
+        .select((F.col("bucket") + 1).alias("fire_seq"), F.col(alias))
+        .orderBy("fire_seq")
+    )

@@ -1,0 +1,59 @@
+"""Parquet table catalog over the driver-provided test directories.
+
+Scale design: parquet scans are the engine's default input (columnar,
+predicate-pushdown + column-pruning through the DataSource V2 reader). At
+100 TB the same call reads a partitioned table directory; nothing here
+collects to the driver. We deliberately do NOT pass an explicit schema to
+``spark.read.parquet`` — parquet files are self-describing (footer metadata,
+no inference pass), and pinning the schema would break pushdown-friendly
+evolution (added columns). `flink_start_spark.schemas` documents the
+expected shapes and is used to validate, not to read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_start_spark.schemas import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one named table from ``{sf_dir}/{name}.parquet``.
+
+    The driver's parquet stores timestamps as TIMESTAMP(NANOS), which the
+    Spark reader maps to epoch-nano LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong``; we restore TimestampType
+    here (a pure projection — stays inside whole-stage codegen, does not
+    block pushdown on the remaining columns).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    path = os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    expected = TABLES[name]
+    actual = dict(df.dtypes)
+    for field in expected.fields:
+        if isinstance(field.dataType, T.TimestampType) and actual.get(field.name) == "bigint":
+            df = df.withColumn(
+                field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load several tables at once; defaults to the full catalog."""
+    return {n: load_table(spark, n, sf_dir) for n in (names or list(TABLES))}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every catalog table as a temp view for ``spark.sql``."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

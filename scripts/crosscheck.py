@@ -1,0 +1,82 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every catalog query on Spark and its oracle on DuckDB at a given
+sf dir, compares row count, column names, and an order-insensitive
+value hash (floats rounded). Usage:
+
+    python scripts/crosscheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from flink_start_spark.plans.catalog import QUERIES
+from flink_start_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(QUERIES)
+    spark = get_spark("crosscheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failures = 0
+    for name in names:
+        q = QUERIES[name]
+        try:
+            sdf = q.spark(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if q.oracle is None:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            continue
+        try:
+            odf = con.execute(q.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        s, o = _normalize(sdf), _normalize(odf)
+        if list(s.columns) != list(o.columns):
+            print(f"FAIL {name}: columns spark={list(s.columns)} oracle={list(o.columns)}")
+            failures += 1
+        elif len(s) != len(o):
+            print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
+            failures += 1
+        else:
+            try:
+                pd.testing.assert_frame_equal(
+                    s, o, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
+                )
+                print(f"OK   {name}: {len(s)} rows")
+            except AssertionError as e:
+                print(f"FAIL {name}: values differ: {str(e)[:400]}")
+                failures += 1
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
