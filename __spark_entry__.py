@@ -23,7 +23,7 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from flink_start_spark.plans.catalog import oracle_sql_map, query_map  # noqa: E402
+from flink_start_spark.plans import oracle_sql_map, query_map  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

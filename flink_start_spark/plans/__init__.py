@@ -1,5 +1,10 @@
-"""Query catalog: every declared query + its DuckDB oracle SQL."""
+"""Query catalog: every declared query + its DuckDB oracle SQL.
+
+Importing this package registers the full query surface (each submodule
+adds its queries to ``catalog.QUERIES`` at import time).
+"""
 
 from flink_start_spark.plans.catalog import QUERIES, Query, oracle_sql_map, query_map
+from flink_start_spark.plans import sql_surface  # noqa: F401  (registers queries)
 
 __all__ = ["QUERIES", "Query", "query_map", "oracle_sql_map"]

@@ -1,0 +1,521 @@
+"""General SQL surface over the TPC-H-ish tables (SURVEY §7 step 7).
+
+The reference implements none of these (SURVEY §2 "categories with NO
+reference implementation": joins, sorts/top-k, set ops, grouping sets,
+ranking/analytic functions, scalar function library). The engine gets
+them from Spark SQL / Catalyst; declaring them as catalog queries widens
+the oracle-verified surface and exercises the physical plans that matter
+at 100 TB:
+
+- multi-way joins with **broadcast hints** on dimension tables (region/
+  nation/supplier are tiny at any scale factor — a shuffle join there
+  would be the classic 100 TB mistake);
+- partial aggregation before shuffles (Catalyst default);
+- deterministic top-k: rank on rounded measures with a unique tie-break
+  key so Spark and DuckDB agree bit-for-bit;
+- rollup grouping sets, set operations, analytic window functions,
+  sessionization via lag(), and the semi-structured JSON path
+  (``events.props``).
+
+Float convention (see plans/catalog.py): money sums rounded to 2
+decimals, ratios/averages to 6, on BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_start_spark.plans.catalog import _register
+from flink_start_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------
+# Aggregation / scan shape
+# ---------------------------------------------------------------------
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 6)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description=(
+        "TPC-H Q1-style pricing summary: scan-heavy groupBy with 8 "
+        "aggregates. Catalyst pushes the l_shipdate filter to the parquet "
+        "scan and plans partial+final HashAggregate — the shuffle carries "
+        "only |groups| rows per partition."
+    ),
+    tags=("sql", "aggregation"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------
+
+@_register(
+    "top_revenue_orders",
+    """
+    WITH rev AS (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_orderkey, revenue,
+           epoch(o_orderdate)::BIGINT AS orderdate_epoch, o_orderpriority
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rk
+      FROM rev
+    ) WHERE rk <= 10
+    """,
+    description=(
+        "TPC-H Q3-style shipping priority: 3-way join + agg + "
+        "deterministic top-10 (rank on rounded revenue, orderkey "
+        "tie-break). Customer filter is pushed below the join; at scale "
+        "AQE converts the filtered-customer side to broadcast."
+    ),
+    tags=("sql", "join", "topk"),
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+    )
+
+
+@_register(
+    "regional_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    """,
+    description=(
+        "TPC-H Q5-style local-supplier revenue: 6-way join across the "
+        "full star schema; region/nation/supplier broadcast (dimension "
+        "tables stay small at any SF — broadcasting them removes 3 of 5 "
+        "shuffles at 100 TB)."
+    ),
+    tags=("sql", "join"),
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, "region", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "orders_without_lineitems",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+    description=(
+        "Anti-join (NOT EXISTS): orders with no line items. Plans as a "
+        "LeftAnti hash join on the lineitem keys; at scale the distinct "
+        "orderkey side shuffles, the probe streams."
+    ),
+    tags=("sql", "join"),
+)
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------
+# Grouping sets / set ops / analytic functions
+# ---------------------------------------------------------------------
+
+@_register(
+    "order_priority_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    description=(
+        "ROLLUP grouping sets over orders (status, priority) with "
+        "subtotals and a grand total. Spark expands grouping sets before "
+        "the shuffle; NULL grouping markers normalized to 'ALL' on both "
+        "engines so the hash comparison is well-defined."
+    ),
+    tags=("sql", "aggregation"),
+)
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@_register(
+    "engaged_users_except_errors",
+    """
+    (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+     INTERSECT
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    GROUP BY user_id HAVING count(*) > 10
+    """,
+    description=(
+        "Set operations: users who both signed up and purchased, minus "
+        "heavy error-ers (>10 error events). INTERSECT/EXCEPT plan as "
+        "left-semi/left-anti joins after aggregation."
+    ),
+    tags=("sql", "setops"),
+)
+def q_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    signup = ev.filter(F.col("event_type") == "signup").select("user_id")
+    heavy_err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 10)
+        .select("user_id")
+    )
+    return purch.intersect(signup).exceptAll(heavy_err)
+
+
+@_register(
+    "top_customers_per_nation",
+    """
+    SELECT n_name AS nation, c_name, round(c_acctbal, 2) AS acctbal, rk
+    FROM (
+      SELECT n.n_name, c.c_name, c.c_acctbal,
+             row_number() OVER (
+               PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey
+             ) AS rk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rk <= 3
+    """,
+    description=(
+        "Top-K per group: 3 highest-balance customers per nation via "
+        "row_number() window (deterministic tie-break on custkey). The "
+        "canonical 'rank within partition' analytic pattern."
+    ),
+    tags=("sql", "analytic", "topk"),
+)
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "rk",
+        )
+    )
+
+
+@_register(
+    "user_session_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 24 HOURS
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           sum(new_session)::BIGINT AS n_sessions,
+           count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    description=(
+        "Sessionization via lag(): a session break is a >24h gap between "
+        "a user's consecutive events. lag + conditional sum — the "
+        "standard batch sessionize; the streaming twin is "
+        "session_window() (see streaming module)."
+    ),
+    tags=("sql", "analytic", "sessionization"),
+)
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    return (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 24 * 3600), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Scalar-function library / semi-structured
+# ---------------------------------------------------------------------
+
+@_register(
+    "props_json_metrics",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           count(*) AS n
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    description=(
+        "Semi-structured path: extract $.k from the JSON props column and "
+        "aggregate per event type (get_json_object — JVM-side, no Python). "
+        "The multimodal/props pattern from SURVEY §2b."
+    ),
+    tags=("sql", "json"),
+)
+def q_props_json_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(k.cast("double")), 6).alias("avg_k"),
+            F.max(k.cast("long")).alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_register(
+    "scalar_function_showcase",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           length(p_name) AS name_len,
+           substring(p_type, 1, 5) AS type_prefix,
+           abs(p_size - 25) AS size_dev,
+           round(sqrt(p_retailprice), 6) AS price_sqrt,
+           round(ln(p_retailprice + 1), 6) AS price_ln,
+           CASE WHEN p_size >= 30 THEN 'large'
+                WHEN p_size >= 15 THEN 'medium'
+                ELSE 'small' END AS size_class
+    FROM part
+    WHERE p_retailprice > 0
+    """,
+    description=(
+        "Scalar function library (string/math/conditional) — all "
+        "codegen'd JVM expressions, zero UDFs. The reference's only "
+        "scalar work is an ISO-8601 parse + regex extract (O2/O4); this "
+        "declares the general library Spark provides."
+    ),
+    tags=("sql", "scalar"),
+)
+def q_scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.filter(F.col("p_retailprice") > 0).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+        F.when(F.col("p_size") >= 30, "large")
+        .when(F.col("p_size") >= 15, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@_register(
+    "monthly_order_stats",
+    """
+    SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS order_month,
+           o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    description=(
+        "Date functions + exact median: per-month order stats. Spark "
+        "median() and DuckDB quantile_cont(0.5) both compute the exact "
+        "continuous median. Month key emitted as yyyymm BIGINT (timezone-"
+        "proof)."
+    ),
+    tags=("sql", "date", "aggregation"),
+)
+def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("order_month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        )
+    )
+
+
+@_register(
+    "part_size_distribution",
+    """
+    SELECT p_brand,
+           count(*) AS n_parts,
+           count(CASE WHEN p_size < 15 THEN 1 END) AS small_cnt,
+           count(CASE WHEN p_size >= 15 AND p_size < 30 THEN 1 END) AS medium_cnt,
+           count(CASE WHEN p_size >= 30 THEN 1 END) AS large_cnt,
+           min(p_size) AS min_size, max(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+    description=(
+        "Pivot-style conditional aggregation (the shuffle-free way to "
+        "pivot a low-cardinality column) + min/max."
+    ),
+    tags=("sql", "aggregation"),
+)
+def q_part_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.count(F.when(F.col("p_size") < 15, 1)).alias("small_cnt"),
+        F.count(F.when((F.col("p_size") >= 15) & (F.col("p_size") < 30), 1)).alias(
+            "medium_cnt"
+        ),
+        F.count(F.when(F.col("p_size") >= 30, 1)).alias("large_cnt"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@_register(
+    "supplier_part_enumeration",
+    """
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_lines,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    description=(
+        "Exact distinct-count per key. Spark plans count(distinct) as a "
+        "two-phase expand+aggregate; at 100 TB prefer "
+        "approx_count_distinct when ±2% is acceptable (declared in the "
+        "text-analysis module as a rows-only query since HLL sketches "
+        "differ across engines)."
+    ),
+    tags=("sql", "aggregation"),
+)
+def q_supplier_part_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )

@@ -39,10 +39,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     expected = TABLES[name]
     actual = dict(df.dtypes)
     for field in expected.fields:
-        if isinstance(field.dataType, T.TimestampType) and actual.get(field.name) == "bigint":
-            df = df.withColumn(
-                field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
-            )
+        if isinstance(field.dataType, T.TimestampType):
+            if actual.get(field.name) == "bigint":  # TIMESTAMP(NANOS) → epoch nanos
+                df = df.withColumn(
+                    field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
+                )
+            elif actual.get(field.name) == "timestamp_ntz":  # MICROS, not UTC-adjusted
+                # Session tz is pinned to UTC, so NTZ → LTZ is the identity
+                # on the wall-clock values the oracle sees.
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
