@@ -1,0 +1,61 @@
+"""Vector math over ``array<float>`` columns — pure Catalyst expressions.
+
+No UDFs: ``F.zip_with`` + ``F.aggregate`` compile to codegen'd JVM
+loops, so cosine over a 64-dim column runs at memory bandwidth inside
+whole-stage codegen. Elements are cast to double *before* multiplication
+and folded left-to-right — the same order DuckDB's ``list_*`` lambdas
+use, which keeps cross-engine results bit-comparable (we still round at
+the query edge).
+
+The reference has no vector surface; this implements the similarity-
+search extension (SURVEY §2b, BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    """L2 norm, accumulated in double."""
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL if either vector has zero norm."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bits(a: Column, n_bits: int, offset: int = 0) -> Column:
+    """Random-hyperplane LSH key, basis-vector variant: the sign pattern of
+    coordinates ``[offset, offset + n_bits)`` packed into a BIGINT.
+
+    For cosine LSH the hyperplanes should be random; for pre-whitened /
+    near-isotropic embeddings the coordinate basis is an acceptable,
+    *fully deterministic* stand-in — the property that matters for the
+    engine is that bucketing is a pure projection (no shuffle, no state)
+    and identically computable by the oracle. Swap in a fixed random
+    projection matrix (broadcast, ``dot`` per plane) for production
+    embeddings.
+    """
+    bit = lambda i: F.when(  # noqa: E731
+        F.element_at(a, i + 1).cast("double") >= 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    out = F.lit(0)
+    for i in range(n_bits):
+        out = out + (bit(offset + i) * F.lit(2**i))
+    return out.cast("long")

@@ -1,0 +1,192 @@
+"""Deduplication operators (SURVEY §2b — training-data pipeline surface).
+
+Four tiers, cheapest first, all shuffle-efficient at 100 TB:
+
+1. **Exact** — hash groupBy on the content column, keep the smallest id.
+   One shuffle on the (hashed) content; map-side partial aggregation
+   collapses most duplicates before the exchange.
+2. **Fingerprint** — groupBy on an order-insensitive bag-of-words md5;
+   catches re-orderings/repetitions. Same shuffle shape as (1) but the
+   key is 32 bytes regardless of document size.
+3. **MinHash + LSH** — shingle → 16-hash MinHash signature → banded
+   bucket join (AND/OR construction). Only documents sharing a band
+   bucket are compared; the exact-Jaccard confirm runs on candidate
+   pairs, not on |docs|^2. The shuffle is on band keys, whose
+   cardinality grows with corpus size (no hot keys).
+4. **SimHash** — 16-bit majority-vote hash; near-dup pairs must share
+   at least one of 4 contiguous 4-bit blocks within Hamming distance
+   <= 3 (pigeonhole), so the pair search is a block-keyed bucket join.
+
+Streaming twins: ``dropDuplicates``/``dropDuplicatesWithinWatermark``
+(see streaming module). All hashing is engine-portable md5 (see
+functions/texthash.py) so the DuckDB oracle reproduces every stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_start_spark.functions import texthash as TH
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row (smallest id) per exact content value.
+
+    Equivalent to ``dropDuplicates([content_col])`` but with a
+    *deterministic* survivor, which dropDuplicates does not guarantee
+    (it keeps an arbitrary row per key — fine in production, hostile to
+    byte-stable testing).
+    """
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Group by bag-of-words fingerprint; emit survivor + group size."""
+    return (
+        df.withColumn("fingerprint", TH.bag_fingerprint(F.col(content_col)))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_docs"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: documents agreeing on >=1 MinHash band.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. The band join is
+    the only shuffle; its key space (band, md5) is effectively unique
+    per near-dup cluster, so skew only appears if the corpus contains
+    giant exact-dup clusters — run :func:`exact_dedup` first.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        TH.lsh_bands(
+            TH.minhash_signature(TH.shingles(F.col(content_col), shingle_n), num_hashes),
+            bands,
+            rows,
+        ).alias("bands"),
+    )
+    exploded = sig.select(id_col, F.explode("bands").alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates confirmed by exact Jaccard
+    over distinct shingle sets. Output: id_a, id_b, jaccard (rounded 6)."""
+    pairs = minhash_candidate_pairs(df, content_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(TH.shingles(F.col(content_col), shingle_n)).alias("sh"),
+    )
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", F.round(TH.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_values(
+    df: DataFrame, content_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document 32-bit SimHash over distinct word n-gram shingles.
+
+    Shingles, not single words: with a small shared vocabulary the
+    distinct-word bags of unrelated documents converge (every doc
+    contains most words) and SimHash degenerates to "everything is a
+    near-dup" — measured 28% of all pairs within Hamming 3 on the test
+    corpus. N-gram features keep unrelated documents far apart while
+    reorder/edit near-dups stay close.
+    """
+    return df.select(
+        F.col(id_col),
+        TH.simhash32(
+            F.array_distinct(TH.shingles(F.col(content_col), shingle_n))
+        ).alias("simhash"),
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``.
+
+    Scale path: by pigeonhole, two 32-bit hashes within Hamming 3 agree
+    on >=1 of the 4 contiguous 8-bit blocks, so candidates come from a
+    block-keyed bucket join (4 shuffles' worth of keys, no all-pairs).
+    Output: id_a, id_b, hamming.
+    """
+    sh = simhash_values(df, content_col, id_col, shingle_n)
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(blk).alias("blk"),
+                        F.shiftright(F.col("simhash"), blk * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for blk in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

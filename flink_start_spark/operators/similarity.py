@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (SURVEY §2b).
+
+Two tiers:
+
+- **Brute-force top-k** — exact cosine against every candidate, ranked
+  per query. Cost is |Q| x |N|; correct baseline and fine whenever the
+  query set is small (the common "probe a corpus with a few hundred
+  queries" shape). The candidate side streams through codegen'd
+  ``zip_with``/``aggregate`` expressions — no Python, no materialized
+  pair matrix; queries are broadcast.
+- **Sign-LSH bucketed near-dup / ANN** — banded sign-bit LSH keys
+  (random-hyperplane family, basis-vector variant: see
+  functions/vector.py::sign_bits) so only same-bucket pairs are
+  compared. Recall is tuned by (bands, bits): P(collision in one band)
+  = (1 - theta/pi)^bits. At 100 TB this is the only viable shape — the
+  bucket join's key cardinality scales with the corpus and no stage is
+  quadratic. An IVF variant (k-means coarse quantizer + inverted lists)
+  is the production upgrade; same join topology, learned buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_start_spark.functions import vector as V
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Output: query_id, neighbor_id, cosine (rounded 6), rank — ranked by
+    (cosine desc, neighbor_id) so ties are deterministic. Self-matches
+    excluded. ``queries`` is broadcast (small side by contract).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    bands: int = 2,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded sign-LSH + cosine confirm.
+
+    Candidates = pairs agreeing on all ``bits`` sign bits of >=1 band
+    (band b uses coordinates [b*bits, (b+1)*bits)); confirmed by exact
+    cosine >= threshold. Output: id_a, id_b, cosine (rounded 6).
+
+    Recall/cost dial: more bands -> higher recall, more candidates.
+    With near-orthogonal random embeddings recall at moderate thresholds
+    is low by construction — production embeddings cluster, which is
+    precisely when LSH recall becomes useful. The oracle applies the
+    identical bucketing, so correctness is exact regardless.
+    """
+    # One equi-join per band (hash join on the band key), unioned then
+    # deduped. An OR-of-bands predicate would degrade to a nested-loop
+    # cross join — the quadratic shape this operator exists to avoid.
+    keyed = df.select(
+        F.col(id_col),
+        *[
+            V.sign_bits(F.col(vec_col), bits, offset=b * bits).alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
+    candidates = None
+    for b in range(bands):
+        a, bb = keyed.alias("a"), keyed.alias("b")
+        band_pairs = a.join(
+            bb,
+            (F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        candidates = band_pairs if candidates is None else candidates.unionAll(band_pairs)
+    candidates = candidates.distinct()
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    return (
+        candidates.join(
+            vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "vec_a"),
+            "id_a",
+        )
+        .join(
+            vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vec_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(V.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,378 @@
+"""Training-data pipeline queries (SURVEY §2b): dedup, similarity search,
+text analysis, multimodal plumbing — each oracle-checked against DuckDB.
+
+The oracle SQL recomputes every hash/band/score with the identical
+engine-portable primitives (md5, list lambdas) the Spark operators use
+— see functions/texthash.py for the portability argument.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_start_spark.operators import dedup as D
+from flink_start_spark.operators import multimodal as M
+from flink_start_spark.operators import similarity as S
+from flink_start_spark.operators import text as TX
+from flink_start_spark.plans.catalog import _register
+from flink_start_spark.sources.catalog import load_table
+
+# Shared oracle CTE fragments ------------------------------------------------
+
+_SHINGLE_CTE = """
+docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 3
+       THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+       ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM docs),
+shd AS (SELECT doc_id, list_distinct(shingles) AS sh, shingles FROM sh)
+"""
+
+# ---------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    description=(
+        "Exact dedup: hash groupBy on content, deterministic survivor "
+        "(min doc_id) + multiplicity. One shuffle; map-side combine "
+        "collapses duplicate-heavy partitions before the exchange."
+    ),
+    tags=("dedup", "extension"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.exact_dedup(docs, "text", "doc_id").select("doc_id", "n_copies")
+
+
+@_register(
+    "dedup_fingerprint",
+    """
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' '))
+             AS fingerprint,
+           min(doc_id) AS doc_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    description=(
+        "Bag-of-words fingerprint dedup: md5 of the sorted distinct word "
+        "set — catches reorderings/repetitions exact dedup misses; the "
+        "32-byte key makes the shuffle size independent of document size."
+    ),
+    tags=("dedup", "extension"),
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.fingerprint_dedup(docs, "text", "doc_id").select(
+        "fingerprint", "doc_id", "n_docs"
+    )
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id,
+              [list_min([md5(k::VARCHAR || '|' || s) FOR s IN shingles]) FOR k IN range(16)] AS sig
+            FROM shd),
+    bands AS (SELECT doc_id, b,
+                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
+              FROM sig, range(4) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE,
+                 6) AS jaccard
+    FROM cand JOIN shd x ON x.doc_id = id_a JOIN shd y ON y.doc_id = id_b
+    WHERE jaccard >= 0.5
+    """,
+    description=(
+        "MinHash+LSH near-dup detection: 3-word shingles → 16 salted-md5 "
+        "MinHashes → 4 bands × 4 rows AND/OR construction → banded "
+        "bucket join for candidates → exact-Jaccard confirm ≥ 0.5. "
+        "Candidate generation is linear in corpus size (band-key join), "
+        "never |docs|²."
+    ),
+    tags=("dedup", "extension", "lsh"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
+
+
+_SIMHASH_SQL = f"""
+      WITH {_SHINGLE_CTE}
+      SELECT doc_id,
+             list_sum([
+               CASE WHEN list_sum([
+                      CASE WHEN strpos('0123456789abcdef', substr(h, j + 1, 1)) - 1 >= 8
+                           THEN 1 ELSE -1 END
+                      FOR h IN list_transform(sh, s -> md5(s))]) > 0
+                    THEN 1::BIGINT << j ELSE 0 END
+               FOR j IN range(32)])::BIGINT AS simhash
+      FROM shd
+"""
+
+@_register(
+    "simhash_values",
+    _SIMHASH_SQL,
+    description=(
+        "32-bit SimHash per document (Charikar majority-vote over "
+        "md5-nibble hyperplanes). Pure projection — embarrassingly "
+        "parallel, no shuffle."
+    ),
+    tags=("dedup", "extension"),
+)
+def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.simhash_values(docs, "text", "doc_id")
+
+
+@_register(
+    "simhash_near_dups",
+    f"""
+    WITH sv AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    description=(
+        "SimHash near-dup pairs (Hamming ≤ 3). Spark side uses the "
+        "pigeonhole block join (pairs within Hamming 3 share ≥1 of 4 "
+        "8-bit blocks) so candidates come from a bucket join; the oracle "
+        "may use the quadratic form — by the pigeonhole guarantee the "
+        "result sets are identical."
+    ),
+    tags=("dedup", "extension", "lsh"),
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------
+
+_COS = """
+round(
+  list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]) /
+  (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)])) *
+   sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(cv) + 1)]))),
+  6)
+"""
+
+@_register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COS} AS cosine
+          FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+    description=(
+        "Brute-force cosine top-5 for 10 query vectors: exact baseline "
+        "for similarity search. Queries broadcast; candidates stream "
+        "through codegen'd zip_with/aggregate — no pair materialization. "
+        "Rank on rounded cosine with neighbor-id tie-break "
+        "(deterministic across engines)."
+    ),
+    tags=("similarity", "extension"),
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@_register(
+    "embedding_near_dup_lsh",
+    f"""
+    WITH keyed AS (
+      SELECT vec_id, embedding,
+             list_sum([CASE WHEN embedding[i + 1] >= 0 THEN 1 << i ELSE 0 END
+                       FOR i IN range(0, 8)])::BIGINT AS band0,
+             list_sum([CASE WHEN embedding[i + 1] >= 0 THEN 1 << (i - 8) ELSE 0 END
+                       FOR i IN range(8, 16)])::BIGINT AS band1
+      FROM embeddings),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.vec_id < b.vec_id AND (a.band0 = b.band0 OR a.band1 = b.band1)),
+    scored AS (
+      SELECT id_a, id_b, {_COS.replace('qv', 'x.embedding').replace('cv', 'y.embedding')} AS cosine
+      FROM cand JOIN keyed x ON x.vec_id = id_a JOIN keyed y ON y.vec_id = id_b)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+    """,
+    description=(
+        "Embedding near-dup pairs via banded sign-LSH (2 bands × 8 "
+        "sign-bits) + cosine ≥ 0.4 confirm. Spark plans one hash join "
+        "per band then dedups (never a quadratic OR-join); the oracle's "
+        "OR form defines the same candidate set."
+    ),
+    tags=("similarity", "extension", "lsh"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.lsh_near_dup_pairs(emb, threshold=0.4, bands=2, bits=8)
+
+
+# ---------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------
+
+@_register(
+    "lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(trim(text), ' '),
+            x -> x IN ('the', 'a', 'of', 'and')))::DOUBLE
+          / greatest(len(string_split(trim(text), ' ')), 1) AS s_en,
+        len(list_filter(string_split(trim(text), ' '),
+            x -> x IN ('el', 'la', 'de', 'que')))::DOUBLE
+          / greatest(len(string_split(trim(text), ' ')), 1) AS s_es,
+        len(list_filter(string_split(trim(text), ' '),
+            x -> x IN ('der', 'die', 'und', 'das')))::DOUBLE
+          / greatest(len(string_split(trim(text), ' ')), 1) AS s_de,
+        len(list_filter(string_split(trim(text), ' '),
+            x -> x IN ('le', 'la', 'et', 'les')))::DOUBLE
+          / greatest(len(string_split(trim(text), ' ')), 1) AS s_fr,
+        len(list_filter(string_split(trim(text), ' '),
+            x -> x IN ('的', '是', '了', '在')))::DOUBLE
+          / greatest(len(string_split(trim(text), ' ')), 1) AS s_zh
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+    """,
+    description=(
+        "Heuristic language ID: argmax of marker-stopword frequency "
+        "(fastText/CLD reduced to its SQL-expressible core), "
+        "deterministic tie order, 'und' when no marker occurs."
+    ),
+    tags=("text", "extension"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.language_id(docs).select("doc_id", "lang", "pred_lang")
+
+
+@_register(
+    "text_quality_stats",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    m AS (SELECT doc_id,
+            len(w) AS n_tokens,
+            len(list_distinct(w)) AS n_distinct,
+            len(list_filter(w, x -> x IN ('the','a','an','of','and','or','to','in'))) AS stop_hits,
+            list_sum(list_transform(w, x -> len(x))) AS char_sum
+          FROM t)
+    SELECT doc_id,
+           n_tokens::BIGINT AS n_tokens,
+           n_distinct::BIGINT AS n_distinct_tokens,
+           round(n_distinct::DOUBLE / greatest(n_tokens, 1), 6) AS distinct_ratio,
+           round(stop_hits::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           round(char_sum::DOUBLE / greatest(n_tokens, 1), 6) AS avg_word_len,
+           round(0.4 * least(1.0, n_tokens::DOUBLE / 64.0)
+               + 0.4 * (n_distinct::DOUBLE / greatest(n_tokens, 1))
+               + 0.2 * (1.0 - abs(stop_hits::DOUBLE / greatest(n_tokens, 1) - 0.4)),
+               6) AS quality_score
+    FROM m
+    """,
+    description=(
+        "Per-document quality scoring: length credit + repetition "
+        "penalty + stopword-ratio prose prior (C4/Gopher-style heuristic "
+        "filters over the available columns)."
+    ),
+    tags=("text", "extension"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.text_stats(docs)
+
+
+@_register(
+    "token_counts",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w)::BIGINT AS ws_tokens,
+           list_sum(list_transform(w, x -> ceil(len(x) / 4.0)::INT))::BIGINT AS bpe_est_tokens,
+           length(text)::BIGINT AS n_chars_measured
+    FROM t
+    """,
+    description=(
+        "Token counting: whitespace tokens + BPE-ish estimate "
+        "(ceil(len/4) per word — the ~4-chars-per-token rule; exact BPE "
+        "needs a vocab and lives behind a Pandas UDF)."
+    ),
+    tags=("text", "extension"),
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.token_counts(docs)
+
+
+# ---------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------
+
+@_register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           strlen(text)::BIGINT AS n_bytes,
+           substr(sha256(text), 1, 8) AS sha256_8,
+           ascii(substr(text, 1, 1)) AS first_byte
+    FROM documents
+    """,
+    description=(
+        "Multimodal binary-column plumbing: text → binary payload + "
+        "metadata struct, then per-payload metadata (byte length, "
+        "sha256, first byte) extracted in Arrow-batched mapInPandas — "
+        "the exact template a real image/audio decode follows. The "
+        "decode itself is stubbed (codec libs absent); see "
+        "operators/multimodal.py."
+    ),
+    tags=("multimodal", "extension", "pandas-udf"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return M.binary_metadata(M.with_binary_payload(docs))
+
+
+@_register(
+    "multimodal_fake_decode",
+    None,  # deterministic fake decode; byte-level sha256 math is easier to
+    # assert in pytest than to mirror in SQL — driver records rows-only.
+    description=(
+        "Fake media decode through the real mapInPandas plumbing "
+        "(dimensions/intensity derived from sha256 bytes). Stands in for "
+        "PIL/ffmpeg feature extraction; golden-value pytest covers "
+        "determinism."
+    ),
+    tags=("multimodal", "extension", "pandas-udf"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return M.fake_decode(M.with_binary_payload(docs))

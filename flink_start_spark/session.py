@@ -61,6 +61,7 @@ def get_spark(
         # TimestampType in the catalog loader (sources/catalog.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # Streaming state: RocksDB would be the cluster choice; the local
         # HDFS-backed store is fine for tests and needs no native libs.
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")

@@ -1,0 +1,128 @@
+"""Unit tests for the training-data extension operators (SURVEY §2b)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_start_spark.functions import texthash as TH
+from flink_start_spark.operators import dedup as D
+from flink_start_spark.operators import multimodal as M
+from flink_start_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different words about spark engines here"),
+        (5, "dog lazy the over jumps fox brown quick the"),  # reorder of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_deterministic_survivor(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in D.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[1] == 2  # doc 3 collapsed into doc 1 (min id survives)
+    assert 3 not in out
+    assert out[2] == 1 and out[4] == 1
+
+
+def test_fingerprint_dedup_catches_reorder(docs):
+    out = D.fingerprint_dedup(docs, "text", "doc_id").collect()
+    by_survivor = {r["doc_id"]: r["n_docs"] for r in out}
+    # docs 1, 3 (exact) and 5 (reorder, same word bag) share a fingerprint
+    assert by_survivor[1] == 3
+    assert by_survivor[2] == 1
+
+
+def test_minhash_salt_is_engine_portable(spark):
+    # signature hashes must equal hashlib md5 of "seed|shingle"
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    sig = df.select(
+        TH.minhash_signature(TH.shingles(F.col("text")), 4).alias("s")
+    ).collect()[0]["s"]
+    shingles = ["a b c", "b c d", "c d e"]
+    expected = [
+        min(hashlib.md5(f"{k}|{s}".encode()).hexdigest() for s in shingles)
+        for k in range(4)
+    ]
+    assert sig == expected
+
+
+def test_minhash_near_dups_finds_pair(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_near_dups(docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0  # near dup
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_near_dup_blocks_equal_bruteforce(docs):
+    # the pigeonhole block join must produce exactly the brute-force set
+    sv = {r["doc_id"]: r["simhash"] for r in D.simhash_values(docs, "text", "doc_id").collect()}
+    brute = {
+        (a, b)
+        for a in sv
+        for b in sv
+        if a < b and bin(sv[a] ^ sv[b]).count("1") <= 3
+    }
+    block = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert block == brute
+    assert (1, 3) in block  # exact dups have identical simhash
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.brute_force_topk(df, df.filter(F.col("vec_id") < 2), k=3)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    V = vecs.astype("float64")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    for q in range(2):
+        order = sorted(
+            [(round(sims[q, j], 6), j) for j in range(20) if j != q],
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_, j) in enumerate(order[:3], start=1):
+            assert got[(q, rank)] == j
+
+
+def test_multimodal_metadata_roundtrip(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in M.binary_metadata(M.with_binary_payload(df)).collect()}
+    assert out[1]["n_bytes"] == 5
+    assert out[1]["sha256_8"] == hashlib.sha256(b"hello").hexdigest()[:8]
+    assert out[1]["first_byte"] == ord("h")
+    assert out[2]["n_bytes"] == 0 and out[2]["first_byte"] is None
+
+
+def test_multimodal_decode_stub_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        M.decode_stub(M.with_binary_payload(df))
+
+
+def test_fake_decode_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    row = M.fake_decode(M.with_binary_payload(df)).collect()[0]
+    d = hashlib.sha256(b"hello").digest()
+    assert row["width"] == 64 + d[0] % 192
+    assert row["height"] == 64 + d[1] % 192
+    assert abs(row["mean_intensity"] - d[2] / 255.0) < 1e-12
