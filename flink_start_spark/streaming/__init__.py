@@ -1,0 +1,26 @@
+"""Structured Streaming surface: the reference's streaming pipelines
+re-expressed on Spark's incremental execution model (SURVEY §3)."""
+
+from flink_start_spark.streaming.pipelines import (
+    keyed_tumbling_counts_stream,
+    run_to_memory,
+    session_window_stream,
+    sliding_signup_counts_stream,
+    stream_dedup,
+    stream_events,
+    stream_user_activity,
+    tumbling_signup_counts_stream,
+)
+from flink_start_spark.streaming.count_trigger import count_trigger_stream
+
+__all__ = [
+    "stream_events",
+    "stream_user_activity",
+    "tumbling_signup_counts_stream",
+    "keyed_tumbling_counts_stream",
+    "sliding_signup_counts_stream",
+    "session_window_stream",
+    "stream_dedup",
+    "count_trigger_stream",
+    "run_to_memory",
+]

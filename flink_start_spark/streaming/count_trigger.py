@@ -1,0 +1,93 @@
+"""Streaming count-triggered global window (SURVEY §2 O13).
+
+The one reference operator with no Structured Streaming primitive:
+Flink's ``GlobalWindows + CountTrigger.of(n)`` with FIRE-without-PURGE
+(FlinkWindowLearning.scala:242-255) — emit the cumulative count of a
+predicate at every n-th arrival.
+
+Implemented with ``applyInPandasWithState``: a keyed stateful operator
+holding two longs per key (arrivals seen, predicate hits). Each
+micro-batch sorts its rows by the arrival column (cross-batch order is
+the source's contract — file sequence here, log offset in production),
+advances the counters row-by-row, and emits one output row per n-th
+arrival crossed. State is O(1) per key — exactly Flink's trigger
+counter, none of the retained-elements buffer (the count is maintained
+incrementally, which FIRE-no-PURGE forces Flink to recompute).
+
+The batch twin (operators/windows.py::count_trigger_cumulative) is the
+oracle-checked form; this streaming form is validated by pytest golden
+tests on the 12-event fixture.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: (key, fire_seq, arrival, cnt)
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("fire_seq", T.LongType(), False),
+        T.StructField("arrival", T.LongType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_seen", T.LongType(), False),
+        T.StructField("n_hits", T.LongType(), False),
+    ]
+)
+
+
+def count_trigger_stream(
+    events: DataFrame,
+    every: int,
+    pred_col: str,
+    pred_value: str,
+    order_col: str = "arrival",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Streaming FIRE-no-PURGE count trigger over a (keyed) global window.
+
+    ``key_col=None`` reproduces the reference's non-keyed ``windowAll``
+    (a single logical key — like Flink, this serializes state updates
+    through one task; keyed use is the scalable form).
+    """
+    key_expr = key_col if key_col is not None else "'__global__'"
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n_seen, n_hits = state.get if state.exists else (0, 0)
+        fires: list[tuple[str, int, int, int]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(order_col)
+            for hit in (pdf[pred_col] == pred_value).astype(int):
+                n_seen += 1
+                n_hits += int(hit)
+                if n_seen % every == 0:
+                    fires.append((key[0], n_seen // every, n_seen, n_hits))
+        state.update((n_seen, n_hits))
+        if fires:
+            yield pd.DataFrame(fires, columns=["key", "fire_seq", "arrival", "cnt"])
+
+    keyed = events.selectExpr(
+        f"{key_expr} AS key", f"{order_col} AS {order_col}", f"{pred_col} AS {pred_col}"
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,223 @@
+"""Structured Streaming tests: golden window counts, watermark late-data
+drops (FIXTURES F2), streaming count-trigger, sessions, dedup.
+
+The reference's pacing (100 ms/event sleep) is reproduced by slicing the
+input into one file per micro-batch (``maxFilesPerTrigger=1``) — batch
+boundaries, not wall-clock sleeps, are what watermark semantics depend on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_start_spark.sources.json_activity import _FIXTURE_ROWS
+from flink_start_spark.streaming import (
+    count_trigger_stream,
+    keyed_tumbling_counts_stream,
+    run_to_memory,
+    session_window_stream,
+    stream_dedup,
+    stream_user_activity,
+    tumbling_signup_counts_stream,
+)
+
+BASE = 1754226000  # 2025-08-03T13:00:00Z
+
+
+def _write_batches(tmp_path, name, batches):
+    """One JSON-lines file per micro-batch, mtimes strictly increasing so
+    the file source replays them in order."""
+    d = tmp_path / name
+    d.mkdir()
+    t0 = time.time() - len(batches) - 5
+    for i, rows in enumerate(batches):
+        p = d / f"batch_{i:03d}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {"userId": u, "activity": a, "timestamp": ts, "arrival": arr}
+                )
+                for arr, u, a, ts in rows
+            )
+        )
+        os.utime(p, (t0 + i, t0 + i))
+    return str(d)
+
+
+def _fixture_batches(sizes):
+    out, i = [], 0
+    for s in sizes:
+        out.append(_FIXTURE_ROWS[i : i + s])
+        i += s
+    return out
+
+
+def _final_counts(rows, key_fields, cnt_field):
+    """Update-mode memory sink emits one row per (batch, changed group);
+    counts only grow, so the max per group is the final value."""
+    final = {}
+    for r in rows:
+        k = tuple(r[f] for f in key_fields)
+        final[k] = max(final.get(k, 0), r[cnt_field])
+    return final
+
+
+def test_streaming_tumbling_golden_g1(spark, tmp_path):
+    src = _write_batches(tmp_path, "g1", _fixture_batches([4, 4, 4]))
+    stream = stream_user_activity(spark, src)
+    out = tumbling_signup_counts_stream(stream)
+    table = run_to_memory(out, "g1_sink", "update")
+    got = _final_counts(
+        table.collect(), ["window_start"], "cnt"
+    )
+    got = {int(k[0].timestamp()) - BASE: v for k, v in got.items()}
+    assert got == {0: 1, 3: 3, 6: 2, 9: 0}
+
+
+def test_streaming_keyed_golden_g2(spark, tmp_path):
+    src = _write_batches(tmp_path, "g2", _fixture_batches([6, 6]))
+    stream = stream_user_activity(spark, src)
+    out = keyed_tumbling_counts_stream(stream)
+    table = run_to_memory(out, "g2_sink", "update")
+    got = _final_counts(table.collect(), ["activity", "window_start"], "cnt")
+    got = {(k[0], int(k[1].timestamp()) - BASE): v for k, v in got.items()}
+    assert got == {
+        ("register", 0): 1,
+        ("register", 3): 3,
+        ("register", 6): 2,
+        ("online", 0): 1,
+        ("online", 3): 1,
+        ("online", 6): 1,
+        ("online", 9): 3,
+    }
+
+
+def test_streaming_watermark_drops_late_events_f2(spark, tmp_path):
+    # FIXTURES F2: out-of-order replay; events >1 min late must be dropped
+    # (reference resources/README.md:11-14). Spark advances the watermark
+    # at micro-batch boundaries with a one-batch publication lag (vs
+    # Flink's continuous per-event watermark — SURVEY §7 margin note), so
+    # each late event is placed two batches after the on-time event that
+    # moves the watermark past it; end-state semantics are what the
+    # reference specifies and what we assert.
+    batches = [
+        [
+            (1, "alice_wonderland", "register", "2025-08-03T13:17:00Z"),
+            (2, "bob_builder", "login", "2025-08-03T13:18:30Z"),
+        ],
+        [(3, "charlie_chocolate", "click", "2025-08-03T13:19:00Z")],
+        [(4, "napoleon_bonaparte", "register", "2025-08-03T13:14:30Z")],  # late
+        [
+            (5, "leonardo_davinci", "register", "2025-08-03T13:16:00Z"),  # late
+            (6, "marie_curie", "logout", "2025-08-03T13:20:00Z"),
+        ],
+    ]
+    src = _write_batches(tmp_path, "f2", batches)
+    stream = stream_user_activity(spark, src)
+    out = tumbling_signup_counts_stream(
+        stream, size="1 minute", watermark="1 minute", pred_value="register"
+    )
+    table = run_to_memory(out, "f2_sink", "update")
+    minutes = {
+        (int(r["window_start"].timestamp()) // 60) % 100 for r in table.collect()
+    }
+    # windows for the on-time events only; 13:14 (napoleon) and 13:16
+    # (leonardo) never appear — their windows were already finalized
+    assert minutes == {17, 18, 19, 20}
+
+    # batch run over the same files (no watermark) INCLUDES the late rows
+    batch = (
+        spark.read.schema("userId string, activity string, timestamp string")
+        .json(src)
+        .select(F.try_to_timestamp("timestamp").alias("ts"))
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .count()
+    )
+    batch_minutes = {
+        (int(r["w"]["start"].timestamp()) // 60) % 100 for r in batch.collect()
+    }
+    assert batch_minutes == {14, 16, 17, 18, 19, 20}
+
+
+def test_streaming_count_trigger_golden_g4(spark, tmp_path):
+    src = _write_batches(tmp_path, "g4", _fixture_batches([5, 5, 2]))
+    # the JSON files carry an explicit arrival field (the source offset in
+    # production); read it alongside the activity columns
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("userId string, activity string, timestamp string, arrival long")
+        .json(src)
+        .select(
+            F.col("activity"), F.col("arrival"), F.try_to_timestamp("timestamp").alias("ts")
+        )
+    )
+    out = count_trigger_stream(
+        stream, every=5, pred_col="activity", pred_value="register"
+    )
+    table = run_to_memory(out, "g4_sink", "append")
+    rows = sorted(
+        [(r["fire_seq"], r["arrival"], r["cnt"]) for r in table.collect()]
+    )
+    # Flink FIRE-no-PURGE golden: fire@5 → 3, fire@10 → 6 cumulative,
+    # no fire for the 2-event tail (FIXTURES G4)
+    assert rows == [(1, 5, 3), (2, 10, 6)]
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    # session windows support append mode only: a session emits once the
+    # watermark passes its end. A sentinel event in a later batch pushes
+    # the watermark past every fixture session so all of them finalize.
+    sentinel = [(99, "zz_sentinel", "online", "2025-08-03T13:01:00Z")]
+    src = _write_batches(tmp_path, "sess", _fixture_batches([12]) + [sentinel])
+    stream = stream_user_activity(spark, src)
+    out = session_window_stream(stream, gap="5 seconds", key_col="user_id")
+    table = run_to_memory(out, "sess_sink", "append")
+    per_user = {}
+    for r in table.collect():
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    # bob: events at :02,:02 → one 2-event session; rob: :04 and :10 →
+    # two 1-event sessions (gap 6 s > 5 s)
+    assert sorted(per_user["bob"]) == [2]
+    assert sorted(per_user["rob"]) == [1, 1]
+    assert "zz_sentinel" not in per_user  # its own session never finalizes
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    batches = [
+        [(1, "bob", "register", "2025-08-03T13:00:02Z")],
+        [(2, "bob", "register", "2025-08-03T13:00:02Z")],  # duplicate
+        [(3, "sam", "register", "2025-08-03T13:00:05Z")],
+    ]
+    src = _write_batches(tmp_path, "dd", batches)
+    stream = stream_user_activity(spark, src)
+    out = stream_dedup(stream, ["user_id", "activity", "ts"], watermark="1 minute")
+    table = run_to_memory(out, "dd_sink", "append")
+    rows = [(r["user_id"], r["activity"]) for r in table.collect()]
+    assert sorted(rows) == [("bob", "register"), ("sam", "register")]
+
+
+def test_stream_events_parquet_matches_batch(spark):
+    # streaming scan over the driver's events table == batch scan counts
+    from flink_start_spark.streaming import stream_events
+
+    stream = stream_events(spark, "/root/testdata/sf0.001/events.parquet")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.when(F.col("event_type") == "signup", 1)).alias("cnt"))
+    )
+    table = run_to_memory(agg, "ev_sink", "update")
+    got = sum(r["cnt"] for r in table.collect())
+    from flink_start_spark.sources.catalog import load_table
+
+    expected = (
+        load_table(spark, "events", "/root/testdata/sf0.001")
+        .filter(F.col("event_type") == "signup")
+        .count()
+    )
+    assert got == expected
