@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the declared query catalog at a scale-factor
+directory and prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+    python bench.py            # $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1
+    python bench.py --runs 3   # median of 3 timed runs per query
+
+Execution is forced with the noop sink (full computation, no driver
+collect); one warm-up query amortizes JVM/codegen startup. The
+reference publishes no benchmark numbers (BASELINE.md) — the operative
+comparison is wall-clock at the driver's sf0.1 against prior rounds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_start_spark.plans import QUERIES
+from flink_start_spark.session import get_spark
+
+
+def _run_once(spark, name: str, sf_dir: str) -> float:
+    df = QUERIES[name].spark(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    sf_label = os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("flink_start_spark_bench")
+
+    names = args.queries or list(QUERIES)
+    # JVM/codegen warm-up on the flagship query (not timed)
+    _run_once(spark, names[0], args.sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        samples = [_run_once(spark, name, args.sf_dir) for _ in range(args.runs)]
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

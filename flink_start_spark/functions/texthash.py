@@ -33,15 +33,21 @@ def distinct_words(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined); whole text if < n words."""
+    """Word n-gram shingles (space-joined); whole text if < n words.
+
+    Built as ``zip_with`` over ``slice``-shifted copies of the word
+    array, NOT as ``transform(sequence(...), i -> element_at(ws, i+j))``:
+    expressions referenced inside a lambda body are re-evaluated per
+    element, so the element_at form re-runs the split() per shingle —
+    O(words^2) per document, measured as ~7s for 5k docs vs ~1s for
+    this O(words) construction.
+    """
     ws = words(text)
     k = F.size(ws) - (n - 1)
-    make = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j) for j in range(n)]
-        ),
-    )
+    shifted = [F.slice(ws, j + 1, k) for j in range(n)]
+    make = shifted[0]
+    for nxt in shifted[1:]:
+        make = F.zip_with(make, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(k >= 1, make).otherwise(F.array(F.trim(text)))
 
 
@@ -59,26 +65,22 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
     )
 
 
-def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
-    """Banded LSH keys: md5 of each ``rows``-wide slice of the signature.
-
-    Two documents collide in band b iff their signatures agree on all
-    ``rows`` positions of that band — the standard AND/OR construction:
+def band_key(signature: Column, band: int, rows: int) -> Column:
+    """Banded LSH key: md5 of the ``rows``-wide slice ``band`` of the
+    signature. Two documents collide in a band iff their signatures agree
+    on all ``rows`` positions of it — the standard AND/OR construction:
     P(candidate) = 1 - (1 - J^rows)^bands for Jaccard J.
-    Returns array<struct<band:int, key:string>> ready to explode.
+
+    One scalar per band on purpose: band rows are produced by a UNION of
+    per-band projections, never by building an array and exploding it —
+    InferFiltersFromGenerate + predicate pushdown inline the full
+    upstream expression tree into a synthesized size()>0 filter under an
+    explode (measured >10x blowup; see operators/dedup.py).
     """
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.element_at(signature, b * rows + r + 1) for r in range(rows)]
-                    )
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
+    return F.md5(
+        F.concat_ws(
+            "|", *[F.element_at(signature, band * rows + r + 1) for r in range(rows)]
+        )
     )
 
 
@@ -94,19 +96,22 @@ def _hex_nibble(hex_char: Column) -> Column:
     return F.instr(F.lit(HEX_DIGITS), hex_char) - 1
 
 
-def simhash32(token_arr: Column) -> Column:
-    """32-bit SimHash over a token array (Charikar '02 majority vote).
+def simhash32_from_hashes(hash_arr: Column) -> Column:
+    """32-bit SimHash from a pre-materialized array of md5 hex digests
+    (Charikar '02 majority vote).
 
     Bit j is the majority vote of md5-nibble j across tokens: each token
     contributes +1 if nibble_j(md5(token)) >= 8 else -1; bit j is set
     iff the sum is > 0. 32 bits (one per md5 hex position) puts the
     random pair-collision rate at Hamming<=3 near 1.3e-6, selective
     enough that near-dup candidate joins stay linear; a 16-bit variant
-    (~1% collisions) measurably floods the pair stage. md5 per token is
-    computed ONCE into an array; each bit then does a cheap pass over
-    the cached hex digests.
+    (~1% collisions) measurably floods the pair stage.
+
+    Takes the digest array as an input COLUMN on purpose: the md5s must
+    be materialized once by the caller's projection — inlining them here
+    would recompute every digest per bit (32x), since lambda-bound
+    expressions are outside Catalyst's subexpression elimination.
     """
-    hashes = F.transform(token_arr, lambda w: F.md5(w))
 
     def vote_fn(j: int):
         # closure factory: PySpark infers lambda arity from the signature,
@@ -118,11 +123,17 @@ def simhash32(token_arr: Column) -> Column:
 
     out = F.lit(0).cast("long")
     for j in range(32):
-        vote = F.aggregate(hashes, F.lit(0), vote_fn(j))
+        vote = F.aggregate(hash_arr, F.lit(0), vote_fn(j))
         out = out + F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return out
+
+def simhash32(token_arr: Column) -> Column:
+    """Convenience form over raw tokens — fine for small arrays/tests;
+    hot paths should materialize the md5 array and call
+    :func:`simhash32_from_hashes` (see operators/dedup.py)."""
+    return simhash32_from_hashes(F.transform(token_arr, lambda w: F.md5(w)))
 
 
 def bag_fingerprint(text: Column) -> Column:

@@ -68,16 +68,37 @@ def minhash_candidate_pairs(
     giant exact-dup clusters — run :func:`exact_dedup` first.
     """
     rows = num_hashes // bands
+    # Two hard-won plan-shape rules (each measured as a >10x blowup at
+    # 5k docs when violated):
+    # 1. Materialize every stage (shingles, signature) as a real column
+    #    in its own projection — higher-order-function lambdas sit
+    #    outside Catalyst's subexpression elimination, so an inlined
+    #    tree recomputes the shingle array per signature component.
+    #    CollapseProject keeps the stages separate because the
+    #    intermediates are non-trivial and multiply referenced.
+    # 2. Produce band rows with a UNION of per-band projections, not
+    #    array+explode: InferFiltersFromGenerate synthesizes a
+    #    size(input)>0 filter from explode, and predicate pushdown
+    #    inlines the whole upstream expression tree into that filter
+    #    below the projections — re-running the full minhash pipeline
+    #    once more per row.
     sig = df.select(
-        F.col(id_col),
-        TH.lsh_bands(
-            TH.minhash_signature(TH.shingles(F.col(content_col), shingle_n), num_hashes),
-            bands,
-            rows,
-        ).alias("bands"),
+        F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh")
+    ).select(
+        F.col(id_col), TH.minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
     )
-    exploded = sig.select(id_col, F.explode("bands").alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    # stack(), not explode (rule 2 above) and not a union of per-band
+    # projections (each union branch re-evaluates the whole signature
+    # pipeline — subtrees are not shared across branches): one projection
+    # computes the band keys off the materialized signature, stack
+    # unpivots them, and the upstream runs exactly once.
+    keys = sig.select(
+        F.col(id_col),
+        *[TH.band_key(F.col("_sig"), b, rows).alias(f"_k{b}") for b in range(bands)],
+    )
+    stack_args = ", ".join(f"{b}, _k{b}" for b in range(bands))
+    exploded = keys.selectExpr(
+        id_col, f"stack({bands}, {stack_args}) AS (band, key)"
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -108,9 +129,8 @@ def minhash_near_dups(
     over distinct shingle sets. Output: id_a, id_b, jaccard (rounded 6)."""
     pairs = minhash_candidate_pairs(df, content_col, id_col, num_hashes, bands, shingle_n)
     sh = df.select(
-        F.col(id_col),
-        F.array_distinct(TH.shingles(F.col(content_col), shingle_n)).alias("sh"),
-    )
+        F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh")
+    ).select(F.col(id_col), F.array_distinct(F.col("_sh")).alias("sh"))
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -131,12 +151,20 @@ def simhash_values(
     near-dup" — measured 28% of all pairs within Hamming 3 on the test
     corpus. N-gram features keep unrelated documents far apart while
     reorder/edit near-dups stay close.
+
+    Staged projections (shingles → md5 array → 32 votes) so each array
+    materializes once; see minhash_candidate_pairs for why inlining
+    would blow up.
     """
-    return df.select(
-        F.col(id_col),
-        TH.simhash32(
-            F.array_distinct(TH.shingles(F.col(content_col), shingle_n))
-        ).alias("simhash"),
+    return (
+        df.select(
+            F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.array_distinct(F.col("_sh")), lambda s: F.md5(s)).alias("_h"),
+        )
+        .select(F.col(id_col), TH.simhash32_from_hashes(F.col("_h")).alias("simhash"))
     )
 
 
@@ -155,23 +183,21 @@ def simhash_near_dups(
     Output: id_a, id_b, hamming.
     """
     sh = simhash_values(df, content_col, id_col, shingle_n)
-    blocks = sh.select(
+    # stack(), not explode/union — see minhash_candidate_pairs plan rules
+    key_cols = sh.select(
         id_col,
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(blk).alias("blk"),
-                        F.shiftright(F.col("simhash"), blk * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("key"),
-                    )
-                    for blk in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
+        *[
+            F.shiftright(F.col("simhash"), blk * 8)
+            .bitwiseAND(F.lit(255))
+            .alias(f"_b{blk}")
+            for blk in range(4)
+        ],
+    )
+    stack_args = ", ".join(f"{blk}, _b{blk}" for blk in range(4))
+    blocks = key_cols.selectExpr(
+        id_col, "simhash", f"stack(4, {stack_args}) AS (blk, key)"
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(
