@@ -1,0 +1,298 @@
+"""Advanced relational surface: time-series joins (as-of, range),
+window frames, pivot, and additional TPC-H-style join shapes.
+
+None of these exist in the reference (SURVEY §2 lists joins/analytics as
+absent categories); they complete the surface a user would expect from a
+general analytics engine, each oracle-checked (DuckDB has a native ASOF
+JOIN, which makes it an ideal referee for our composed implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_start_spark.operators.joins import as_of_join, range_join
+from flink_start_spark.operators.skew import salted_count_distinct
+from flink_start_spark.plans.catalog import _register
+from flink_start_spark.sources.catalog import load_table
+
+
+@_register(
+    "skewproof_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_distinct,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    description=(
+        "Skew-proof exact count-distinct: two-phase salted aggregation "
+        "(salt = hash(distinct value) % 32, so per-salt distinct sets "
+        "are disjoint and sum exactly). event_type has 5 values — the "
+        "reference's keyBy hot-key hazard (SURVEY §4); the salt spreads "
+        "each hot key over 32 reducers. Oracle is the plain distinct "
+        "count: exactness is the claim."
+    ),
+    tags=("aggregation", "skew", "custom-operator"),
+)
+def q_skewproof_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    distinct = salted_count_distinct(ev, ["event_type"], "user_id", n_salts=32)
+    return distinct.join(counts, "event_type")
+
+
+@_register(
+    "asof_latest_order_per_event",
+    """
+    WITH daily AS (
+      SELECT o_custkey, o_orderdate,
+             count(*) AS n_orders_that_day,
+             round(sum(o_totalprice), 2) AS total_that_day
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id,
+           e.user_id,
+           epoch(e.ts)::BIGINT AS ts_epoch,
+           d.n_orders_that_day,
+           d.total_that_day,
+           epoch(d.o_orderdate)::BIGINT AS matched_epoch
+    FROM events e
+    ASOF LEFT JOIN daily d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+    description=(
+        "As-of join (merge_asof semantics): each event matched to the "
+        "customer's latest order-day at or before the event. Spark side "
+        "is the union-merge pattern — tag sides, one window per key, "
+        "last(payload, ignorenulls) — exactly one shuffle, no range "
+        "explosion; DuckDB's native ASOF JOIN referees. Right side is "
+        "pre-aggregated per (key, ts) so ties are deterministic."
+    ),
+    tags=("join", "asof", "custom-operator"),
+)
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.count("*").alias("n_orders_that_day"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_that_day"),
+        )
+    )
+    out = as_of_join(
+        ev,
+        daily,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["n_orders_that_day", "total_that_day"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "n_orders_that_day",
+        "total_that_day",
+        F.col("matched_ts").cast("long").alias("matched_epoch"),
+    )
+
+
+@_register(
+    "range_join_purchases_in_error_windows",
+    """
+    WITH err AS (
+      SELECT user_id,
+             min(ts) AS win_start,
+             min(ts) + INTERVAL 4 HOURS AS win_end
+      FROM events WHERE event_type = 'error'
+      GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT p.user_id,
+           epoch(e.win_start)::BIGINT AS win_start_epoch,
+           count(*) AS n_purchases
+    FROM events p JOIN err e
+      ON p.user_id = e.user_id
+     AND p.ts >= e.win_start AND p.ts < e.win_end
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+    description=(
+        "Range join: purchases inside the 4-hour window after each "
+        "user's first daily error. Spark rewrites it as an equi-join on "
+        "(key, time-bucket) with a residual range filter — hash join, "
+        "never a per-key nested loop; the oracle uses the plain "
+        "inequality join."
+    ),
+    tags=("join", "range", "custom-operator"),
+)
+def q_range_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("_day"))
+        .agg(F.min("ts").alias("win_start"))
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 4 HOURS"))
+        .select("user_id", "win_start", "win_end")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = range_join(
+        purchases,
+        err,
+        key="user_id",
+        point_ts="ts",
+        range_start="win_start",
+        range_end="win_end",
+        bucket="1 hour",
+    )
+    return joined.groupBy(
+        "user_id", F.col("win_start").cast("long").alias("win_start_epoch")
+    ).agg(F.count("*").alias("n_purchases"))
+
+
+@_register(
+    "daily_revenue_moving_avg",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT epoch(day)::BIGINT AS day_epoch,
+           revenue,
+           round(avg(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS ma7,
+           round(sum(revenue) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 2)
+             AS running_total
+    FROM daily
+    """,
+    description=(
+        "Window frames: 7-day moving average + running total of daily "
+        "revenue (ROWS BETWEEN frames). Single ordered window; at scale "
+        "partition by a coarser key (year) to parallelize the frame."
+    ),
+    tags=("analytic", "frames"),
+)
+def q_daily_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        F.col("day").cast("long").alias("day_epoch"),
+        "revenue",
+        F.round(F.avg("revenue").over(w.rowsBetween(-6, 0)), 6).alias("ma7"),
+        F.round(
+            F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+_EVENT_TYPES = ["signup", "purchase", "view", "click", "error"]
+
+@_register(
+    "pivot_event_type_daily",
+    f"""
+    SELECT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+           {', '.join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+    description=(
+        "Pivot: daily event counts, one column per event type (explicit "
+        "value list keeps the schema static — a values-less pivot scans "
+        "twice to discover columns). Equivalent to the shuffle-free "
+        "conditional-aggregation form the oracle uses."
+    ),
+    tags=("aggregation", "pivot"),
+)
+def q_pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").cast("long").alias("day_epoch"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@_register(
+    "q4_late_shipment_orders",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAYS)
+    GROUP BY 1
+    """,
+    description=(
+        "TPC-H Q4 shape: orders having at least one line shipped >=60 "
+        "days after order date, counted by priority. EXISTS plans as a "
+        "left-semi hash join (no row duplication before the aggregate)."
+    ),
+    tags=("sql", "join", "semijoin"),
+)
+def q_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@_register(
+    "nation_trade_pairs",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2
+    """,
+    description=(
+        "TPC-H Q7 shape: cross-border trade volume by (supplier nation, "
+        "customer nation) pair — the same dimension table joined twice "
+        "under different roles, both broadcast."
+    ),
+    tags=("sql", "join"),
+)
+def q_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy("supp_nation", "cust_nation").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "volume"
+        ),
+        F.count("*").alias("n_lines"),
+    )

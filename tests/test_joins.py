@@ -1,0 +1,102 @@
+"""Edge-case tests for the composed time-series joins (operators/joins.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from flink_start_spark.operators.joins import as_of_join, range_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-10 00:00:00")),
+            (2, "u1", _ts("2024-01-20 00:00:00")),
+            (3, "u2", _ts("2024-01-05 00:00:00")),
+        ],
+        "event_id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-08 00:00:00"), 100.0),
+            ("u1", _ts("2024-01-15 00:00:00"), 200.0),
+            ("u2", _ts("2024-01-07 00:00:00"), 300.0),  # after u2's event
+        ],
+        "key string, rts timestamp, payload double",
+    )
+    out = {
+        r["event_id"]: (r["payload"], r["matched_ts"])
+        for r in as_of_join(left, right, "key", "ts", "rts", ["payload"]).collect()
+    }
+    assert out[1] == (100.0, _ts("2024-01-08 00:00:00"))  # latest <= Jan 10
+    assert out[2] == (200.0, _ts("2024-01-15 00:00:00"))  # advanced to Jan 15
+    assert out[3] == (None, None)  # no prior right row -> NULL payload
+
+
+def test_asof_match_at_equal_timestamp(spark):
+    # "at or before": a right row exactly at the left ts must match
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-10 12:00:00"))], "event_id long, key string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-10 12:00:00"), 7.0)],
+        "key string, rts timestamp, payload double",
+    )
+    row = as_of_join(left, right, "key", "ts", "rts", ["payload"]).collect()[0]
+    assert row["payload"] == 7.0
+
+
+def test_asof_single_shuffle_plan(spark):
+    # the 100TB property: one hash-partitioning exchange by key, no
+    # range/nested-loop join anywhere
+    left = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("key"),
+        F.timestamp_seconds(F.col("id") * 100).alias("ts"),
+    )
+    right = spark.range(5).select(
+        (F.col("id") % 3).cast("string").alias("key"),
+        F.timestamp_seconds(F.col("id") * 150).alias("rts"),
+        F.col("id").cast("double").alias("payload"),
+    )
+    df = as_of_join(left, right, "key", "ts", "rts", ["payload"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # union sides share the key exchange
+
+
+def test_range_join_residual_filter(spark):
+    points = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 00:30:00")),  # inside
+            ("k", _ts("2024-01-01 02:30:00")),  # outside (after end)
+            ("k", _ts("2023-12-31 23:59:00")),  # outside (before start)
+        ],
+        "key string, ts timestamp",
+    )
+    ranges = spark.createDataFrame(
+        [("k", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00"))],
+        "key string, start timestamp, end timestamp",
+    )
+    out = range_join(points, ranges, "key", "ts", "start", "end", bucket="1 hour")
+    assert [str(r["ts"]) for r in out.collect()] == ["2024-01-01 00:30:00"]
+
+
+def test_range_join_boundary_semantics(spark):
+    # [start, end): start inclusive, end exclusive
+    points = spark.createDataFrame(
+        [("k", _ts("2024-01-01 00:00:00")), ("k", _ts("2024-01-01 02:00:00"))],
+        "key string, ts timestamp",
+    )
+    ranges = spark.createDataFrame(
+        [("k", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00"))],
+        "key string, start timestamp, end timestamp",
+    )
+    out = range_join(points, ranges, "key", "ts", "start", "end", bucket="1 hour")
+    assert [str(r["ts"]) for r in out.collect()] == ["2024-01-01 00:00:00"]

@@ -1,0 +1,84 @@
+"""Skew-mitigation equivalence + storage-format round-trips +
+partition-pruning plan checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_start_spark.operators.skew import salted_agg, salted_count_distinct
+from flink_start_spark.sources.catalog import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_count_distinct_equals_plain(spark):
+    ev = load_table(spark, "events", SF_SMOKE)
+    plain = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: r["n_distinct"]
+        for r in salted_count_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_sum_equals_plain(spark):
+    ev = load_table(spark, "events", SF_SMOKE)
+    plain = {
+        r["event_type"]: round(r["s"], 6)
+        for r in ev.groupBy("event_type").agg(F.sum("value").alias("s")).collect()
+    }
+    salted = {
+        r["event_type"]: round(r["agg"], 6)
+        for r in salted_agg(ev, ["event_type"], F.col("value"), "sum", alias="agg").collect()
+    }
+    assert salted == plain
+
+
+def test_parquet_partitioned_write_prunes(spark, tmp_path):
+    # write events partitioned by event_type; a filtered read must scan
+    # only the matching partition (PartitionFilters, not a post-filter)
+    out = str(tmp_path / "events_parted")
+    ev = load_table(spark, "events", SF_SMOKE)
+    ev.write.partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "signup")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(event_type" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == ev.filter(F.col("event_type") == "signup").count()
+
+
+def test_csv_json_orc_roundtrip(spark, tmp_path):
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    expected = ev.count()
+    for fmt in ("csv", "json", "orc"):
+        path = str(tmp_path / f"rt_{fmt}")
+        writer = ev.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        getattr(writer, fmt)(path)
+        reader = spark.read
+        if fmt == "csv":
+            reader = reader.option("header", "true").schema(
+                "event_id long, user_id long, event_type string, value double"
+            )
+        back = getattr(reader, fmt)(path)
+        assert back.count() == expected, fmt
+        assert set(back.columns) == set(ev.columns), fmt
+
+
+def test_sliding_window_plan_has_single_expand_shuffle(spark):
+    # the sliding window should expand rows (one per overlapping window)
+    # then aggregate with ONE exchange — no join, no extra shuffle
+    from flink_start_spark.plans import QUERIES
+
+    df = QUERIES["sliding_signup_count"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
