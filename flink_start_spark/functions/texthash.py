@@ -51,17 +51,40 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(k >= 1, make).otherwise(F.array(F.trim(text)))
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: array of ``num_hashes`` lexicographic-min salted
-    md5 digests over the shingle set."""
-    def salted(i: int):
-        # closure factory — a default-arg lambda (s, i=i) would be read by
+def hash_pairs(digest_arr: Column) -> Column:
+    """md5 hex digests → array<struct<h1: long, h2: long>>: h1 = first 15
+    hex chars (60 bits), h2 = the next 8 (32 bits). The base pair for
+    Kirsch-Mitzenmacher hash derivation; both parses are engine-portable
+    (``conv(hex,16,10)`` here == ``('0x'||hex)::BIGINT`` in DuckDB)."""
+    return F.transform(
+        digest_arr,
+        lambda d: F.struct(
+            F.conv(F.substring(d, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(d, 16, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+
+
+def minhash_signature(pair_arr: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature via Kirsch-Mitzenmacher derivation: hash_i =
+    h1 + i*h2 — one md5 per shingle total instead of one per
+    (seed, shingle), a 16x hashing cut; K-M '06 shows two base hashes
+    preserve MinHash accuracy. Max value 2^60 + 15*2^32 < 2^61: no
+    BIGINT overflow. Returns array<long> of per-seed minima.
+
+    Input is the pre-materialized :func:`hash_pairs` column — the caller
+    stages digests/pairs as real columns (see operators/dedup.py for the
+    subexpression-elimination rule that makes this mandatory).
+    """
+
+    def km(i: int):
+        # closure factory — a default-arg lambda (p, i=i) would be read by
         # PySpark as the 2-arg (element, index) form, binding i to the
         # array-index column instead of the seed
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+        return lambda p: p.h1 + F.lit(i) * p.h2
 
     return F.array(
-        *[F.array_min(F.transform(shingle_arr, salted(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(pair_arr, km(i))) for i in range(num_hashes)]
     )
 
 

@@ -82,10 +82,15 @@ def minhash_candidate_pairs(
     #    inlines the whole upstream expression tree into that filter
     #    below the projections — re-running the full minhash pipeline
     #    once more per row.
-    sig = df.select(
-        F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh")
-    ).select(
-        F.col(id_col), TH.minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    sig = (
+        df.select(F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh"))
+        .select(
+            F.col(id_col),
+            TH.hash_pairs(F.transform(F.col("_sh"), lambda s: F.md5(s))).alias("_hp"),
+        )
+        .select(
+            F.col(id_col), TH.minhash_signature(F.col("_hp"), num_hashes).alias("_sig")
+        )
     )
     # stack(), not explode (rule 2 above) and not a union of per-band
     # projections (each union branch re-evaluates the whole signature

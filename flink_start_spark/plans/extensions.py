@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_start_spark.functions import texthash as TH
 from flink_start_spark.operators import dedup as D
 from flink_start_spark.operators import multimodal as M
 from flink_start_spark.operators import similarity as S
@@ -79,9 +80,13 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLE_CTE},
+    hp AS (SELECT doc_id,
+             [[('0x' || substr(md5(s), 1, 15))::BIGINT,
+               ('0x' || substr(md5(s), 16, 8))::BIGINT] FOR s IN shingles] AS hp
+           FROM shd),
     sig AS (SELECT doc_id,
-              [list_min([md5(k::VARCHAR || '|' || s) FOR s IN shingles]) FOR k IN range(16)] AS sig
-            FROM shd),
+              [list_min([p[1] + k * p[2] FOR p IN hp]) FOR k IN range(16)] AS sig
+            FROM hp),
     bands AS (SELECT doc_id, b,
                 md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
               FROM sig, range(4) t(b)),
@@ -158,6 +163,95 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     out = D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@_register(
+    "char_ngram_jaccard_pairs",
+    """
+    WITH cg AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 8) FOR i IN range(1, length(text) - 6)]) AS grams
+      FROM documents WHERE length(text) >= 8),
+    hp AS (
+      SELECT doc_id, grams,
+             [[('0x' || substr(md5(g), 1, 15))::BIGINT,
+               ('0x' || substr(md5(g), 16, 8))::BIGINT] FOR g IN grams] AS hp
+      FROM cg),
+    sig AS (SELECT doc_id, grams,
+              [list_min([p[1] + k * p[2] FOR p IN hp]) FOR k IN range(16)] AS sig
+            FROM hp),
+    bands AS (SELECT doc_id, b,
+                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
+              FROM sig, range(4) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(x.grams, y.grams))::DOUBLE /
+                 (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))::DOUBLE,
+                 6) AS jaccard
+    FROM cand JOIN cg x ON x.doc_id = id_a JOIN cg y ON y.doc_id = id_b
+    WHERE jaccard >= 0.5
+    """,
+    description=(
+        "Character 8-gram Jaccard near-dup pairs: catches small edits and "
+        "reorderings word shingles miss (robust to tokenization). Same "
+        "MinHash-LSH candidate machinery over the character-gram feature "
+        "space; exact char-gram Jaccard confirm >= 0.5."
+    ),
+    tags=("dedup", "extension", "lsh"),
+)
+def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") >= 8)
+    # char 8-grams via the same O(n) slice trick as word shingles: the
+    # substring start index must not be referenced from a lambda
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(_char_grams(F.col("text"), 8), lambda g: F.length(g) == 8)
+        ).alias("_g"),
+    )
+    pairs = (
+        grams.select(
+            "doc_id",
+            TH.hash_pairs(F.transform(F.col("_g"), lambda s: F.md5(s))).alias("_hp"),
+        )
+        .select("doc_id", TH.minhash_signature(F.col("_hp"), 16).alias("_sig"))
+    )
+    keys = pairs.select(
+        "doc_id", *[TH.band_key(F.col("_sig"), b, 4).alias(f"_k{b}") for b in range(4)]
+    )
+    stacked = keys.selectExpr("doc_id", "stack(4, 0, _k0, 1, _k1, 2, _k2, 3, _k3) AS (band, key)")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    g2 = grams.select("doc_id", F.col("_g").alias("grams"))
+    return (
+        cand.join(g2.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
+        .join(g2.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
+        .withColumn("jaccard", F.round(TH.jaccard(F.col("ga"), F.col("gb")), 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _char_grams(text, n: int):
+    """Character n-grams via transform over a sequence. Referencing the
+    scalar ``text`` column inside the lambda is safe — re-evaluating a
+    column reference is O(1) per element; the O(n^2) lambda hazard
+    (functions/texthash.py::shingles) applies to re-evaluated *computed
+    arrays* like split(), not to plain column refs."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(n)),
+    )
 
 
 # ---------------------------------------------------------------------
@@ -331,6 +425,28 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return TX.token_counts(docs)
+
+
+@_register(
+    "approx_metrics",
+    None,  # HLL/KLL sketch results are engine-specific by construction;
+    # pytest asserts tolerance vs exact instead (test_extensions.py)
+    description=(
+        "Approximate aggregates for 100TB interactive use: "
+        "approx_count_distinct (HyperLogLog++, ~2% default error) and "
+        "percentile_approx (KLL-style sketch) per event_type. At scale "
+        "these replace exact distinct/median when a bounded error is "
+        "acceptable — one pass, fixed memory, no expand."
+    ),
+    tags=("aggregation", "approximate"),
+)
+def q_approx_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.count("*").alias("n"),
+    )
 
 
 # ---------------------------------------------------------------------

@@ -40,17 +40,22 @@ def test_fingerprint_dedup_catches_reorder(docs):
     assert by_survivor[2] == 1
 
 
-def test_minhash_salt_is_engine_portable(spark):
-    # signature hashes must equal hashlib md5 of "seed|shingle"
+def test_minhash_km_is_engine_portable(spark):
+    # K-M signature must equal hashlib-derived h1 + k*h2 minima
     df = spark.createDataFrame([("a b c d e",)], "text string")
     sig = df.select(
-        TH.minhash_signature(TH.shingles(F.col("text")), 4).alias("s")
+        TH.minhash_signature(
+            TH.hash_pairs(F.transform(TH.shingles(F.col("text")), lambda s: F.md5(s))),
+            4,
+        ).alias("s")
     ).collect()[0]["s"]
     shingles = ["a b c", "b c d", "c d e"]
-    expected = [
-        min(hashlib.md5(f"{k}|{s}".encode()).hexdigest() for s in shingles)
-        for k in range(4)
+    pairs = [
+        (int(hashlib.md5(s.encode()).hexdigest()[:15], 16),
+         int(hashlib.md5(s.encode()).hexdigest()[15:23], 16))
+        for s in shingles
     ]
+    expected = [min(h1 + k * h2 for h1, h2 in pairs) for k in range(4)]
     assert sig == expected
 
 
@@ -102,6 +107,32 @@ def test_brute_force_topk_matches_numpy(spark):
         )
         for rank, (_, j) in enumerate(order[:3], start=1):
             assert got[(q, rank)] == j
+
+
+def test_approx_metrics_within_tolerance(spark):
+    from flink_start_spark.plans import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    approx = {
+        r["event_type"]: r for r in QUERIES["approx_metrics"].spark(spark, SF_ORACLE).collect()
+    }
+    from flink_start_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", SF_ORACLE)
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.median("value").alias("median_value"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["users"]) / e["users"] < 0.05, et
+        # percentile_approx default accuracy: generous band around median
+        assert abs(a["approx_median_value"] - e["median_value"]) <= abs(e["median_value"]) * 0.2 + 1.0, et
 
 
 def test_multimodal_metadata_roundtrip(spark):

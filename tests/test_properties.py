@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): operator semantics vs independent
+reference implementations on randomized inputs.
+
+Strategy sizes are deliberately small — each example pays a Spark job;
+the value is in the randomized structure (ties, duplicates, empty
+groups, boundary timestamps), not the row count.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_start_spark.operators.joins import as_of_join
+from flink_start_spark.operators.windows import tumbling_window_agg
+
+BASE = datetime(2024, 1, 1)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=300),  # seconds offset
+        st.sampled_from(["a", "b"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_asof_case = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=10),  # left ts
+    st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=10),  # right ts
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_events)
+def test_tumbling_window_counts_match_manual_bucketing(spark, events):
+    df = spark.createDataFrame(
+        [(BASE + timedelta(seconds=s), k) for s, k in events], "ts timestamp, k string"
+    )
+    out = tumbling_window_agg(df, "30 seconds", F.count("*").alias("cnt"))
+    got = {
+        int(r["window_start"].timestamp()): r["cnt"] for r in out.collect()
+    }
+    expected: dict[int, int] = {}
+    for s, _ in events:
+        bucket = int((BASE + timedelta(seconds=s)).timestamp()) // 30 * 30
+        expected[bucket] = expected.get(bucket, 0) + 1
+    assert got == expected
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_asof_case)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    left_ts, right_ts = case
+    left = spark.createDataFrame(
+        [(i, "k", BASE + timedelta(seconds=s)) for i, s in enumerate(left_ts)],
+        "event_id long, key string, ts timestamp",
+    )
+    # unique right timestamps (as_of_join requires deterministic ties by
+    # contract: pre-aggregate per ts — here we dedupe)
+    right_rows = [
+        ("k", BASE + timedelta(seconds=s), float(s)) for s in sorted(set(right_ts))
+    ]
+    if right_rows:
+        right = spark.createDataFrame(
+            right_rows, "key string, rts timestamp, payload double"
+        )
+    else:
+        right = spark.createDataFrame([], "key string, rts timestamp, payload double")
+    got = {
+        r["event_id"]: r["payload"]
+        for r in as_of_join(left, right, "key", "ts", "rts", ["payload"]).collect()
+    }
+
+    if not right_rows:
+        expected = {i: None for i in range(len(left_ts))}
+    else:
+        lpd = pd.DataFrame(
+            {"event_id": range(len(left_ts)), "ts": [BASE + timedelta(seconds=s) for s in left_ts]}
+        ).sort_values("ts", kind="stable")
+        rpd = pd.DataFrame(
+            {"rts": [r[1] for r in right_rows], "payload": [r[2] for r in right_rows]}
+        )
+        merged = pd.merge_asof(lpd, rpd, left_on="ts", right_on="rts", direction="backward")
+        expected = {
+            int(r.event_id): (None if pd.isna(r.payload) else r.payload)
+            for r in merged.itertuples()
+        }
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=30), min_size=1, max_size=8))
+def test_shingles_match_python_reference(spark, texts):
+    from flink_start_spark.functions.texthash import shingles
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["s"] for r in df.select(shingles(F.col("text")).alias("s")).collect()]
+    for t, s in zip(texts, got):
+        words = t.strip().split()
+        if len(words) >= 3:
+            expected = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+        else:
+            expected = [t.strip()]
+        assert s == expected, repr(t)
