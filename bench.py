@@ -32,6 +32,25 @@ def _run_once(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _run_streaming(spark, sf_dir: str) -> float:
+    """End-to-end Structured Streaming run: watermarked tumbling signup
+    count over the events table via the file stream source → noop-like
+    memory sink, availableNow (the reference's core pipeline shape)."""
+    from pyspark.sql import functions as F
+
+    from flink_start_spark.streaming import run_to_memory, stream_events
+
+    stream = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.when(F.col("event_type") == "signup", 1)).alias("cnt"))
+    )
+    t0 = time.perf_counter()
+    run_to_memory(agg, f"bench_stream_{int(t0 * 1000)}", "update")
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -50,6 +69,9 @@ def main() -> None:
     for name in names:
         samples = [_run_once(spark, name, args.sf_dir) for _ in range(args.runs)]
         timings[name] = round(statistics.median(samples), 3)
+    if args.queries is None:
+        samples = [_run_streaming(spark, args.sf_dir) for _ in range(args.runs)]
+        timings["streaming_tumbling_events"] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

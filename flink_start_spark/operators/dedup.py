@@ -82,14 +82,21 @@ def minhash_candidate_pairs(
     #    inlines the whole upstream expression tree into that filter
     #    below the projections — re-running the full minhash pipeline
     #    once more per row.
+    n_seeds = (num_hashes + 3) // 4
     sig = (
         df.select(F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh"))
         .select(
             F.col(id_col),
-            TH.hash_pairs(F.transform(F.col("_sh"), lambda s: F.md5(s))).alias("_hp"),
+            *[
+                F.transform(F.col("_sh"), TH.salted_digest_fn(seed)).alias(f"_d{seed}")
+                for seed in range(n_seeds)
+            ],
         )
         .select(
-            F.col(id_col), TH.minhash_signature(F.col("_hp"), num_hashes).alias("_sig")
+            F.col(id_col),
+            TH.minhash_from_digest_arrays(
+                [F.col(f"_d{s}") for s in range(n_seeds)], num_hashes
+            ).alias("_sig"),
         )
     )
     # stack(), not explode (rule 2 above) and not a union of per-band

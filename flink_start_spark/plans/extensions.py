@@ -80,13 +80,10 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLE_CTE},
-    hp AS (SELECT doc_id,
-             [[('0x' || substr(md5(s), 1, 15))::BIGINT,
-               ('0x' || substr(md5(s), 16, 8))::BIGINT] FOR s IN shingles] AS hp
-           FROM shd),
     sig AS (SELECT doc_id,
-              [list_min([p[1] + k * p[2] FOR p IN hp]) FOR k IN range(16)] AS sig
-            FROM hp),
+              [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
+                         FOR s IN shingles]) FOR k IN range(16)] AS sig
+            FROM shd),
     bands AS (SELECT doc_id, b,
                 md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
               FROM sig, range(4) t(b)),
@@ -172,17 +169,14 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct([substr(text, i, 8) FOR i IN range(1, length(text) - 6)]) AS grams
       FROM documents WHERE length(text) >= 8),
-    hp AS (
-      SELECT doc_id, grams,
-             [[('0x' || substr(md5(g), 1, 15))::BIGINT,
-               ('0x' || substr(md5(g), 16, 8))::BIGINT] FOR g IN grams] AS hp
-      FROM cg),
-    sig AS (SELECT doc_id, grams,
-              [list_min([p[1] + k * p[2] FOR p IN hp]) FOR k IN range(16)] AS sig
-            FROM hp),
+    sig AS (SELECT doc_id,
+              [list_min([substr(md5((k // 4)::VARCHAR || '|' || g), (k % 4) * 8 + 1, 8)
+                         FOR g IN grams]) FOR k IN range(16)] AS sig
+            FROM cg),
     bands AS (SELECT doc_id, b,
-                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
-              FROM sig, range(4) t(b)),
+                md5(sig[b*8+1] || '|' || sig[b*8+2] || '|' || sig[b*8+3] || '|' || sig[b*8+4]
+                    || '|' || sig[b*8+5] || '|' || sig[b*8+6] || '|' || sig[b*8+7] || '|' || sig[b*8+8]) AS key
+              FROM sig, range(2) t(b)),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
     SELECT id_a, id_b,
@@ -196,7 +190,10 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Character 8-gram Jaccard near-dup pairs: catches small edits and "
         "reorderings word shingles miss (robust to tokenization). Same "
         "MinHash-LSH candidate machinery over the character-gram feature "
-        "space; exact char-gram Jaccard confirm >= 0.5."
+        "space, tuned 2 bands x 8 rows: char grams from a small alphabet "
+        "are far less selective than word shingles, and 4-row bands "
+        "admitted ~312k candidate pairs at 5k docs (J^4 too permissive) "
+        "vs ~10^2 at J^8. Exact char-gram Jaccard confirm >= 0.5."
     ),
     tags=("dedup", "extension", "lsh"),
 )
@@ -210,17 +207,22 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(_char_grams(F.col("text"), 8), lambda g: F.length(g) == 8)
         ).alias("_g"),
     )
-    pairs = (
-        grams.select(
-            "doc_id",
-            TH.hash_pairs(F.transform(F.col("_g"), lambda s: F.md5(s))).alias("_hp"),
-        )
-        .select("doc_id", TH.minhash_signature(F.col("_hp"), 16).alias("_sig"))
+    pairs = grams.select(
+        "doc_id",
+        *[
+            F.transform(F.col("_g"), TH.salted_digest_fn(seed)).alias(f"_d{seed}")
+            for seed in range(4)
+        ],
+    ).select(
+        "doc_id",
+        TH.minhash_from_digest_arrays([F.col(f"_d{s}") for s in range(4)], 16).alias(
+            "_sig"
+        ),
     )
     keys = pairs.select(
-        "doc_id", *[TH.band_key(F.col("_sig"), b, 4).alias(f"_k{b}") for b in range(4)]
+        "doc_id", *[TH.band_key(F.col("_sig"), b, 8).alias(f"_k{b}") for b in range(2)]
     )
-    stacked = keys.selectExpr("doc_id", "stack(4, 0, _k0, 1, _k1, 2, _k2, 3, _k3) AS (band, key)")
+    stacked = keys.selectExpr("doc_id", "stack(2, 0, _k0, 1, _k1) AS (band, key)")
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(

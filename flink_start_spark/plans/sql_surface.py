@@ -244,6 +244,84 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "status_priority_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS grp_id,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    description=(
+        "CUBE grouping sets with grouping() markers: all 4 combinations "
+        "of (status, priority) subtotals in one pass (Expand before the "
+        "shuffle)."
+    ),
+    tags=("sql", "aggregation"),
+)
+def q_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias(
+                "grp_id"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.col("grp_id").cast("long"),
+            "n_orders",
+        )
+    )
+
+
+@_register(
+    "embedding_array_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 6) AS linf_norm,
+           round(list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END))
+                 / len(embedding), 6) AS frac_positive,
+           round(list_sum(list_transform(list_slice(embedding, 1, 8), x -> x::DOUBLE)), 6)
+             AS head_sum
+    FROM embeddings
+    """,
+    description=(
+        "Array function library over vectors: size, element-wise "
+        "transform/aggregate (L-inf norm, positive fraction), slice — "
+        "the general array surface, all codegen'd."
+    ),
+    tags=("sql", "array", "scalar"),
+)
+def q_embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.col("embedding")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(
+            F.array_max(F.transform(e, lambda x: F.abs(dbl(x)))), 6
+        ).alias("linf_norm"),
+        F.round(
+            F.aggregate(
+                e, F.lit(0.0), lambda acc, x: acc + F.when(x > 0, 1.0).otherwise(0.0)
+            )
+            / F.size(e),
+            6,
+        ).alias("frac_positive"),
+        F.round(
+            F.aggregate(F.slice(e, 1, 8), F.lit(0.0), lambda acc, x: acc + dbl(x)), 6
+        ).alias("head_sum"),
+    )
+
+
+@_register(
     "engaged_users_except_errors",
     """
     (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'

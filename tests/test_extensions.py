@@ -17,7 +17,8 @@ from flink_start_spark.operators import similarity as S
 def docs(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),
-        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        # near-dup of 1: one appended word -> shingle Jaccard 7/8
+        (2, "the quick brown fox jumps over the lazy dog indeed"),
         (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
         (4, "completely different words about spark engines here"),
         (5, "dog lazy the over jumps fox brown quick the"),  # reorder of 1
@@ -40,22 +41,20 @@ def test_fingerprint_dedup_catches_reorder(docs):
     assert by_survivor[2] == 1
 
 
-def test_minhash_km_is_engine_portable(spark):
-    # K-M signature must equal hashlib-derived h1 + k*h2 minima
+def test_minhash_salt_is_engine_portable(spark):
+    # hash_i = 8-hex chunk (i%4) of md5("{i//4}|" + shingle), min over set
     df = spark.createDataFrame([("a b c d e",)], "text string")
     sig = df.select(
-        TH.minhash_signature(
-            TH.hash_pairs(F.transform(TH.shingles(F.col("text")), lambda s: F.md5(s))),
-            4,
-        ).alias("s")
+        TH.minhash_signature(TH.shingles(F.col("text")), 6).alias("s")
     ).collect()[0]["s"]
     shingles = ["a b c", "b c d", "c d e"]
-    pairs = [
-        (int(hashlib.md5(s.encode()).hexdigest()[:15], 16),
-         int(hashlib.md5(s.encode()).hexdigest()[15:23], 16))
-        for s in shingles
+    expected = [
+        min(
+            hashlib.md5(f"{k // 4}|{s}".encode()).hexdigest()[(k % 4) * 8 : (k % 4) * 8 + 8]
+            for s in shingles
+        )
+        for k in range(6)
     ]
-    expected = [min(h1 + k * h2 for h1, h2 in pairs) for k in range(4)]
     assert sig == expected
 
 
@@ -65,7 +64,9 @@ def test_minhash_near_dups_finds_pair(docs):
         for r in D.minhash_near_dups(docs, "text", "doc_id", threshold=0.3).collect()
     }
     assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup
-    assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0  # near dup
+    # near dup at shingle Jaccard 7/8 = 0.875 (deterministic under the
+    # fixed hash family; band-collision odds 97% for a random family)
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0.875
     assert all(4 not in p for p in pairs)
 
 

@@ -1,0 +1,42 @@
+"""Plan-quality sweep: every catalog query must have a scale-safe
+physical plan — no nested-loop/cartesian joins, bounded shuffle count.
+
+This is the 100 TB gate in test form: a correct-but-quadratic plan
+passes the oracle at sf0.01 and dies on a cluster; this sweep fails it
+in CI instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_start_spark.plans import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+# Queries where a small broadcast nested-loop is expected and bounded:
+# brute-force ANN does an intentional broadcast cross join of a FIXED
+# 10-query set against candidates (|Q| x |N|, linear in N).
+_ALLOWED_NESTED_LOOP = {"ann_cosine_topk"}
+
+# Shuffle budget per query (hash exchanges). Multi-join pipelines
+# legitimately need one per non-broadcast join + aggregation.
+_MAX_EXCHANGES = 8
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_is_scale_safe(spark, name):
+    df = QUERIES[name].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name not in _ALLOWED_NESTED_LOOP:
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert plan.count("Exchange hashpartitioning") <= _MAX_EXCHANGES, name
+    # every parquet scan must prune columns: reading all 5+ columns of a
+    # table for a 2-column query is a bug; allow scans that genuinely
+    # need wide rows (documents text pipelines read doc_id+text of 5).
+    for line in plan.splitlines():
+        if "FileScan parquet" in line and "ReadSchema" in line:
+            schema = line.split("ReadSchema:")[1]
+            n_cols = schema.count(":")
+            assert n_cols <= 8, f"{name}: unpruned scan {schema[:120]}"
