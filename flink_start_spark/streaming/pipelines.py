@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_start_spark.schemas import EVENTS, USER_ACTIVITY_RAW
+from flink_start_spark.schemas import USER_ACTIVITY_RAW
 
 
 def stream_events(

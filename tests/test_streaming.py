@@ -12,7 +12,6 @@ import json
 import os
 import time
 
-import pytest
 from pyspark.sql import functions as F
 
 from flink_start_spark.sources.json_activity import _FIXTURE_ROWS
