@@ -112,6 +112,12 @@ def minhash_candidate_pairs(
     exploded = keys.selectExpr(
         id_col, f"stack({bands}, {stack_args}) AS (band, key)"
     )
+    # The self-join references this subtree twice and Spark re-evaluates
+    # the whole shingle→digest→signature pipeline per reference; persist
+    # the tiny band-key relation (bands rows x ~50B per doc) so it is
+    # computed once. MEMORY_AND_DISK spills instead of failing at scale;
+    # the ContextCleaner unpersists when the DataFrame is GC'd.
+    exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -140,9 +146,12 @@ def minhash_near_dups(
     """Near-duplicate pairs: LSH candidates confirmed by exact Jaccard
     over distinct shingle sets. Output: id_a, id_b, jaccard (rounded 6)."""
     pairs = minhash_candidate_pairs(df, content_col, id_col, num_hashes, bands, shingle_n)
-    sh = df.select(
-        F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh")
-    ).select(F.col(id_col), F.array_distinct(F.col("_sh")).alias("sh"))
+    # referenced by two joins (id_a and id_b sides) → persist one pass
+    sh = (
+        df.select(F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh"))
+        .select(F.col(id_col), F.array_distinct(F.col("_sh")).alias("sh"))
+        .persist()
+    )
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -194,7 +203,8 @@ def simhash_near_dups(
     block-keyed bucket join (4 shuffles' worth of keys, no all-pairs).
     Output: id_a, id_b, hamming.
     """
-    sh = simhash_values(df, content_col, id_col, shingle_n)
+    # persist: the block self-join references the simhash pipeline twice
+    sh = simhash_values(df, content_col, id_col, shingle_n).persist()
     # stack(), not explode/union — see minhash_candidate_pairs plan rules
     key_cols = sh.select(
         id_col,

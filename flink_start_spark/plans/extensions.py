@@ -201,12 +201,14 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.length("text") >= 8)
     # char 8-grams via the same O(n) slice trick as word shingles: the
     # substring start index must not be referenced from a lambda
+    # persisted: referenced by both candidate-join sides (via pairs) and
+    # both sides of the Jaccard confirm — one gram-pipeline pass, not four
     grams = docs.select(
         "doc_id",
         F.array_distinct(
             F.filter(_char_grams(F.col("text"), 8), lambda g: F.length(g) == 8)
         ).alias("_g"),
-    )
+    ).persist()
     pairs = grams.select(
         "doc_id",
         *[
@@ -222,7 +224,10 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = pairs.select(
         "doc_id", *[TH.band_key(F.col("_sig"), b, 8).alias(f"_k{b}") for b in range(2)]
     )
-    stacked = keys.selectExpr("doc_id", "stack(2, 0, _k0, 1, _k1) AS (band, key)")
+    # persist: the self-join would otherwise run digests+signature twice
+    stacked = keys.selectExpr(
+        "doc_id", "stack(2, 0, _k0, 1, _k1) AS (band, key)"
+    ).persist()
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(

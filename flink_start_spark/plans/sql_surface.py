@@ -77,6 +77,114 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "forecast_revenue_change",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+    description=(
+        "TPC-H Q6 shape: pure filter + global aggregate. The whole "
+        "WHERE clause must reach the parquet scan as PushedFilters — "
+        "the query that shows pushdown pays at 100 TB (scan-bound, zero "
+        "shuffle beyond the final reduce)."
+    ),
+    tags=("sql", "filter", "pushdown"),
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "potential_revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "promo_revenue_share",
+    """
+    SELECT (year(o.o_orderdate) * 100 + month(o.o_orderdate))::BIGINT AS order_month,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    description=(
+        "TPC-H Q14 shape: promo revenue share per month — conditional "
+        "ratio aggregate over a fact-to-dimension join (part broadcast)."
+    ),
+    tags=("sql", "join", "aggregation"),
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("order_month")
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@_register(
+    "parts_above_brand_average",
+    """
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice
+    FROM part p
+    WHERE p_retailprice > 1.05 * (
+      SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+    description=(
+        "Correlated scalar subquery: parts priced >5% above their "
+        "brand's average. Catalyst decorrelates it into an aggregate + "
+        "equi-join — never a per-row subquery execution."
+    ),
+    tags=("sql", "subquery"),
+)
+def q_parts_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    p.createOrReplaceTempView("_part_corr")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice
+        FROM _part_corr p
+        WHERE p_retailprice > 1.05 * (
+          SELECT avg(p2.p_retailprice) FROM _part_corr p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
 # ---------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------
