@@ -64,6 +64,67 @@ def brute_force_topk(
     )
 
 
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bands: int = 2,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k, the scale path: score only candidates sharing a
+    sign-LSH band with the query instead of the whole corpus.
+
+    Same output shape as :func:`brute_force_topk` but recall < 1 by
+    construction — queries whose true neighbors share no band are
+    missed; tune (bands, bits) for the recall/cost point. At 100 TB this
+    is the only sub-linear option without a learned index; the IVF
+    upgrade replaces sign buckets with k-means cells, same join
+    topology. Queries with zero same-band candidates emit nothing.
+    """
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            *[
+                V.sign_bits(F.col(vec_col), bits, offset=b * bits).alias(
+                    f"{prefix}_band{b}"
+                )
+                for b in range(bands)
+            ],
+        )
+
+    q = keyed(queries, "q")
+    c = keyed(candidates, "c")
+    matched = None
+    for b in range(bands):
+        m = c.join(
+            F.broadcast(q), F.col(f"c_band{b}") == F.col(f"q_band{b}")
+        ).select("q_id", "c_id")
+        matched = m if matched is None else matched.unionAll(m)
+    matched = matched.filter(F.col("q_id") != F.col("c_id")).distinct()
+    scored = (
+        matched.join(
+            q.select("q_id", "q_vec"), "q_id"
+        )
+        .join(c.select("c_id", "c_vec"), "c_id")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(V.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

@@ -301,6 +301,45 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_topk_lsh",
+    f"""
+    WITH keyed AS (
+      SELECT vec_id, embedding,
+             list_sum([CASE WHEN embedding[i + 1] >= 0 THEN 1 << i ELSE 0 END
+                       FOR i IN range(0, 8)])::BIGINT AS band0,
+             list_sum([CASE WHEN embedding[i + 1] >= 0 THEN 1 << (i - 8) ELSE 0 END
+                       FOR i IN range(8, 16)])::BIGINT AS band1
+      FROM embeddings),
+    q AS (SELECT * FROM keyed WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM keyed c JOIN q
+        ON (c.band0 = q.band0 OR c.band1 = q.band1) AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COS.replace('qv', 'x.embedding').replace('cv', 'y.embedding')} AS cosine
+      FROM cand JOIN keyed x ON x.vec_id = query_id JOIN keyed y ON y.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+    description=(
+        "ANN top-k, scale path: sign-LSH bucketed candidate generation "
+        "(2 bands x 8 bits) before scoring — sub-linear vs the "
+        "brute-force baseline, recall traded via (bands, bits). The IVF "
+        "upgrade swaps sign buckets for k-means cells with the same "
+        "join topology. Oracle applies identical bucketing."
+    ),
+    tags=("similarity", "extension", "lsh"),
+)
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, bands=2, bits=8)
+
+
+@_register(
     "embedding_near_dup_lsh",
     f"""
     WITH keyed AS (
