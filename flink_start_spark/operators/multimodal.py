@@ -97,6 +97,49 @@ def decode_stub(df: DataFrame) -> DataFrame:
     )
 
 
+#: Frame-sample output: one row per sampled "frame" of a payload.
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def fake_frame_sample(df: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """Frame sampling plumbing (video → k evenly spaced frames), decoder
+    stubbed: "frames" are ``frame_bytes``-byte slices at evenly spaced
+    offsets of the payload. The real implementation swaps the slicing
+    for ffmpeg keyframe extraction; the Spark-side shape — one payload
+    row in, k typed frame rows out via mapInPandas — is exactly this.
+    Payloads shorter than ``frame_bytes`` yield a single whole-payload
+    frame; empty payloads yield nothing.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                if len(b) <= frame_bytes:
+                    offsets = [0]
+                else:
+                    span = len(b) - frame_bytes
+                    offsets = sorted({span * i // max(n_frames - 1, 1) for i in range(n_frames)})
+                for idx, off in enumerate(offsets):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_offset"].append(off)
+                    out["frame"].append(b[off : off + frame_bytes])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
 def fake_decode(df: DataFrame) -> DataFrame:
     """Deterministic fake decode: pretends each payload is an image whose
     dimensions/intensity derive from its sha256. Exercises the exact

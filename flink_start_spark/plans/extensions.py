@@ -474,6 +474,51 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pandas_udaf_weighted_value",
+    """
+    SELECT event_type,
+           round(sum(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                 / greatest(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 1e-9),
+                 6) AS weighted_avg_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    description=(
+        "Custom-shape aggregate via grouped applyInPandas (the O8 "
+        "create/add/merge UDAF path for logic the built-ins can't "
+        "express): props.k-weighted mean of value per event type. This "
+        "one IS SQL-expressible — deliberately, so the Arrow/pandas "
+        "aggregation path itself is oracle-verified. Shuffles once on "
+        "the group key; each group is one Arrow batch in pandas."
+    ),
+    tags=("aggregation", "pandas-udf", "extension"),
+)
+def q_pandas_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+    )
+
+    def weighted(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ks = pdf["k"].fillna(0.0)
+        denom = max(ks.sum(), 1e-9)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "weighted_avg_value": [round((pdf["value"] * ks).sum() / denom, 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        weighted, schema="event_type string, weighted_avg_value double, n long"
+    )
+
+
+@_register(
     "approx_metrics",
     None,  # HLL/KLL sketch results are engine-specific by construction;
     # pytest asserts tolerance vs exact instead (test_extensions.py)

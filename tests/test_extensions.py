@@ -151,6 +151,25 @@ def test_multimodal_decode_stub_raises(spark):
         M.decode_stub(M.with_binary_payload(df))
 
 
+def test_fake_frame_sample_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "tiny"), (3, "")], "doc_id long, text string"
+    )
+    rows = M.fake_frame_sample(
+        M.with_binary_payload(df), n_frames=4, frame_bytes=16
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 100-byte payload: 4 evenly spaced 16-byte frames at offsets 0..84
+    f1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_offset"] for r in f1] == [0, 28, 56, 84]
+    assert all(len(r["frame"]) == 16 for r in f1)
+    # short payload: one whole-payload frame; empty payload: no rows
+    assert len(by_doc[2]) == 1 and bytes(by_doc[2][0]["frame"]) == b"tiny"
+    assert 3 not in by_doc
+
+
 def test_fake_decode_deterministic(spark):
     df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     row = M.fake_decode(M.with_binary_payload(df)).collect()[0]

@@ -167,6 +167,31 @@ def test_streaming_count_trigger_golden_g4(spark, tmp_path):
     assert rows == [(1, 5, 3), (2, 10, 6)]
 
 
+def test_streaming_count_trigger_keyed(spark, tmp_path):
+    # keyed variant: independent trigger state per activity type
+    src = _write_batches(tmp_path, "g4k", _fixture_batches([6, 6]))
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("userId string, activity string, timestamp string, arrival long")
+        .json(src)
+        .select("activity", "arrival", F.try_to_timestamp("timestamp").alias("ts"))
+    )
+    out = count_trigger_stream(
+        stream, every=3, pred_col="activity", pred_value="register", key_col="activity"
+    )
+    table = run_to_memory(out, "g4k_sink", "append")
+    rows = sorted((r["key"], r["fire_seq"], r["cnt"]) for r in table.collect())
+    # register arrivals: 1,3,5,6,7,9 (6 total) → fires at its 3rd and 6th
+    # (cnt == arrivals seen since pred matches all); online: 6 events →
+    # fires at 3 and 6 with 0 registers among them
+    assert rows == [
+        ("online", 1, 0),
+        ("online", 2, 0),
+        ("register", 1, 3),
+        ("register", 2, 6),
+    ]
+
+
 def test_streaming_session_windows(spark, tmp_path):
     # session windows support append mode only: a session emits once the
     # watermark passes its end. A sentinel event in a later batch pushes
