@@ -340,6 +340,24 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_topk_ivf",
+    None,  # learned k-means centroids are not SQL-expressible → rows-only;
+    # recall vs brute force is pytest-asserted on clustered data
+    description=(
+        "IVF ANN top-k: k-means coarse quantizer (16 cells, fixed seed) "
+        "+ 2-probe search — the production ANN layout; the quantizer "
+        "adapts to the embedding distribution, unlike sign-LSH. "
+        "Cell-id equi-join topology; ~n_probe/n_cells of the corpus "
+        "scored per query."
+    ),
+    tags=("similarity", "extension", "ivf"),
+)
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@_register(
     "embedding_near_dup_lsh",
     f"""
     WITH keyed AS (

@@ -136,6 +136,34 @@ def test_approx_metrics_within_tolerance(spark):
         assert abs(a["approx_median_value"] - e["median_value"]) <= abs(e["median_value"]) * 0.2 + 1.0, et
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    # IVF's claim vs sign-LSH: recall holds when embeddings cluster.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 5
+    vecs = np.vstack(
+        [centers[i % 4] + rng.normal(size=16) * 0.3 for i in range(120)]
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 6)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.ivf_topk(df, queries, k=3, n_cells=4, n_probe=1).collect()
+    }
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.brute_force_topk(df, queries, k=3).collect()
+    }
+    # with clear clusters and 1-probe search, IVF recovers the exact
+    # brute-force top-3 for every query
+    agree = sum(got.get(k) == v for k, v in brute.items())
+    assert agree >= 0.8 * len(brute), (agree, len(brute))
+
+
 def test_multimodal_metadata_roundtrip(spark):
     df = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
     out = {r["doc_id"]: r for r in M.binary_metadata(M.with_binary_payload(df)).collect()}

@@ -16,8 +16,9 @@ from tests.conftest import SF_SMOKE
 
 # Queries where a small broadcast nested-loop is expected and bounded:
 # brute-force ANN does an intentional broadcast cross join of a FIXED
-# 10-query set against candidates (|Q| x |N|, linear in N).
-_ALLOWED_NESTED_LOOP = {"ann_cosine_topk"}
+# 10-query set against candidates (|Q| x |N|, linear in N); IVF crosses
+# the query set with the 16 broadcast centroids (|Q| x n_cells).
+_ALLOWED_NESTED_LOOP = {"ann_cosine_topk", "ann_topk_ivf"}
 
 # Shuffle budget per query (hash exchanges). Multi-join pipelines
 # legitimately need one per non-broadcast join + aggregation.
