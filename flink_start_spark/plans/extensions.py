@@ -492,6 +492,42 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "token_frequencies",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+    SELECT token, cnt, rk FROM (
+      SELECT token, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+      FROM tok GROUP BY token)
+    WHERE rk <= 50
+    """,
+    description=(
+        "Generator/UDTF path: explode the token array into rows, count, "
+        "rank top-50 (deterministic tie-break on token). Exploding a "
+        "cheap split() array is fine — the InferFiltersFromGenerate "
+        "hazard (see operators/dedup.py) only bites on expensive "
+        "upstream expressions."
+    ),
+    tags=("text", "generator", "extension"),
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("token", "cnt", "rk")
+    )
+
+
+@_register(
     "pandas_udaf_weighted_value",
     """
     SELECT event_type,
