@@ -22,6 +22,24 @@ from flink_start_spark.schemas import TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: SQL confs the engine REQUIRES regardless of who built the session.
+#: The driver calls entry()/queries() with ITS OWN SparkSession —
+#: without nanosAsLong the TIMESTAMP(NANOS) parquet read throws
+#: PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone shifts the
+#: NTZ→LTZ wall-clock interpretation away from what the DuckDB oracle
+#: sees. All are runtime-settable SQL confs; applied idempotently at
+#: the single chokepoint every query reads through.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one named table from ``{sf_dir}/{name}.parquet``.
@@ -34,6 +52,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    ensure_session_confs(spark)
     path = os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet")
     df = spark.read.parquet(path)
     expected = TABLES[name]

@@ -46,6 +46,9 @@ def stream_events(
     """
     import os
 
+    from flink_start_spark.sources.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
     reader = spark.readStream
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
