@@ -521,7 +521,7 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
     return (
-        counts.withColumn("rk", F.row_number().over(w))
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 50)
         .select("token", "cnt", "rk")
     )

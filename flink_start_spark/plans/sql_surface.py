@@ -412,7 +412,7 @@ def q_embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = lambda c: c.cast("double")  # noqa: E731
     return emb.select(
         "vec_id",
-        F.size(e).alias("dim"),
+        F.size(e).cast("long").alias("dim"),
         F.round(
             F.array_max(F.transform(e, lambda x: F.abs(dbl(x)))), 6
         ).alias("linf_norm"),
@@ -485,7 +485,7 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select(
             F.col("n_name").alias("nation"),
@@ -602,9 +602,9 @@ def q_scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(F.col("p_retailprice") > 0).select(
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_type", 1, 5).alias("type_prefix"),
-        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
         F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
         F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
         F.when(F.col("p_size") >= 30, "large")
