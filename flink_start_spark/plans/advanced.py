@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from flink_start_spark.operators.joins import as_of_join, range_join
 from flink_start_spark.operators.skew import salted_count_distinct
-from flink_start_spark.plans.catalog import _register
+from flink_start_spark.plans.catalog import _register, money_sum
 from flink_start_spark.sources.catalog import load_table
 
 
@@ -49,15 +49,15 @@ def q_skewproof_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT o_custkey, o_orderdate,
              count(*) AS n_orders_that_day,
-             round(sum(o_totalprice), 2) AS total_that_day
+             round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS total_that_day
       FROM orders GROUP BY 1, 2
     )
     SELECT e.event_id,
            e.user_id,
-           epoch(e.ts)::BIGINT AS ts_epoch,
+           floor(epoch(e.ts))::BIGINT AS ts_epoch,
            d.n_orders_that_day,
            d.total_that_day,
-           epoch(d.o_orderdate)::BIGINT AS matched_epoch
+           floor(epoch(d.o_orderdate))::BIGINT AS matched_epoch
     FROM events e
     ASOF LEFT JOIN daily d
       ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
@@ -79,7 +79,7 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
         .agg(
             F.count("*").alias("n_orders_that_day"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_that_day"),
+            money_sum(F.col("o_totalprice"), "total_that_day"),
         )
     )
     out = as_of_join(
@@ -111,7 +111,7 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id, date_trunc('day', ts)
     )
     SELECT p.user_id,
-           epoch(e.win_start)::BIGINT AS win_start_epoch,
+           floor(epoch(e.win_start))::BIGINT AS win_start_epoch,
            count(*) AS n_purchases
     FROM events p JOIN err e
       ON p.user_id = e.user_id
@@ -157,7 +157,7 @@ def q_range_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT date_trunc('day', o_orderdate) AS day,
-             round(sum(o_totalprice), 2) AS revenue
+             round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS revenue
       FROM orders GROUP BY 1
     )
     SELECT epoch(day)::BIGINT AS day_epoch,
@@ -178,7 +178,7 @@ def q_range_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_daily_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        money_sum(F.col("o_totalprice"), "revenue")
     )
     w = Window.orderBy("day")
     return daily.select(
@@ -252,7 +252,7 @@ def q_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_trade_pairs",
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2)::DOUBLE AS volume,
            count(*) AS n_lines
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -291,8 +291,6 @@ def q_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return joined.groupBy("supp_nation", "cust_nation").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "volume"
-        ),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"),
         F.count("*").alias("n_lines"),
     )

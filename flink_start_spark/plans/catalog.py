@@ -65,6 +65,21 @@ def oracle_sql_map() -> dict[str, str]:
     return {n: q.oracle for n, q in QUERIES.items() if q.oracle is not None}
 
 
+def money_sum(expr, alias: str):
+    """Order-independent money aggregation: the row-level double is cast
+    to DECIMAL(20,6) BEFORE summing, so the sum is exact integer
+    arithmetic regardless of partitioning/summation order, then rounded
+    to cents. Rounding a double sum instead flips the last cent whenever
+    the true value sits within the (order-dependent) ~1e-8 float error
+    of a half-cent boundary — observed as spurious one-cent diffs
+    between a 32-partition and a 200-partition run of the same query.
+    Oracle twin: ``round(sum(CAST(expr AS DECIMAL(20,6))), 2)::DOUBLE``.
+    """
+    return (
+        F.round(F.sum(expr.cast("decimal(20,6)")), 2).cast("double").alias(alias)
+    )
+
+
 def _epoch(col: str = "w") -> list:
     """window struct → epoch-second BIGINT bounds (cross-engine stable)."""
     return [

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_start_spark.plans.catalog import _register
+from flink_start_spark.plans.catalog import _register, money_sum
 from flink_start_spark.sources.catalog import load_table
 
 
@@ -38,10 +38,10 @@ from flink_start_spark.sources.catalog import load_table
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2)::DOUBLE AS sum_qty,
+           round(sum(CAST(l_extendedprice AS DECIMAL(20,6))), 2)::DOUBLE AS sum_base_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2)::DOUBLE AS sum_disc_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))), 2)::DOUBLE AS sum_charge,
            round(avg(l_quantity), 6)                                    AS avg_qty,
            round(avg(l_extendedprice), 6)                               AS avg_price,
            round(avg(l_discount), 6)                                    AS avg_disc,
@@ -65,10 +65,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(F.col("l_quantity"), "sum_qty"),
+            money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            money_sum(disc_price, "sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -80,7 +80,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "forecast_revenue_change",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue,
+    SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))), 2)::DOUBLE AS potential_revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -107,8 +107,8 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "potential_revenue"
+            money_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "potential_revenue"
             ),
             F.count("*").alias("n_lines"),
         )
@@ -119,9 +119,11 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_share",
     """
     SELECT (year(o.o_orderdate) * 100 + month(o.o_orderdate))::BIGINT AS order_month,
-           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share_pct
+           round(100.0 * (sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+                                  AS DECIMAL(20,6)))::DOUBLE)
+                 / (sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))::DOUBLE),
+                 6) AS promo_share_pct
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -149,8 +151,12 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(0.0)
+                    .cast("decimal(20,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(20,6)")).cast("double"),
                 6,
             ).alias("promo_share_pct")
         )
@@ -194,7 +200,7 @@ def q_parts_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2)::DOUBLE AS revenue
       FROM customer c
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -225,9 +231,9 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
         )
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -247,7 +253,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_revenue",
     """
     SELECT r.r_name AS region, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2)::DOUBLE AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -282,9 +288,9 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -322,7 +328,7 @@ def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
            coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -340,7 +346,7 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum(F.col("o_totalprice"), "total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
@@ -620,7 +626,7 @@ def q_scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS order_month,
            o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price,
+           round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS total_price,
            round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
     FROM orders
     GROUP BY 1, 2
@@ -644,7 +650,7 @@ def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum(F.col("o_totalprice"), "total_price"),
             F.round(F.median("o_totalprice"), 6).alias("median_price"),
         )
     )

@@ -28,6 +28,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
+        elif df[c].dtype.kind in "iu":
+            # integers compare EXACTLY. assert_frame_equal's rtol would
+            # otherwise grant epoch columns ~1e3-second slack (rtol *
+            # 1.7e9), which masked a real floor-vs-round epoch bug.
+            df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
@@ -67,6 +72,9 @@ def main() -> int:
             failures += 1
         else:
             try:
+                int_cols = [c for c in s.columns if s[c].dtype.kind in "iu"]
+                if int_cols and not s[int_cols].equals(o[int_cols].astype("int64")):
+                    raise AssertionError(f"integer columns differ: {int_cols}")
                 pd.testing.assert_frame_equal(
                     s, o, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
                 )
