@@ -40,6 +40,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, accumulated in double. No sqrt on purpose:
+    argmin/rank consumers only need the monotone order, and skipping the
+    sqrt keeps the expression cheaper AND bit-identical to the DuckDB
+    mirror ``list_sum([(a[i]-b[i])*(a[i]-b[i]) ...])`` (same left-to-right
+    fold, no libm divergence)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def sign_bits(a: Column, n_bits: int, offset: int = 0) -> Column:
     """Random-hyperplane LSH key, basis-vector variant: the sign pattern of
     coordinates ``[offset, offset + n_bits)`` packed into a BIGINT.

@@ -125,85 +125,129 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
+def deterministic_centroids(
     candidates: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer, deterministic-sample variant: the
+    ``n_cells`` vectors whose ids hash lowest under md5 become the cell
+    centers (cell id = rank in that hash order).
+
+    md5 over the id is a seeded uniform sample that BOTH engines can
+    recompute exactly — unlike k-means (iterative float means are
+    summation-order-dependent, so a trained model can never be
+    bit-mirrored in SQL). Plan shape is ``TakeOrderedAndProject``
+    (distributed top-k, no global sort) — picking 16 rows from 100 TB
+    costs one scan, and in production this runs ONCE at ingest via
+    :func:`precompute_cells`, never per query.
+
+    Output: ``cell int, center array<float>``.
+    """
+    ranked = (
+        candidates.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("center"),
+        )
+        .orderBy("_h", "_cid")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("_h", "_cid")  # 16 rows post-limit; single task is fine
+    return ranked.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cell"), "center"
+    )
+
+
+def assign_cells(
+    candidates: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2 argmin,
+    ties broken by cell id).
+
+    Broadcast nested-loop against the tiny centroid table expands each
+    row ``n_cells``-fold *within its partition*, then
+    ``groupBy(id).agg(min_by)`` collapses it — partial aggregation
+    eats the expansion map-side, so the shuffle carries ~one row per
+    input vector. This is the ingest-time step of IVF; at 100 TB the
+    output is written alongside the vectors (see
+    :func:`precompute_cells`).
+    """
+    expanded = candidates.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(centroids)
+    )
+    d2 = V.sq_dist(F.col(vec_col), F.col("center"))
+    return (
+        expanded.select(
+            F.col(id_col), F.col(vec_col), F.col("cell"), d2.alias("_d2")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min_by("cell", F.struct("_d2", "cell")).alias("cell"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def precompute_cells(
+    candidates: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-time IVF build: returns ``(assigned, centroids)``.
+
+    This is the entry point a production pipeline calls once when
+    vectors land, persisting both outputs (assignments partitioned/
+    bucketed by ``cell``, centroids as a tiny broadcast table); query
+    time then pays only :func:`ivf_topk_precomputed` — probe + one
+    cell-id equi-join — never a training pass.
+    """
+    centroids = deterministic_centroids(candidates, n_cells, id_col, vec_col)
+    centroids.persist()
+    assigned = assign_cells(candidates, centroids, id_col, vec_col)
+    return assigned, centroids
+
+
+def ivf_topk_precomputed(
+    assigned: DataFrame,
+    centroids: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    n_cells: int = 16,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN top-k: k-means coarse quantizer + probe of
-    the ``n_probe`` nearest cells per query.
-
-    The production ANN layout: candidates are partitioned into
-    ``n_cells`` Voronoi cells (trained centroids broadcast with the
-    model); each query scores only vectors in its closest cells —
-    ~``n_probe/n_cells`` of the corpus. Unlike sign-LSH, the quantizer
-    ADAPTS to the data distribution, so recall holds on clustered real
-    embeddings. Same join topology as :func:`lsh_topk`: cell-id
-    equi-join, then score and rank. Training cost is one k-means pass —
-    amortized by writing cell assignments alongside the vectors at
-    ingest (here fit per call for self-containedness; deterministic via
-    fixed seed).
-
-    Not SQL-expressible (learned centroids) → registered rows-only;
-    pytest asserts recall against brute force on clustered data.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    vecs = candidates.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_fv")
-    )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell").fit(
-        vecs
-    )
-    assigned = model.transform(vecs).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), F.col("_cell")
-    )
-
-    # nearest n_probe cells per query: distance to each broadcast centroid
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    spark = candidates.sparkSession
-    centers_df = spark.createDataFrame(
-        centers, f"cell int, center array<double>"
-    )
+    """Query-time IVF ANN top-k over precomputed cell assignments: each
+    query probes its ``n_probe`` nearest cells and scores only vectors
+    assigned there — ~``n_probe/n_cells`` of the corpus, via a cell-id
+    equi-join (same sub-linear topology as :func:`lsh_topk`, but the
+    buckets follow the data distribution)."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    qc = (
-        q.crossJoin(F.broadcast(centers_df))
-        .withColumn(
-            "_dist",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        "q_vec", "center", lambda a, b: (a.cast("double") - b) ** 2
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            ),
-        )
+    probe = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", V.sq_dist(F.col("q_vec"), F.col("center")))
         .withColumn(
             "_rk",
             F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.col("_dist"), F.col("cell"))
+                Window.partitionBy("q_id").orderBy(F.col("_d2"), F.col("cell"))
             ),
         )
         .filter(F.col("_rk") <= n_probe)
-        .select("q_id", "q_vec", F.col("cell").alias("_cell"))
+        .select("q_id", "q_vec", "cell")
     )
     scored = (
-        assigned.join(F.broadcast(qc), "_cell")
-        .filter(F.col("q_id") != F.col("c_id"))
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col("q_id") != F.col(id_col))
         .select(
             F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            F.round(V.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(V.cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -213,6 +257,32 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k, self-contained form: build the
+    coarse quantizer (:func:`deterministic_centroids`), assign cells,
+    probe + score. Production use splits this at the dashed line —
+    :func:`precompute_cells` at ingest, :func:`ivf_topk_precomputed`
+    per query.
+
+    Every step is deterministic and pure-SQL-expressible (sampled
+    centroids + argmin assignment), so the DuckDB oracle mirrors it
+    exactly — unlike the earlier k-means variant, which could only be
+    rows-only-checked.
+    """
+    assigned, centroids = precompute_cells(candidates, n_cells, id_col, vec_col)
+    return ivf_topk_precomputed(
+        assigned, centroids, queries, k, n_probe, id_col, vec_col
     )
 
 

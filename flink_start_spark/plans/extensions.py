@@ -339,22 +339,54 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, bands=2, bits=8)
 
 
+_SQDIST = lambda a, b: (  # noqa: E731
+    f"list_sum([({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+    f"FOR i IN range(1, len({a}) + 1)])"
+)
+
 @_register(
     "ann_topk_ivf",
-    None,  # learned k-means centroids are not SQL-expressible → rows-only;
-    # recall vs brute force is pytest-asserted on clustered data
+    f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+             embedding AS center
+      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id AS c_id, embedding AS cv, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQDIST('e.embedding', 'c.center')}, c.cell) AS rk
+        FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+    probe AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT q.vec_id AS q_id, q.embedding AS qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQDIST('q.embedding', 'c.center')}, c.cell) AS rk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN cent c)
+      WHERE rk <= 2),
+    scored AS (
+      SELECT q_id AS query_id, c_id AS neighbor_id, {_COS} AS cosine
+      FROM probe JOIN assigned USING (cell) WHERE q_id <> c_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
     description=(
-        "IVF ANN top-k: k-means coarse quantizer (16 cells, fixed seed) "
-        "+ 2-probe search — the production ANN layout; the quantizer "
-        "adapts to the embedding distribution, unlike sign-LSH. "
-        "Cell-id equi-join topology; ~n_probe/n_cells of the corpus "
-        "scored per query."
+        "IVF ANN top-k: deterministic-sample coarse quantizer (16 cells "
+        "= the vectors whose md5(id) ranks lowest; argmin-squared-L2 "
+        "assignment) + 2-probe search. Cell-id equi-join topology: "
+        "~n_probe/n_cells of the corpus scored per query. Centroid "
+        "build + assignment are the ingest-time precompute_cells() "
+        "step; deterministic sampling (not k-means) keeps every stage "
+        "bit-mirrorable in the oracle."
     ),
     tags=("similarity", "extension", "ivf"),
 )
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=16, n_probe=2)
 
 
 @_register(
