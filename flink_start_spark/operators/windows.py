@@ -96,6 +96,37 @@ def sliding_window_agg(
     )
 
 
+def session_window_agg(
+    df: DataFrame,
+    gap: str,
+    *aggs: Column,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Session (gap-based) event-time windows — the reference's stated
+    next step (/root/reference/README.md:33, "session windows").
+
+    ``F.session_window(ts, gap)``: each event opens ``[ts, ts+gap)``;
+    overlapping windows merge, so a session breaks exactly when the gap
+    to the previous event is >= ``gap``. Window end = last event + gap.
+    Same physical shape as the other windows — one shuffle on
+    (session, *keys) with partial aggregation; Spark merges sessions
+    inside the aggregation, no self-join or sort-based islands pass.
+
+    Returns: window_start, window_end (timestamps), *keys, *aggs.
+    """
+    grouping = [F.session_window(F.col(ts_col), gap).alias("w")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    out = df.groupBy(*grouping).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[F.col(k) for k in (keys or [])],
+        *[F.col(c) for c in out.columns if c != "w" and c not in (keys or [])],
+    )
+
+
 def count_trigger_cumulative(
     df: DataFrame,
     pred: Column,

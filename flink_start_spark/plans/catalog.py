@@ -199,6 +199,62 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAP_SEC = 1800
+
+@_register(
+    "session_windows_per_user",
+    f"""
+    WITH o AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS hit
+      FROM events),
+    b AS (
+      SELECT user_id, us, hit,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       >= {_GAP_SEC} * 1000000
+                  OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM o),
+    g AS (
+      SELECT user_id, us, hit,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b)
+    SELECT user_id,
+           (min(us) // 1000000)::BIGINT AS window_start,
+           ((max(us) + {_GAP_SEC} * 1000000) // 1000000)::BIGINT AS window_end,
+           count(*) AS n_events,
+           sum(hit)::BIGINT AS signup_cnt
+    FROM g GROUP BY user_id, sid
+    """,
+    description=(
+        "Session windows (30 min gap) per user — the reference's stated "
+        "next step (README.md:33). F.session_window merges overlapping "
+        "[ts, ts+gap) intervals inside one keyed aggregation (no "
+        "self-join/islands pass); the oracle rebuilds sessions with the "
+        "lag/cumulative-sum island trick at microsecond precision "
+        "(both engines floor nanos→micros identically)."
+    ),
+    tags=("windows", "reference", "sessions"),
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = W.session_window_agg(
+        ev,
+        "30 minutes",
+        F.count("*").alias("n_events"),
+        W.conditional_count(F.col("event_type") == "signup", "signup_cnt"),
+        keys=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("window_start").cast("long"),
+        F.col("window_end").cast("long"),
+        "n_events",
+        F.col("signup_cnt").cast("long"),
+    )
+
+
 _TRIGGER_N = 100
 
 @_register(

@@ -69,6 +69,32 @@ def test_g3_sliding_register_count(activity):
     }
 
 
+def test_session_windows_per_user(activity):
+    out = W.session_window_agg(
+        activity, "3 seconds", F.count("*").alias("n"), keys=["user_id"]
+    )
+    got = {
+        (r["user_id"], int(r["window_start"].timestamp()) - BASE): (
+            int(r["window_end"].timestamp()) - BASE,
+            r["n"],
+        )
+        for r in out.collect()
+    }
+    # gap=3s: a session breaks when the next event is >= 3s later; end =
+    # last event + gap. rob/alice (:04, :10 — gap 6) split; carl
+    # (:08, :10 — gap 2) merges into one [8, 13) session.
+    assert got == {
+        ("bob", 2): (5, 2),
+        ("sam", 3): (7, 2),
+        ("rob", 4): (7, 1),
+        ("rob", 10): (13, 1),
+        ("alice", 4): (7, 1),
+        ("alice", 10): (13, 1),
+        ("mary", 6): (9, 2),
+        ("carl", 8): (13, 2),
+    }
+
+
 def test_g4_count_trigger_cumulative(activity):
     out = W.count_trigger_cumulative(
         activity, F.col("activity") == "register", every=5, order_col="arrival"
