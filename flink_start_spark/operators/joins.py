@@ -7,13 +7,16 @@ operators per the preference order in the project guide (compose >
 Pandas UDF > custom strategy).
 
 **As-of join** (each left row matched to the latest right row at or
-before its timestamp, per key): implemented as the union-merge pattern —
-tag both sides, union, one window sorted by (ts, side-priority) per key,
-``last(value, ignorenulls)`` carries the most recent right-side payload
-forward onto left rows. Exactly ONE shuffle (by key), no range
-explosion, no Python; this is the shape that survives 100 TB (a naive
-inequality join is quadratic per key; per-group ``pd.merge_asof`` via
-applyInPandas works but pays Arrow transfer for the whole table).
+before its timestamp, per key; forward and nearest variants too):
+implemented as the union-merge pattern — tag both sides, union, one
+window sorted by (ts, side-priority) per key, ``last(value,
+ignorenulls)`` carries the most recent right-side payload forward onto
+left rows; forward reuses the identical carry over a descending sort,
+nearest evaluates both in the same exchange. Exactly ONE shuffle (by
+key), no range explosion, no Python; this is the shape that survives
+100 TB (a naive inequality join is quadratic per key; per-group
+``pd.merge_asof`` via applyInPandas works but pays Arrow transfer for
+the whole table).
 
 **Range join** (left ts within [right start, right end)): bucketize the
 time axis so the join becomes an equi-join on (key, bucket) with a
@@ -36,16 +39,28 @@ def as_of_join(
     payload_cols: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: attach to each left row the payload of the latest
-    right row with ``right_ts <= left_ts`` for the same key
-    (``direction='backward'``, the merge_asof default).
+    """As-of join: attach to each left row the payload of the matching
+    right row for the same key, where "matching" is
 
-    Left rows with no prior right row keep NULL payloads. Output: all
-    left columns + ``payload_cols`` (+ ``matched_ts`` = the matched
+    - ``backward`` (merge_asof default): latest right row with
+      ``right_ts <= left_ts``;
+    - ``forward``: earliest right row with ``right_ts >= left_ts``;
+    - ``nearest``: whichever of the two is closer in time (exact tie →
+      backward, matching ``pd.merge_asof(direction='nearest')``).
+
+    Left rows with no matching right row keep NULL payloads. Output:
+    all left columns + ``payload_cols`` (+ ``matched_ts`` = the matched
     right timestamp).
+
+    All three directions use the same union-merge plan: ONE shuffle on
+    the key; forward is the backward carry over a descending sort, and
+    nearest evaluates both carries inside the same window exchange (two
+    in-partition sorts, still a single shuffle — never a second join).
     """
-    if direction != "backward":
-        raise NotImplementedError("forward/nearest as-of: order window ascending on ts desc")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
 
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     rt = (
@@ -66,30 +81,72 @@ def as_of_join(
     lt = lt.select(*rt.columns)  # same column order
 
     merged = rt.unionByName(lt)
-    # right rows sort before left rows at equal ts (_side 0 < 1) so a
-    # right row AT the left timestamp matches ("at or before").
-    w = (
+    # right rows sort adjacent to left rows at equal ts with _side 0
+    # first in BOTH orders, so an equal-ts right row matches ("at or
+    # before" backward / "at or after" forward).
+    w_back = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = merged.select(
-        *[c for c in merged.columns if c not in ("_side",)],
-        F.col("_side").alias("_side_keep"),
-        *[
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def carry(w: Window, prefix: str) -> list:
+        cols = [
             F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
             .over(w)
-            .alias(f"_asof_{c}")
+            .alias(f"{prefix}{c}")
             for c in payload_cols
-        ],
-        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
-        .over(w)
-        .alias("matched_ts"),
-    )
-    return carried.filter(F.col("_side_keep") == 1).select(
+        ]
+        cols.append(
+            F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+            .over(w)
+            .alias(f"{prefix}mts")
+        )
+        return cols
+
+    carried_cols: list = []
+    if direction in ("backward", "nearest"):
+        carried_cols += carry(w_back, "_b_")
+    if direction in ("forward", "nearest"):
+        carried_cols += carry(w_fwd, "_f_")
+    carried = merged.select(
+        *[c for c in merged.columns if c != "_side"],
+        F.col("_side").alias("_side_keep"),
+        *carried_cols,
+    ).filter(F.col("_side_keep") == 1)
+
+    if direction == "backward":
+        pick = {c: F.col(f"_b_{c}") for c in payload_cols}
+        mts = F.col("_b_mts")
+    elif direction == "forward":
+        pick = {c: F.col(f"_f_{c}") for c in payload_cols}
+        mts = F.col("_f_mts")
+    else:
+        # closer side wins; tie → backward. Both diffs are nonnegative
+        # by construction, so plain subtraction compares correctly for
+        # timestamps (interval ordering) and numerics alike.
+        use_back = F.col("_b_mts").isNotNull() & (
+            F.col("_f_mts").isNull()
+            | (
+                (F.col("_ts") - F.col("_b_mts"))
+                <= (F.col("_f_mts") - F.col("_ts"))
+            )
+        )
+        pick = {
+            c: F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+            for c in payload_cols
+        }
+        mts = F.when(use_back, F.col("_b_mts")).otherwise(F.col("_f_mts"))
+
+    return carried.select(
         *[c for c in left.columns],
-        *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
-        "matched_ts",
+        *[pick[c].alias(c) for c in payload_cols],
+        mts.alias("matched_ts"),
     )
 
 

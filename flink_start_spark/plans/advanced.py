@@ -101,6 +101,126 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_next_order_per_event",
+    """
+    WITH daily AS (
+      SELECT o_custkey, o_orderdate,
+             count(*) AS n_orders_that_day,
+             round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS total_that_day
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id,
+           e.user_id,
+           floor(epoch(e.ts))::BIGINT AS ts_epoch,
+           d.n_orders_that_day,
+           d.total_that_day,
+           floor(epoch(d.o_orderdate))::BIGINT AS matched_epoch
+    FROM events e
+    ASOF LEFT JOIN daily d
+      ON e.user_id = d.o_custkey AND e.ts <= d.o_orderdate
+    """,
+    description=(
+        "Forward as-of join: each event matched to the customer's "
+        "EARLIEST order-day at or after the event — the same union-merge "
+        "single-shuffle plan as backward, carried over a descending "
+        "in-partition sort. DuckDB's native forward ASOF (ts <= rts) "
+        "referees."
+    ),
+    tags=("join", "asof", "custom-operator"),
+)
+def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.count("*").alias("n_orders_that_day"),
+            money_sum(F.col("o_totalprice"), "total_that_day"),
+        )
+    )
+    out = as_of_join(
+        ev,
+        daily,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["n_orders_that_day", "total_that_day"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "n_orders_that_day",
+        "total_that_day",
+        F.col("matched_ts").cast("long").alias("matched_epoch"),
+    )
+
+
+@_register(
+    "asof_nearest_order_per_event",
+    """
+    WITH daily AS (
+      SELECT o_custkey, o_orderdate,
+             count(*) AS n_orders_that_day
+      FROM orders GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             d.o_orderdate AS bts, d.n_orders_that_day AS bn
+      FROM events e
+      ASOF LEFT JOIN daily d ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    ),
+    f AS (
+      SELECT e.event_id, d.o_orderdate AS fts, d.n_orders_that_day AS fn
+      FROM events e
+      ASOF LEFT JOIN daily d ON e.user_id = d.o_custkey AND e.ts <= d.o_orderdate
+    )
+    SELECT b.event_id, b.user_id,
+           floor(epoch(b.ts))::BIGINT AS ts_epoch,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL
+                     OR epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+                THEN bn ELSE fn END AS n_orders_that_day,
+           floor(epoch(CASE WHEN bts IS NOT NULL AND (fts IS NULL
+                     OR epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+                THEN bts ELSE fts END))::BIGINT AS matched_epoch
+    FROM b JOIN f USING (event_id)
+    """,
+    description=(
+        "Nearest as-of join: each event matched to the customer's "
+        "closest order-day in either direction (tie → backward, matching "
+        "pd.merge_asof). Spark evaluates both carries inside ONE window "
+        "exchange — two in-partition sorts, still a single shuffle; "
+        "the oracle composes DuckDB's two ASOF directions."
+    ),
+    tags=("join", "asof", "custom-operator"),
+)
+def q_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.count("*").alias("n_orders_that_day"))
+    )
+    out = as_of_join(
+        ev,
+        daily,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["n_orders_that_day"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "n_orders_that_day",
+        F.col("matched_ts").cast("long").alias("matched_epoch"),
+    )
+
+
+@_register(
     "range_join_purchases_in_error_windows",
     """
     WITH err AS (

@@ -71,26 +71,35 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
         )
     else:
         right = spark.createDataFrame([], "key string, rts timestamp, payload double")
-    got = {
-        r["event_id"]: r["payload"]
-        for r in as_of_join(left, right, "key", "ts", "rts", ["payload"]).collect()
-    }
 
-    if not right_rows:
-        expected = {i: None for i in range(len(left_ts))}
-    else:
-        lpd = pd.DataFrame(
-            {"event_id": range(len(left_ts)), "ts": [BASE + timedelta(seconds=s) for s in left_ts]}
-        ).sort_values("ts", kind="stable")
-        rpd = pd.DataFrame(
-            {"rts": [r[1] for r in right_rows], "payload": [r[2] for r in right_rows]}
-        )
-        merged = pd.merge_asof(lpd, rpd, left_on="ts", right_on="rts", direction="backward")
-        expected = {
-            int(r.event_id): (None if pd.isna(r.payload) else r.payload)
-            for r in merged.itertuples()
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["event_id"]: r["payload"]
+            for r in as_of_join(
+                left, right, "key", "ts", "rts", ["payload"], direction=direction
+            ).collect()
         }
-    assert got == expected
+
+        if not right_rows:
+            expected = {i: None for i in range(len(left_ts))}
+        else:
+            lpd = pd.DataFrame(
+                {
+                    "event_id": range(len(left_ts)),
+                    "ts": [BASE + timedelta(seconds=s) for s in left_ts],
+                }
+            ).sort_values("ts", kind="stable")
+            rpd = pd.DataFrame(
+                {"rts": [r[1] for r in right_rows], "payload": [r[2] for r in right_rows]}
+            )
+            merged = pd.merge_asof(
+                lpd, rpd, left_on="ts", right_on="rts", direction=direction
+            )
+            expected = {
+                int(r.event_id): (None if pd.isna(r.payload) else r.payload)
+                for r in merged.itertuples()
+            }
+        assert got == expected, direction
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
