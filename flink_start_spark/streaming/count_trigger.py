@@ -9,8 +9,10 @@ Implemented with ``applyInPandasWithState``: a keyed stateful operator
 holding two longs per key (arrivals seen, predicate hits). Each
 micro-batch sorts its rows by the arrival column (cross-batch order is
 the source's contract — file sequence here, log offset in production),
-advances the counters row-by-row, and emits one output row per n-th
-arrival crossed. State is O(1) per key — exactly Flink's trigger
+advances the counters with vectorized numpy cumulative sums (arrival
+index + running hit count per row, modulo mask to pick fire rows — no
+per-row Python loop), and emits one output row per n-th arrival
+crossed. State is O(1) per key — exactly Flink's trigger
 counter, none of the retained-elements buffer (the count is maintained
 incrementally, which FIRE-no-PURGE forces Flink to recompute).
 
@@ -68,18 +70,30 @@ def count_trigger_stream(
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         n_seen, n_hits = state.get if state.exists else (0, 0)
-        fires: list[tuple[str, int, int, int]] = []
         for pdf in batches:
             pdf = pdf.sort_values(order_col)
-            for hit in (pdf[pred_col] == pred_value).astype(int):
-                n_seen += 1
-                n_hits += int(hit)
-                if n_seen % every == 0:
-                    fires.append((key[0], n_seen // every, n_seen, n_hits))
+            hits = (pdf[pred_col] == pred_value).to_numpy(dtype="int64")
+            # vectorized trigger: arrival index + running hit count for
+            # every row of the batch, then a modulo mask selects the
+            # fire rows — no per-row Python iteration.
+            seen = n_seen + np.arange(1, len(hits) + 1, dtype="int64")
+            cum = n_hits + np.cumsum(hits)
+            mask = seen % every == 0
+            if len(hits):
+                n_seen, n_hits = int(seen[-1]), int(cum[-1])
+            if mask.any():
+                yield pd.DataFrame(
+                    {
+                        "key": key[0],
+                        "fire_seq": seen[mask] // every,
+                        "arrival": seen[mask],
+                        "cnt": cum[mask],
+                    }
+                )
         state.update((n_seen, n_hits))
-        if fires:
-            yield pd.DataFrame(fires, columns=["key", "fire_seq", "arrival", "cnt"])
 
     keyed = events.selectExpr(
         f"{key_expr} AS key", f"{order_col} AS {order_col}", f"{pred_col} AS {pred_col}"
