@@ -83,6 +83,14 @@ def lsh_topk(
     upgrade replaces sign buckets with k-means cells, same join
     topology. Queries with zero same-band candidates emit nothing.
     """
+    # One persisted projection per side = ONE scan of the input relation
+    # per query (the repo-wide re-evaluation rule: DataFrame references
+    # share no subtree without persist). Bands are then flattened to
+    # rows with stack() — a single (band, key) equi-join instead of a
+    # per-band union of joins, and stack (unlike explode) doesn't trip
+    # InferFiltersFromGenerate into cloning the upstream expressions.
+    # At 100 TB the persisted projection becomes a pre-materialized
+    # signature table written at ingest.
     def keyed(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
@@ -93,17 +101,23 @@ def lsh_topk(
                 )
                 for b in range(bands)
             ],
+        ).persist()
+
+    def stacked(df: DataFrame, prefix: str) -> DataFrame:
+        pairs = ", ".join(f"{b}, {prefix}_band{b}" for b in range(bands))
+        return df.selectExpr(
+            f"{prefix}_id", f"stack({bands}, {pairs}) AS (band, key)"
         )
 
     q = keyed(queries, "q")
     c = keyed(candidates, "c")
-    matched = None
-    for b in range(bands):
-        m = c.join(
-            F.broadcast(q), F.col(f"c_band{b}") == F.col(f"q_band{b}")
-        ).select("q_id", "c_id")
-        matched = m if matched is None else matched.unionAll(m)
-    matched = matched.filter(F.col("q_id") != F.col("c_id")).distinct()
+    matched = (
+        stacked(c, "c")
+        .join(F.broadcast(stacked(q, "q")), ["band", "key"])
+        .select("q_id", "c_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .distinct()
+    )
     scored = (
         matched.join(
             q.select("q_id", "q_vec"), "q_id"
@@ -306,29 +320,36 @@ def lsh_near_dup_pairs(
     precisely when LSH recall becomes useful. The oracle applies the
     identical bucketing, so correctness is exact regardless.
     """
-    # One equi-join per band (hash join on the band key), unioned then
-    # deduped. An OR-of-bands predicate would degrade to a nested-loop
-    # cross join — the quadratic shape this operator exists to avoid.
+    # Persisted base projection (id, vec, band keys) = ONE scan of the
+    # input relation; bands flattened to rows with stack() so candidate
+    # generation is a single (band, key) hash self-join — an OR-of-bands
+    # predicate would degrade to a nested-loop cross join, the quadratic
+    # shape this operator exists to avoid, and a per-band union of joins
+    # would re-evaluate the projection per band without the persist.
     keyed = df.select(
         F.col(id_col),
+        F.col(vec_col),
         *[
             V.sign_bits(F.col(vec_col), bits, offset=b * bits).alias(f"band{b}")
             for b in range(bands)
         ],
-    )
-    candidates = None
-    for b in range(bands):
-        a, bb = keyed.alias("a"), keyed.alias("b")
-        band_pairs = a.join(
+    ).persist()
+    pairs = ", ".join(f"{b}, band{b}" for b in range(bands))
+    stacked = keyed.selectExpr(id_col, f"stack({bands}, {pairs}) AS (band, key)")
+    a, bb = stacked.alias("a"), stacked.alias("b")
+    candidates = (
+        a.join(
             bb,
-            (F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
+        )
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        candidates = band_pairs if candidates is None else candidates.unionAll(band_pairs)
-    candidates = candidates.distinct()
-    vecs = df.select(F.col(id_col), F.col(vec_col))
+        .distinct()
+    )
+    vecs = keyed.select(F.col(id_col), F.col(vec_col))
     return (
         candidates.join(
             vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "vec_a"),

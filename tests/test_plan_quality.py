@@ -25,6 +25,25 @@ _ALLOWED_NESTED_LOOP = {"ann_cosine_topk", "ann_topk_ivf"}
 _MAX_EXCHANGES = 8
 
 
+# Queries whose operators persist their base projection: the optimized
+# plan must read the input ONLY through InMemoryRelation leaves — a bare
+# parquet `Relation` means some DataFrame reference re-evaluates the
+# projection (and re-scans the file) instead of hitting the cache.
+_SINGLE_SCAN = {"ann_topk_lsh", "embedding_near_dup_lsh", "char_ngram_jaccard_pairs"}
+
+
+@pytest.mark.parametrize("name", sorted(_SINGLE_SCAN))
+def test_persisted_projection_single_scan(spark, name):
+    df = QUERIES[name].spark(spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    uncached = [
+        line
+        for line in opt.splitlines()
+        if "Relation" in line and "InMemoryRelation" not in line
+    ]
+    assert not uncached and opt.count("InMemoryRelation") > 0, (name, uncached)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_is_scale_safe(spark, name):
     df = QUERIES[name].spark(spark, SF_SMOKE)
