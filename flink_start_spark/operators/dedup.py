@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_start_spark.functions import texthash as TH
+from flink_start_spark.sources.catalog import fan_out
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -68,6 +69,7 @@ def minhash_candidate_pairs(
     giant exact-dup clusters — run :func:`exact_dedup` first.
     """
     rows = num_hashes // bands
+    df = fan_out(df)  # md5-per-shingle must not run on one input split
     # Two hard-won plan-shape rules (each measured as a >10x blowup at
     # 5k docs when violated):
     # 1. Materialize every stage (shingles, signature) as a real column
@@ -148,7 +150,8 @@ def minhash_near_dups(
     pairs = minhash_candidate_pairs(df, content_col, id_col, num_hashes, bands, shingle_n)
     # referenced by two joins (id_a and id_b sides) → persist one pass
     sh = (
-        df.select(F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh"))
+        fan_out(df)
+        .select(F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh"))
         .select(F.col(id_col), F.array_distinct(F.col("_sh")).alias("sh"))
         .persist()
     )
@@ -178,7 +181,8 @@ def simhash_values(
     would blow up.
     """
     return (
-        df.select(
+        fan_out(df)
+        .select(
             F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh")
         )
         .select(

@@ -17,7 +17,7 @@ from flink_start_spark.operators import multimodal as M
 from flink_start_spark.operators import similarity as S
 from flink_start_spark.operators import text as TX
 from flink_start_spark.plans.catalog import _register
-from flink_start_spark.sources.catalog import load_table
+from flink_start_spark.sources.catalog import fan_out, load_table
 
 # Shared oracle CTE fragments ------------------------------------------------
 
@@ -198,7 +198,7 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "extension", "lsh"),
 )
 def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") >= 8)
+    docs = fan_out(load_table(spark, "documents", sf_dir).filter(F.length("text") >= 8))
     # char 8-grams via the same O(n) slice trick as word shingles: the
     # substring start index must not be referenced from a lambda
     # persisted: referenced by both candidate-join sides (via pairs) and

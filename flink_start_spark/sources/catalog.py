@@ -70,6 +70,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition up to engine parallelism, for CPU-heavy
+    per-row pipelines (hashing, gram extraction).
+
+    A small single-file parquet table arrives as ONE input split, which
+    would serialize the whole hash pipeline on one core (measured: the
+    sf0.1 documents table is a single 600 KB file → 1 partition → the
+    char-gram MinHash stage pegged one of 32 cores for 8 s). The
+    round-robin exchange moves only the raw input bytes — negligible
+    against the compute it unlocks. Never shrinks an already-split
+    input, so on a real cluster reading many files it is a no-op.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str | None = None, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
