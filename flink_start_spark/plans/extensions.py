@@ -610,10 +610,14 @@ def q_pandas_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest asserts tolerance vs exact instead (test_extensions.py)
     description=(
         "Approximate aggregates for 100TB interactive use: "
-        "approx_count_distinct (HyperLogLog++, ~2% default error) and "
+        "approx_count_distinct (HyperLogLog++, 5% default rsd) and "
         "percentile_approx (KLL-style sketch) per event_type. At scale "
         "these replace exact distinct/median when a bounded error is "
-        "acceptable — one pass, fixed memory, no expand."
+        "acceptable — one pass, fixed memory, no expand. Sketches are "
+        "engine-specific by construction, so no SQL oracle exists; the "
+        "tolerance contract (distinct within 5% relative error, median "
+        "within the sketch accuracy band of exact) is pytest-pinned at "
+        "two scale factors (tests/test_extensions.py)."
     ),
     tags=("aggregation", "approximate"),
 )

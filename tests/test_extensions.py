@@ -110,16 +110,20 @@ def test_brute_force_topk_matches_numpy(spark):
             assert got[(q, rank)] == j
 
 
-def test_approx_metrics_within_tolerance(spark):
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_approx_metrics_within_tolerance(spark, sf_dir):
+    # The sketches can't be bit-compared across engines (the driver
+    # records rows-only), so THIS is the correctness contract: relative
+    # error bounds against the exact aggregates, pinned at two scale
+    # factors so both the small-n and larger-n regimes are covered.
     from flink_start_spark.plans import QUERIES
-    from tests.conftest import SF_ORACLE
 
     approx = {
-        r["event_type"]: r for r in QUERIES["approx_metrics"].spark(spark, SF_ORACLE).collect()
+        r["event_type"]: r for r in QUERIES["approx_metrics"].spark(spark, sf_dir).collect()
     }
     from flink_start_spark.sources.catalog import load_table
 
-    ev = load_table(spark, "events", SF_ORACLE)
+    ev = load_table(spark, "events", sf_dir)
     exact = {
         r["event_type"]: r
         for r in ev.groupBy("event_type")
@@ -129,8 +133,11 @@ def test_approx_metrics_within_tolerance(spark):
         )
         .collect()
     }
+    assert set(approx) == set(exact)
     for et, a in approx.items():
         e = exact[et]
+        # HLL++ default rsd is 5%; n is small enough here that the
+        # sketch is near-exact, so 5% is a conservative pin
         assert abs(a["approx_users"] - e["users"]) / e["users"] < 0.05, et
         # percentile_approx default accuracy: generous band around median
         assert abs(a["approx_median_value"] - e["median_value"]) <= abs(e["median_value"]) * 0.2 + 1.0, et
