@@ -658,15 +658,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.binary_metadata(M.with_binary_payload(docs))
 
 
+_HEXB = (
+    lambda h, i: f"((strpos('0123456789abcdef', substr({h}, {2 * i + 1}, 1)) - 1) * 16"
+    f" + strpos('0123456789abcdef', substr({h}, {2 * i + 2}, 1)) - 1)"
+)
+
 @_register(
     "multimodal_fake_decode",
-    None,  # deterministic fake decode; byte-level sha256 math is easier to
-    # assert in pytest than to mirror in SQL — driver records rows-only.
+    f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS d FROM documents)
+    SELECT doc_id,
+           (64 + {_HEXB('d', 0)} % 192)::INT AS width,
+           (64 + {_HEXB('d', 1)} % 192)::INT AS height,
+           {_HEXB('d', 2)}::DOUBLE / 255.0 AS mean_intensity
+    FROM h
+    """,
     description=(
         "Fake media decode through the real mapInPandas plumbing "
         "(dimensions/intensity derived from sha256 bytes). Stands in for "
-        "PIL/ffmpeg feature extraction; golden-value pytest covers "
-        "determinism."
+        "PIL/ffmpeg feature extraction; the oracle recomputes the same "
+        "sha256-byte math from hex nibbles, and a golden-value pytest "
+        "covers determinism."
     ),
     tags=("multimodal", "extension", "pandas-udf"),
 )
