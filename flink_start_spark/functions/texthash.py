@@ -104,6 +104,45 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
     return minhash_from_digest_arrays(digests, num_hashes)
 
 
+def char_grams(text: Column, n: int) -> Column:
+    """Ordered character n-grams via transform over a position sequence.
+    Referencing the scalar ``text`` column inside the lambda is safe —
+    re-evaluating a column reference is O(1) per element; the O(n^2)
+    lambda hazard (:func:`shingles`) applies to re-evaluated *computed
+    arrays* like split(), not to plain column refs. Texts shorter than
+    ``n`` yield one (short) gram."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(n)),
+    )
+
+
+def winnow_fingerprints(hash_arr: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer et al. '03, the MOSS
+    algorithm): slide a window of ``w`` consecutive gram hashes, keep
+    the minimum of each window, distinct the survivors.
+
+    Guarantees: any shared substring of length >= k + w - 1 chars
+    (k = gram size) produces at least one shared fingerprint, while
+    only ~2/(w+1) of all gram hashes survive — position-robust
+    document fingerprints at a fraction of the full gram set.
+
+    Built as ``zip_with``-folded ``least`` over ``w`` slice-shifted
+    copies of the hash array — O(n·w) inside codegen, same shape as
+    :func:`shingles` (NOT element_at-in-lambda, which re-evaluates the
+    array per element). ``hash_arr`` must be a materialized column
+    (stage the md5s first — see minhash notes). Arrays shorter than
+    ``w`` yield the min of all their elements: zip_with pads the
+    shifted copies with NULL and ``least`` skips NULLs.
+    """
+    m = F.greatest(F.size(hash_arr) - (w - 1), F.lit(1))
+    shifted = [F.slice(hash_arr, j + 1, m) for j in range(w)]
+    mins = shifted[0]
+    for nxt in shifted[1:]:
+        mins = F.zip_with(mins, nxt, lambda a, b: F.least(a, b))
+    return F.array_distinct(mins)
+
+
 def band_key(signature: Column, band: int, rows: int) -> Column:
     """Banded LSH key: md5 of the ``rows``-wide slice ``band`` of the
     signature. Two documents collide in a band iff their signatures agree

@@ -164,6 +164,107 @@ def minhash_near_dups(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame, content_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Per-document winnowing fingerprint set (rolling char-gram hash +
+    sliding-window minima — Schleimer '03 / MOSS).
+
+    Output: id, n_grams, fps (sorted-distinct fingerprint array). The
+    pipeline is pure projection — no shuffle at all; fingerprints are
+    ~2/(w+1) of the gram count, so the output is a compact
+    position-robust signature suitable as a join key for containment
+    detection (shared substrings >= k+w-1 chars ⇒ shared fingerprint).
+    """
+    return (
+        fan_out(df)
+        .select(F.col(id_col), TH.char_grams(F.col(content_col), k).alias("_g"))
+        .select(
+            F.col(id_col),
+            F.size("_g").cast("long").alias("n_grams"),
+            F.transform(
+                F.col("_g"), lambda g: F.substring(F.md5(g), 1, _CHUNK_HEX_W)
+            ).alias("_h"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.array_sort(TH.winnow_fingerprints(F.col("_h"), w)).alias("fps"),
+        )
+    )
+
+
+#: hex chars kept per gram hash in winnowing (32 bits — collision odds
+#: across a doc's ~hundreds of grams are ~1e-5, and both engines
+#: recompute identically so any collision is mirrored, not a mismatch).
+_CHUNK_HEX_W = 8
+
+
+def winnowing_shared_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_overlap: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs whose winnowing-fingerprint CONTAINMENT over
+    *discriminative* fingerprints (shared / smaller retained set)
+    reaches ``min_overlap`` — the MOSS-style overlap detector.
+
+    Two scale guards, both part of the operator's contract:
+
+    - **df-cut**: fingerprints occurring in more than ``max_df``
+      documents are boilerplate (shared vocabulary/templates) and are
+      dropped before pairing — exactly MOSS's ignored-boilerplate
+      pass. Without it hot fingerprint keys make the inverted-index
+      self-join quadratic in cluster size (measured at sf0.1: 95M join
+      pairs, 94M of them from fingerprints with df > 50; the cut
+      leaves ~0.8M). Containment is then defined over each document's
+      retained fingerprints.
+    - The fingerprint relation is persisted BEFORE the explode so the
+      generator's inferred size()>0 filter reads the cache instead of
+      cloning the gram pipeline (the InferFiltersFromGenerate trap).
+    """
+    base = (
+        winnowing_fingerprints(df, content_col, id_col, k, w)
+        .select(F.col(id_col), F.col("fps"))
+        .persist()
+    )
+    e = base.select(F.col(id_col), F.explode("fps").alias("fp"))
+    rare = (
+        e.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    postings = e.join(rare, "fp").persist()
+    n_kept = postings.groupBy(id_col).agg(F.count("*").alias("n_fps"))
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(n_kept.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_fps", "_na"), "id_a")
+        .join(n_kept.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_fps", "_nb"), "id_b")
+        .withColumn(
+            "overlap",
+            F.round(F.col("n_shared").cast("double") / F.least("_na", "_nb"), 6),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"), "overlap")
+    )
+
+
 def simhash_values(
     df: DataFrame, content_col: str, id_col: str, shingle_n: int = 3
 ) -> DataFrame:

@@ -249,6 +249,83 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_CTE = """
+    cg AS (
+      SELECT doc_id,
+             [substr(md5(substr(text, i, 8)), 1, 8) FOR i IN range(1, length(text) - 6)] AS h
+      FROM documents WHERE length(text) >= 8),
+    wm AS (
+      SELECT doc_id, len(h)::BIGINT AS n_grams,
+             list_sort(list_distinct(
+               [list_min(h[i : least(i + 3, len(h))])
+                FOR i IN range(1, greatest(len(h) - 3, 1) + 1)])) AS fps
+      FROM cg)
+"""
+
+@_register(
+    "winnowing_fingerprints",
+    f"""
+    WITH {_WINNOW_CTE}
+    SELECT doc_id, n_grams,
+           len(fps)::BIGINT AS n_fingerprints,
+           md5(array_to_string(fps, '|')) AS fp_digest
+    FROM wm
+    """,
+    description=(
+        "Winnowing document fingerprints (Schleimer '03 / MOSS): rolling "
+        "char 8-gram md5s, sliding window of 4, keep each window's "
+        "minimum, distinct. Any shared substring >= 11 chars yields a "
+        "shared fingerprint while only ~2/(w+1) of gram hashes survive. "
+        "Pure projection — no shuffle; the fingerprint set is the "
+        "position-robust signature a containment index joins on."
+    ),
+    tags=("dedup", "extension", "fingerprint"),
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") >= 8)
+    out = D.winnowing_fingerprints(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join("fps", "|")).alias("fp_digest"),
+    )
+
+
+@_register(
+    "winnowing_shared_pairs",
+    f"""
+    WITH {_WINNOW_CTE},
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM wm),
+    rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 50),
+    p AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)),
+    nk AS (SELECT doc_id, count(*) AS n_fps FROM p GROUP BY doc_id),
+    s AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared,
+           round(n_shared::DOUBLE / least(na.n_fps, nb.n_fps), 6) AS overlap
+    FROM s JOIN nk na ON na.doc_id = id_a JOIN nk nb ON nb.doc_id = id_b
+    WHERE round(n_shared::DOUBLE / least(na.n_fps, nb.n_fps), 6) >= 0.5
+    """,
+    description=(
+        "MOSS-style overlap detection: pairs whose winnowing-fingerprint "
+        "containment (shared / smaller retained set) >= 0.5, via an "
+        "inverted-index self-join on the fingerprint key after dropping "
+        "boilerplate fingerprints occurring in > 50 docs (the df-cut "
+        "that keeps hot keys from making the join quadratic; measured "
+        "94M of 95M sf0.1 join pairs came from those keys). The "
+        "fingerprint relation is persisted before the explode "
+        "(InferFiltersFromGenerate rule)."
+    ),
+    tags=("dedup", "extension", "fingerprint"),
+)
+def q_winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") >= 8)
+    return D.winnowing_shared_pairs(docs, "text", "doc_id", min_overlap=0.5)
+
+
 def _char_grams(text, n: int):
     """Character n-grams via transform over a sequence. Referencing the
     scalar ``text`` column inside the lambda is safe — re-evaluating a

@@ -87,6 +87,30 @@ def test_simhash_near_dup_blocks_equal_bruteforce(docs):
     assert (1, 3) in block  # exact dups have identical simhash
 
 
+def test_winnowing_matches_python_reference(docs):
+    out = {
+        r["doc_id"]: r
+        for r in D.winnowing_fingerprints(docs, "text", "doc_id").collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, text in texts.items():
+        grams = [text[i : i + 8] for i in range(max(len(text) - 7, 1))]
+        hs = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
+        mins = sorted({min(hs[i : i + 4]) for i in range(max(len(hs) - 3, 1))})
+        assert out[doc_id]["fps"] == mins, doc_id
+        assert out[doc_id]["n_grams"] == len(grams)
+
+
+def test_winnowing_shared_pairs_containment(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in D.winnowing_shared_pairs(docs, "text", "doc_id").collect()
+    }
+    assert pairs[(1, 3)] == 1.0  # exact dup: identical fingerprint sets
+    # doc 4 shares no 11-char substring with doc 1
+    assert (1, 4) not in pairs
+
+
 def test_brute_force_topk_matches_numpy(spark):
     import numpy as np
 
