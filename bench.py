@@ -29,7 +29,15 @@ def _run_once(spark, name: str, sf_dir: str) -> float:
     df = QUERIES[name].spark(spark, sf_dir)
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # Several operators persist() intermediates; SQL caches live in the
+    # CacheManager until explicitly dropped (NOT GC'd), so a 50-query
+    # sweep would accumulate them into memory pressure that degrades
+    # later queries (measured 2x on the full catalog). Each query pays
+    # for its own cache materialization inside the timed window; the
+    # drop afterwards keeps queries independent.
+    spark.catalog.clearCache()
+    return dt
 
 
 def _run_streaming(spark, sf_dir: str) -> float:
@@ -64,6 +72,12 @@ def main() -> None:
     names = args.queries or list(QUERIES)
     # JVM/codegen warm-up on the flagship query (not timed)
     _run_once(spark, names[0], args.sf_dir)
+    # Python-worker pool warm-up: the 32 daemon workers spawn lazily on
+    # the first pandas UDF — that spawn is session infrastructure, not
+    # the cost of whichever pandas query happens to run first.
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -117,8 +117,11 @@ def minhash_candidate_pairs(
     # The self-join references this subtree twice and Spark re-evaluates
     # the whole shingle→digest→signature pipeline per reference; persist
     # the tiny band-key relation (bands rows x ~50B per doc) so it is
-    # computed once. MEMORY_AND_DISK spills instead of failing at scale;
-    # the ContextCleaner unpersists when the DataFrame is GC'd.
+    # computed once. MEMORY_AND_DISK spills instead of failing at scale.
+    # NOTE: SQL caches are NOT garbage-collected — they stay registered
+    # in the CacheManager until unpersist()/clearCache(); long-lived
+    # sessions running many queries must drop caches between them (see
+    # bench.py).
     exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
