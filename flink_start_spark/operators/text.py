@@ -110,3 +110,60 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: bag-of-words md5 (see texthash)."""
     return df.select("doc_id", TH.bag_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/Gopher-style normalization + keep/drop rules — the first stage
+    of every LLM-corpus pipeline.
+
+    Normalization: collapse whitespace runs, trim, lowercase (one
+    codegen'd projection; Spark's regexp_replace is global by default —
+    the DuckDB twin needs the explicit 'g' flag).
+
+    Keep rules (Gopher-reduced to available columns): >= 16 tokens,
+    mean word length in [2, 12], distinct-token ratio > 0.3. Emitted as
+    a ``kept`` flag rather than a filter so downstream stages can audit
+    drop rates per source — at 100 TB you never discard silently.
+    """
+    clean = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    ws = F.split(clean, " ")
+    n_tokens = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    avg_len = (
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / F.greatest(n_tokens, F.lit(1)).cast("double")
+    )
+    kept = (
+        (n_tokens >= 16)
+        & (avg_len >= 2.0)
+        & (avg_len <= 12.0)
+        & (n_distinct.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double") > 0.3)
+    )
+    return df.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_tokens.cast("long").alias("n_tokens"),
+        kept.alias("kept"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 95,
+    val_pct: int = 4,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: first two md5 bytes of
+    the id, mod 100 — stable across runs, machines, and engines (no
+    RNG, no sampling order dependence), which is what makes dataset
+    splits reproducible and join-free to recompute anywhere.
+    """
+    bucket = F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -100,122 +100,130 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "asof_next_order_per_event",
-    """
-    WITH daily AS (
-      SELECT o_custkey, o_orderdate,
-             count(*) AS n_orders_that_day,
-             round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS total_that_day
-      FROM orders GROUP BY 1, 2
+_PURCHASES_CTE = """
+    purchases AS (
+      SELECT user_id, ts,
+             round(sum(CAST(value AS DECIMAL(20,6))), 6)::DOUBLE AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
     )
+"""
+
+@_register(
+    "asof_next_purchase_after_error",
+    f"""
+    WITH {_PURCHASES_CTE}
     SELECT e.event_id,
            e.user_id,
            floor(epoch(e.ts))::BIGINT AS ts_epoch,
-           d.n_orders_that_day,
-           d.total_that_day,
-           floor(epoch(d.o_orderdate))::BIGINT AS matched_epoch
-    FROM events e
-    ASOF LEFT JOIN daily d
-      ON e.user_id = d.o_custkey AND e.ts <= d.o_orderdate
+           p.purchase_value,
+           floor(epoch(p.ts))::BIGINT AS matched_epoch
+    FROM errors e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
     """,
     description=(
-        "Forward as-of join: each event matched to the customer's "
-        "EARLIEST order-day at or after the event — the same union-merge "
-        "single-shuffle plan as backward, carried over a descending "
-        "in-partition sort. DuckDB's native forward ASOF (ts <= rts) "
-        "referees."
+        "Forward as-of join: each error event matched to the same "
+        "user's EARLIEST purchase at or after it (did the user recover?) "
+        "— the same union-merge single-shuffle plan as backward, carried "
+        "over a descending in-partition sort; errors with no later "
+        "purchase keep NULLs. DuckDB's native forward ASOF (ts <= rts) "
+        "referees. Right side pre-aggregated per (user, ts) so ties are "
+        "deterministic."
     ),
     tags=("join", "asof", "custom-operator"),
 )
-def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
-    daily = (
-        load_table(spark, "orders", sf_dir)
-        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
         .agg(
-            F.count("*").alias("n_orders_that_day"),
-            money_sum(F.col("o_totalprice"), "total_that_day"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 6)
+            .cast("double")
+            .alias("purchase_value")
         )
     )
     out = as_of_join(
-        ev,
-        daily,
+        errors,
+        purchases,
         key="user_id",
         left_ts="ts",
-        right_ts="o_orderdate",
-        payload_cols=["n_orders_that_day", "total_that_day"],
+        right_ts="ts",
+        payload_cols=["purchase_value"],
         direction="forward",
     )
     return out.select(
         "event_id",
         "user_id",
         F.col("ts").cast("long").alias("ts_epoch"),
-        "n_orders_that_day",
-        "total_that_day",
+        "purchase_value",
         F.col("matched_ts").cast("long").alias("matched_epoch"),
     )
 
 
 @_register(
-    "asof_nearest_order_per_event",
-    """
-    WITH daily AS (
-      SELECT o_custkey, o_orderdate,
-             count(*) AS n_orders_that_day
-      FROM orders GROUP BY 1, 2
-    ),
+    "asof_nearest_purchase_to_error",
+    f"""
+    WITH {_PURCHASES_CTE},
     b AS (
-      SELECT e.event_id, e.user_id, e.ts,
-             d.o_orderdate AS bts, d.n_orders_that_day AS bn
-      FROM events e
-      ASOF LEFT JOIN daily d ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+      SELECT e.event_id, e.user_id, e.ts, p.ts AS bts, p.purchase_value AS bv
+      FROM errors e
+      ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.ts
     ),
     f AS (
-      SELECT e.event_id, d.o_orderdate AS fts, d.n_orders_that_day AS fn
-      FROM events e
-      ASOF LEFT JOIN daily d ON e.user_id = d.o_custkey AND e.ts <= d.o_orderdate
+      SELECT e.event_id, p.ts AS fts, p.purchase_value AS fv
+      FROM errors e
+      ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts <= p.ts
     )
     SELECT b.event_id, b.user_id,
            floor(epoch(b.ts))::BIGINT AS ts_epoch,
            CASE WHEN bts IS NOT NULL AND (fts IS NULL
                      OR epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
-                THEN bn ELSE fn END AS n_orders_that_day,
+                THEN bv ELSE fv END AS purchase_value,
            floor(epoch(CASE WHEN bts IS NOT NULL AND (fts IS NULL
                      OR epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
                 THEN bts ELSE fts END))::BIGINT AS matched_epoch
     FROM b JOIN f USING (event_id)
     """,
     description=(
-        "Nearest as-of join: each event matched to the customer's "
-        "closest order-day in either direction (tie → backward, matching "
-        "pd.merge_asof). Spark evaluates both carries inside ONE window "
-        "exchange — two in-partition sorts, still a single shuffle; "
-        "the oracle composes DuckDB's two ASOF directions."
+        "Nearest as-of join: each error event matched to the same "
+        "user's closest purchase in either direction (tie → backward, "
+        "matching pd.merge_asof). Spark evaluates both carries inside "
+        "ONE window exchange — two in-partition sorts, still a single "
+        "shuffle; the oracle composes DuckDB's two ASOF directions."
     ),
     tags=("join", "asof", "custom-operator"),
 )
-def q_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
-    daily = (
-        load_table(spark, "orders", sf_dir)
-        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
-        .agg(F.count("*").alias("n_orders_that_day"))
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 6)
+            .cast("double")
+            .alias("purchase_value")
+        )
     )
     out = as_of_join(
-        ev,
-        daily,
+        errors,
+        purchases,
         key="user_id",
         left_ts="ts",
-        right_ts="o_orderdate",
-        payload_cols=["n_orders_that_day"],
+        right_ts="ts",
+        payload_cols=["purchase_value"],
         direction="nearest",
     )
     return out.select(
         "event_id",
         "user_id",
         F.col("ts").cast("long").alias("ts_epoch"),
-        "n_orders_that_day",
+        "purchase_value",
         F.col("matched_ts").cast("long").alias("matched_epoch"),
     )
 

@@ -707,6 +707,83 @@ def q_approx_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_cleaning",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean_text
+      FROM documents),
+    m AS (
+      SELECT doc_id, clean_text,
+             string_split(clean_text, ' ') AS w
+      FROM c)
+    SELECT doc_id,
+           md5(clean_text) AS clean_digest,
+           len(w)::BIGINT AS n_tokens,
+           (len(w) >= 16
+            AND list_sum(list_transform(w, x -> len(x)))::DOUBLE / greatest(len(w), 1) >= 2.0
+            AND list_sum(list_transform(w, x -> len(x)))::DOUBLE / greatest(len(w), 1) <= 12.0
+            AND len(list_distinct(w))::DOUBLE / greatest(len(w), 1) > 0.3) AS kept
+    FROM m
+    """,
+    description=(
+        "C4/Gopher-style cleaning: whitespace-collapse + lowercase "
+        "normalization, then keep/drop rules (>=16 tokens, mean word "
+        "length in [2,12], distinct ratio > 0.3) emitted as an "
+        "auditable flag — the first stage of an LLM-corpus pipeline. "
+        "Pure projection, no shuffle."
+    ),
+    tags=("text", "extension", "cleaning"),
+)
+def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = TX.clean_text(docs)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_digest"),
+        "n_tokens",
+        "kept",
+    )
+
+
+@_register(
+    "train_val_split",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS d FROM documents),
+    b AS (
+      SELECT doc_id, n_chars,
+             ((strpos('0123456789abcdef', substr(d, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(d, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1)) % 100 AS bucket
+      FROM h)
+    SELECT CASE WHEN bucket < 95 THEN 'train'
+                WHEN bucket < 99 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM b GROUP BY 1
+    """,
+    description=(
+        "Deterministic train/val/test split (95/4/1): first two md5 "
+        "bytes of the doc id mod 100 — reproducible across runs, "
+        "machines, and engines with no RNG or sampling-order "
+        "dependence; recomputable as a projection anywhere (no split "
+        "manifest join). Aggregated per split for the oracle check."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = TX.hash_split(docs)
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------

@@ -8,7 +8,7 @@ passed: a floor-vs-round epoch disagreement, cent flips from
 order-dependent double summation, and the nanos-parquet session
 dependency. Run it before every round end:
 
-    python scripts/vanilla_gate.py [sf_dir]
+    python scripts/vanilla_gate.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -36,8 +36,10 @@ def main() -> int:
         p = os.path.join(sf, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    only = set(sys.argv[2:])
+    queries = {n: q for n, q in QUERIES.items() if not only or n in only}
     fails = 0
-    for name, q in QUERIES.items():
+    for name, q in queries.items():
         try:
             sdf = q.spark(spark, sf).toPandas()
             if q.oracle is None:
@@ -46,12 +48,20 @@ def main() -> int:
             odf = con.execute(q.oracle).df()
             s = sdf.reindex(sorted(sdf.columns), axis=1).round(6)
             o = odf.reindex(sorted(odf.columns), axis=1).round(6)
+            # multiset equality over null-normalized tuples: NaN != NaN
+            # would fail rows with legitimate NULLs (outer-join misses),
+            # and Counter needs no sort (None isn't orderable)
+            from collections import Counter
+
+            def rows(df):
+                return Counter(
+                    map(tuple, df.astype(object).where(df.notna(), None).itertuples(index=False))
+                )
+
             if list(s.columns) != list(o.columns):
                 print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
                 fails += 1
-            elif sorted(map(tuple, s.itertuples(index=False))) != sorted(
-                map(tuple, o.itertuples(index=False))
-            ):
+            elif rows(s) != rows(o):
                 print(f"FAIL {name}: values differ (exact comparison)")
                 fails += 1
             else:
@@ -59,7 +69,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {str(e).splitlines()[0][:140]}")
             fails += 1
-    print(f"\nvanilla exact gate: {len(QUERIES) - fails}/{len(QUERIES)} passed")
+    print(f"\nvanilla exact gate: {len(queries) - fails}/{len(queries)} passed")
     return 1 if fails else 0
 
 

@@ -73,6 +73,38 @@ def test_csv_json_orc_roundtrip(spark, tmp_path):
         assert set(back.columns) == set(ev.columns), fmt
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    # Co-located join via bucketing — the 100 TB discipline for repeated
+    # large-large joins on the same key: both sides written bucketBy the
+    # join key join WITHOUT a shuffle (no Exchange hashpartitioning in
+    # the plan; each task zips matching buckets).
+    ev = load_table(spark, "events", SF_SMOKE).select("event_id", "user_id", "value")
+    users = (
+        load_table(spark, "events", SF_SMOKE)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    for name, df in (("ev_bkt", ev), ("usr_bkt", users)):
+        (
+            df.write.bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    try:
+        a, b = spark.table("ev_bkt"), spark.table("usr_bkt")
+        joined = a.join(b.hint("merge"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:800]
+        expected = ev.join(users, "user_id").count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bkt")
+        spark.sql("DROP TABLE IF EXISTS usr_bkt")
+
+
 def test_sliding_window_plan_has_single_expand_shuffle(spark):
     # the sliding window should expand rows (one per overlapping window)
     # then aggregate with ONE exchange — no join, no extra shuffle
