@@ -13,6 +13,8 @@ search extension (SURVEY §2b, BASELINE.json north_star).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -56,6 +58,43 @@ def sq_dist(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def rp_weights(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane ``plane``: weight i is an
+    md5 nibble minus 7.5 — a zero-mean integer-plus-half lattice that
+    (a) is reproducible from the plane index alone (no RNG state to
+    ship), and (b) consists of exact binary fractions, so the dot
+    products are bit-identical across engines and the DuckDB oracle can
+    embed the same literals."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"rp|{plane}|{i // 32}".encode()).hexdigest()
+        out.append(float(int(h[i % 32], 16)) - 7.5)
+    return out
+
+
+def rp_sign_bits(a: Column, n_bits: int, dim: int, offset: int = 0) -> Column:
+    """Random-hyperplane LSH key, true random-projection variant: bit j
+    is the sign of <vec, h_(offset+j)> for the fixed pseudo-random
+    hyperplanes of :func:`rp_weights`, packed into a BIGINT.
+
+    Unlike the coordinate-basis :func:`sign_bits`, this is the actual
+    Charikar construction — collision probability 1 - theta/pi per bit
+    for ANY embedding distribution, not just near-isotropic ones. The
+    weights are plan-time literal arrays, so each bit is one codegen'd
+    zip_with/aggregate dot product — no per-row hashing.
+    """
+    out = F.lit(0)
+    for j in range(n_bits):
+        w = F.array(*[F.lit(x) for x in rp_weights(offset + j, dim)])
+        dotp = F.aggregate(
+            F.zip_with(a, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(dotp >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return out.cast("long")
 
 
 def sign_bits(a: Column, n_bits: int, offset: int = 0) -> Column:

@@ -72,6 +72,7 @@ def lsh_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    key_fn=None,
 ) -> DataFrame:
     """ANN top-k, the scale path: score only candidates sharing a
     sign-LSH band with the query instead of the whole corpus.
@@ -91,14 +92,15 @@ def lsh_topk(
     # InferFiltersFromGenerate into cloning the upstream expressions.
     # At 100 TB the persisted projection becomes a pre-materialized
     # signature table written at ingest.
+    if key_fn is None:
+        key_fn = lambda col, b: V.sign_bits(col, bits, offset=b * bits)  # noqa: E731
+
     def keyed(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
             *[
-                V.sign_bits(F.col(vec_col), bits, offset=b * bits).alias(
-                    f"{prefix}_band{b}"
-                )
+                key_fn(F.col(vec_col), b).alias(f"{prefix}_band{b}")
                 for b in range(bands)
             ],
         ).persist()
@@ -271,6 +273,33 @@ def ivf_topk_precomputed(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def rp_lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bands: int = 2,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with TRUE random-hyperplane LSH keys (fixed
+    pseudo-random projections, functions/vector.py::rp_sign_bits) —
+    the production family for arbitrary embedding distributions, where
+    the coordinate-basis variant assumes near-isotropy. Same
+    single-scan banded join plan as :func:`lsh_topk`."""
+    return lsh_topk(
+        candidates,
+        queries,
+        k,
+        bands,
+        bits,
+        id_col,
+        vec_col,
+        key_fn=lambda col, b: V.rp_sign_bits(col, bits, dim, offset=b * bits),
     )
 
 

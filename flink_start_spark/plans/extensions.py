@@ -421,6 +421,58 @@ _SQDIST = lambda a, b: (  # noqa: E731
     f"FOR i IN range(1, len({a}) + 1)])"
 )
 
+def _rp_band_sql(col: str, band: int, bits: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of vector.py::rp_sign_bits: the same md5-derived
+    literal weights (exact binary fractions), same left-associative
+    summation order — bit-identical dot products."""
+    from flink_start_spark.functions.vector import rp_weights
+
+    parts = []
+    for j in range(bits):
+        w = rp_weights(band * bits + j, dim)
+        dot = " + ".join(f"{col}[{i + 1}]::DOUBLE * ({w[i]!r})" for i in range(dim))
+        parts.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")::BIGINT"
+
+
+@_register(
+    "ann_topk_rp_lsh",
+    f"""
+    WITH keyed AS (
+      SELECT vec_id, embedding,
+             {_rp_band_sql('embedding', 0)} AS band0,
+             {_rp_band_sql('embedding', 1)} AS band1
+      FROM embeddings),
+    q AS (SELECT * FROM keyed WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM keyed c JOIN q
+        ON (c.band0 = q.band0 OR c.band1 = q.band1) AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COS.replace('qv', 'x.embedding').replace('cv', 'y.embedding')} AS cosine
+      FROM cand JOIN keyed x ON x.vec_id = query_id JOIN keyed y ON y.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+    description=(
+        "ANN top-k with TRUE random-hyperplane LSH (fixed pseudo-random "
+        "projections from md5-derived literal weights — the actual "
+        "Charikar construction, valid for any embedding distribution, "
+        "unlike the coordinate-basis variant's isotropy assumption). "
+        "Each band key is 8 codegen'd dot products against plan-time "
+        "literal arrays; same single-scan banded join plan."
+    ),
+    tags=("similarity", "extension", "lsh"),
+)
+def q_ann_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, bands=2, bits=8)
+
+
 @_register(
     "ann_topk_ivf",
     f"""
@@ -744,6 +796,91 @@ def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("clean_text").alias("clean_digest"),
         "n_tokens",
         "kept",
+    )
+
+
+@_register(
+    "source_quality_rollup",
+    """
+    WITH c AS (
+      SELECT source, lang,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w,
+             n_chars
+      FROM documents),
+    m AS (
+      SELECT source, lang, n_chars,
+             len(w) AS n_tokens,
+             (len(w) >= 16
+              AND list_sum(list_transform(w, x -> len(x)))::DOUBLE / greatest(len(w), 1) >= 2.0
+              AND list_sum(list_transform(w, x -> len(x)))::DOUBLE / greatest(len(w), 1) <= 12.0
+              AND len(list_distinct(w))::DOUBLE / greatest(len(w), 1) > 0.3) AS kept
+      FROM c)
+    SELECT coalesce(source, '__all__') AS source,
+           coalesce(lang, '__all__') AS lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           round(sum(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS keep_rate,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM m GROUP BY ROLLUP (source, lang)
+    """,
+    description=(
+        "Per-source/lang corpus audit: ROLLUP of doc counts, "
+        "cleaning-rule keep rates, and token/char volume — the "
+        "drop-rate dashboard every 100 TB ingest runs before training "
+        "(silent filtering is how corpora go bad). Grouping-set "
+        "aggregation over the cleaning flags; one shuffle."
+    ),
+    tags=("text", "extension", "pipeline", "rollup"),
+)
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    clean = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    ws = F.split(clean, " ")
+    n_tokens = F.size(ws)
+    avg_len = (
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / F.greatest(n_tokens, F.lit(1)).cast("double")
+    )
+    kept = (
+        (n_tokens >= 16)
+        & (avg_len >= 2.0)
+        & (avg_len <= 12.0)
+        & (
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.greatest(n_tokens, F.lit(1)).cast("double")
+            > 0.3
+        )
+    )
+    m = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars"),
+        n_tokens.alias("n_tokens"),
+        kept.alias("kept"),
+    )
+    return (
+        m.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("keep_rate"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("__all__")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("__all__")).alias("lang"),
+            "n_docs",
+            "n_kept",
+            "keep_rate",
+            "total_tokens",
+            "total_chars",
+        )
     )
 
 

@@ -167,6 +167,30 @@ def test_approx_metrics_within_tolerance(spark, sf_dir):
         assert abs(a["approx_median_value"] - e["median_value"]) <= abs(e["median_value"]) * 0.2 + 1.0, et
 
 
+def test_rp_sign_bits_match_numpy(spark):
+    import numpy as np
+
+    from flink_start_spark.functions import vector as V
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["key"]
+        for r in df.select(
+            "vec_id", V.rp_sign_bits(F.col("embedding"), 8, 64, offset=8).alias("key")
+        ).collect()
+    }
+    W = np.array([V.rp_weights(8 + j, 64) for j in range(8)])  # planes 8..15
+    dots = vecs.astype("float64") @ W.T
+    for i in range(50):
+        expected = sum(1 << j for j in range(8) if dots[i, j] >= 0)
+        assert got[i] == expected, i
+
+
 def test_ivf_topk_recall_on_clustered_data(spark):
     # IVF's claim vs sign-LSH: recall holds when embeddings cluster.
     import numpy as np

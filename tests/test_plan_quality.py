@@ -8,6 +8,8 @@ in CI instead.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from flink_start_spark.plans import QUERIES
@@ -51,7 +53,13 @@ def test_plan_is_scale_safe(spark, name):
     if name not in _ALLOWED_NESTED_LOOP:
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    assert plan.count("Exchange hashpartitioning") <= _MAX_EXCHANGES, name
+    # count DISTINCT exchanges: a persisted subtree's plan is printed
+    # once under every InMemoryTableScan that reads it, so raw substring
+    # counts double-charge cached pipelines; plan_id identifies the node
+    exchange_ids = set(
+        re.findall(r"Exchange hashpartitioning[^\n]*plan_id=(\d+)", plan)
+    )
+    assert len(exchange_ids) <= _MAX_EXCHANGES, (name, len(exchange_ids))
     # every parquet scan must prune columns: reading all 5+ columns of a
     # table for a 2-column query is a bug; allow scans that genuinely
     # need wide rows (documents text pipelines read doc_id+text of 5).
