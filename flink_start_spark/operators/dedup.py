@@ -167,6 +167,71 @@ def minhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list — the clustering
+    step that turns pairwise matches into dedup groups (keep one doc
+    per component, drop the rest).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round takes the min of its label and its neighbors'
+    labels; converges in <= diameter rounds (near-dup components are
+    near-cliques, so typically 1-3). The loop is DRIVER-side control
+    flow over fully distributed steps — each round is one join + one
+    aggregation, the standard Spark shape for iterative graph
+    algorithms (GraphX/Pregel do exactly this per superstep; the
+    Large-Star/Small-Star variant drops the round count to
+    O(log diameter) at planetary scale). Each round materializes and
+    persists its label table and unpersists the previous one, so
+    lineage stays one round deep.
+
+    Output: node (id), cluster (min id in its component). Only nodes
+    appearing in ``pairs`` are labeled — singletons are implicit.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "cluster", F.col("node")
+    )
+    labels.persist().count()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("_nbr"), F.col("cluster"))
+                ).alias("cluster"),
+                (
+                    F.col("cluster")
+                    != F.least(
+                        F.col("cluster"), F.coalesce(F.col("_nbr"), F.col("cluster"))
+                    )
+                ).alias("_changed"),
+            )
+        )
+        new_labels.persist()
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels.unpersist()
+        labels = new_labels.select("node", "cluster")
+        if changed == 0:
+            break
+    return labels
+
+
 def winnowing_fingerprints(
     df: DataFrame, content_col: str, id_col: str, k: int = 8, w: int = 4
 ) -> DataFrame:

@@ -110,6 +110,57 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
 
 
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sig AS (SELECT doc_id,
+              [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
+                         FOR s IN shingles]) FOR k IN range(16)] AS sig
+            FROM shd),
+    bands AS (SELECT doc_id, b,
+                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
+              FROM sig, range(4) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               len(list_intersect(x.sh, y.sh))::DOUBLE /
+               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE AS jaccard
+        FROM cand JOIN shd x ON x.doc_id = id_a JOIN shd y ON y.doc_id = id_b)
+      WHERE jaccard >= 0.5),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    r(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src)
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM r GROUP BY src
+    """,
+    description=(
+        "Dedup clustering: connected components over the MinHash-LSH "
+        "near-dup pairs — the step that turns pairwise matches into "
+        "keep-one-per-group delete lists. Spark side is iterative "
+        "min-label propagation (driver-controlled loop, one join + one "
+        "aggregation per round, lineage kept one round deep — the "
+        "Pregel superstep shape); the oracle computes the same "
+        "components with a recursive-CTE transitive closure."
+    ),
+    tags=("dedup", "extension", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.minhash_near_dups(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comps = D.connected_components(pairs)
+    return comps.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster_id"),
+    )
+
+
 _SIMHASH_SQL = f"""
       WITH {_SHINGLE_CTE}
       SELECT doc_id,

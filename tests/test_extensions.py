@@ -87,6 +87,20 @@ def test_simhash_near_dup_blocks_equal_bruteforce(docs):
     assert (1, 3) in block  # exact dups have identical simhash
 
 
+def test_connected_components_path_graph(spark):
+    # a 6-node path needs ~diameter rounds of label propagation — the
+    # worst case for convergence; plus a separate 2-clique and an edge
+    # ordering that doesn't help the min label travel
+    pairs = spark.createDataFrame(
+        [(5, 6), (3, 4), (1, 2), (2, 3), (4, 5), (8, 9)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["cluster"] for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 8: 8, 9: 8}
+
+
 def test_winnowing_matches_python_reference(docs):
     out = {
         r["doc_id"]: r
