@@ -851,6 +851,69 @@ def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             list_sum(list_transform(string_split(trim(text), ' '),
+                                     x -> ceil(len(x) / 4.0)::INT)) AS toks
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, toks,
+             sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t),
+    p AS (
+      SELECT source, ((cum - toks) // 4096)::BIGINT AS pack_id, doc_id, toks
+      FROM c)
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           sum(toks)::BIGINT AS n_tokens,
+           round(sum(toks)::DOUBLE / 4096, 6) AS fill_rate
+    FROM p GROUP BY source, pack_id
+    """,
+    description=(
+        "Sequence packing: greedy contiguous fill of documents into "
+        "4096-token training sequences (doc assigned to the pack where "
+        "it starts; BPE-estimate token counts). Packed PER SOURCE so "
+        "the running-sum window parallelizes across sources — the "
+        "shard-local packing a 100 TB pipeline uses instead of a "
+        "global order (which would serialize on one task). Emits pack "
+        "occupancy + fill rate for padding-efficiency audits."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.aggregate(
+        TH.words(F.col("text")),
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+    t = docs.select("source", "doc_id", toks.alias("toks"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = t.select(
+        "source",
+        "doc_id",
+        "toks",
+        (((F.sum("toks").over(w) - F.col("toks")) / 4096).cast("long")).alias(
+            "pack_id"
+        ),
+    )
+    return p.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.round(F.sum("toks").cast("double") / 4096, 6).alias("fill_rate"),
+    )
+
+
+@_register(
     "source_quality_rollup",
     """
     WITH c AS (
