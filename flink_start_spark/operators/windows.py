@@ -107,8 +107,10 @@ def session_window_agg(
     next step (/root/reference/README.md:33, "session windows").
 
     ``F.session_window(ts, gap)``: each event opens ``[ts, ts+gap)``;
-    overlapping windows merge, so a session breaks exactly when the gap
-    to the previous event is >= ``gap``. Window end = last event + gap.
+    windows merge while they TOUCH (boundary equality included —
+    verified by property test: events at t and t+gap share a session),
+    so a session breaks exactly when the gap to the previous event is
+    STRICTLY greater than ``gap``. Window end = last event + gap.
     Same physical shape as the other windows — one shuffle on
     (session, *keys) with partial aggregation; Spark merges sessions
     inside the aggregation, no self-join or sort-based islands pass.

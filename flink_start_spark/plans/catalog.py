@@ -211,7 +211,7 @@ _GAP_SEC = 1800
     b AS (
       SELECT user_id, us, hit,
              CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-                       >= {_GAP_SEC} * 1000000
+                       > {_GAP_SEC} * 1000000
                   OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
                   THEN 1 ELSE 0 END AS brk
       FROM o),

@@ -53,6 +53,43 @@ def test_tumbling_window_counts_match_manual_bucketing(spark, events):
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_events)
+def test_session_windows_match_python_islands(spark, events):
+    from flink_start_spark.operators.windows import session_window_agg
+
+    gap = 30
+    df = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=s)) for s, k in events],
+        "user string, ts timestamp",
+    )
+    out = session_window_agg(
+        df, f"{gap} seconds", F.count("*").alias("n"), keys=["user"]
+    )
+    got = {
+        (r["user"], int(r["window_start"].timestamp()), int(r["window_end"].timestamp())): r["n"]
+        for r in out.collect()
+    }
+    # python reference: sort per key, break when diff > gap (Spark
+    # merges sessions that touch exactly at the boundary — the
+    # falsifying example this test originally found)
+    expected: dict = {}
+    by_key: dict[str, list[int]] = {}
+    for s, k in events:
+        by_key.setdefault(k, []).append(int((BASE + timedelta(seconds=s)).timestamp()))
+    for k, ts in by_key.items():
+        ts.sort()
+        start, prev, n = ts[0], ts[0], 0
+        for t in ts:
+            if t - prev > gap:
+                expected[(k, start, prev + gap)] = n
+                start, n = t, 0
+            n += 1
+            prev = t
+        expected[(k, start, prev + gap)] = n
+    assert got == expected
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_asof_case)
 def test_asof_join_matches_pandas_merge_asof(spark, case):
     left_ts, right_ts = case

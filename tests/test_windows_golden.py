@@ -80,9 +80,10 @@ def test_session_windows_per_user(activity):
         )
         for r in out.collect()
     }
-    # gap=3s: a session breaks when the next event is >= 3s later; end =
-    # last event + gap. rob/alice (:04, :10 — gap 6) split; carl
-    # (:08, :10 — gap 2) merges into one [8, 13) session.
+    # gap=3s: a session breaks when the next event is MORE than 3s later
+    # (boundary-touching windows merge); end = last event + gap.
+    # rob/alice (:04, :10 — gap 6) split; carl (:08, :10 — gap 2)
+    # merges into one [8, 13) session.
     assert got == {
         ("bob", 2): (5, 2),
         ("sam", 3): (7, 2),
