@@ -1,0 +1,46 @@
+"""Empty-input robustness: every operator family must return an empty
+result (not crash) on zero-row tables with the production schema.
+
+At 100 TB empty inputs are routine — a partition-pruned scan, a new
+tenant, a filter that matches nothing feeding a downstream operator.
+Window functions over empty frames, LSH self-joins with no rows, and
+the iterative component loop must all degrade to zero rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_start_spark.plans import QUERIES
+from flink_start_spark.sources.catalog import load_tables
+
+from tests.conftest import SF_SMOKE
+
+#: One query per operator family (windows, sessions, TPC-H agg, as-of,
+#: LSH dedup, winnowing, ANN, generator, iterative components).
+_REPRESENTATIVE = [
+    "tumbling_signup_count",
+    "session_windows_per_user",
+    "pricing_summary",
+    "asof_latest_order_per_event",
+    "dedup_minhash_lsh",
+    "winnowing_shared_pairs",
+    "ann_cosine_topk",
+    "token_frequencies",
+    "dedup_clusters",
+    "train_val_split",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sf_empty")
+    for name, df in load_tables(spark, SF_SMOKE).items():
+        df.limit(0).write.parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVE)
+def test_query_on_empty_tables_returns_no_rows(spark, empty_sf_dir, name):
+    df = QUERIES[name].spark(spark, empty_sf_dir)
+    assert df.count() == 0, name
