@@ -39,6 +39,44 @@ def test_salted_sum_equals_plain(spark):
     assert salted == plain
 
 
+def test_aqe_splits_skewed_join(spark):
+    # The runtime half of the skew story (the salted operators are the
+    # static half): with one hot key, AQE must detect the oversized
+    # shuffle partition at execution time and split it (skew=true on
+    # the join in the FINAL adaptive plan). Thresholds are lowered so
+    # test-sized data crosses them; production keeps the defaults.
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 100_000).select(
+            F.when(F.col("id") < 90_000, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's QueryExecution, finalizing
+        # the adaptive plan (df.write would execute a separate one)
+        assert len(joined.collect()) == 100_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_parquet_partitioned_write_prunes(spark, tmp_path):
     # write events partitioned by event_type; a filtered read must scan
     # only the matching partition (PartitionFilters, not a post-filter)
