@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_start_spark.functions import texthash as TH
+from flink_start_spark.functions import vector as V
 from flink_start_spark.operators import dedup as D
 from flink_start_spark.operators import multimodal as M
 from flink_start_spark.operators import similarity as S
@@ -567,6 +568,77 @@ def q_ann_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=16, n_probe=2)
+
+
+@_register(
+    "lang_centroid_outliers",
+    f"""
+    WITH j AS (
+      SELECT d.lang, e.vec_id, e.embedding
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    pos AS (
+      SELECT lang, vec_id, t.i AS pos, embedding[t.i] AS val
+      FROM j, range(1, 65) t(i)),
+    cent AS (
+      SELECT lang, pos,
+             sum(floor(val::DOUBLE * 1048576))::DOUBLE
+               / (count(*) * 1048576.0) AS m
+      FROM pos GROUP BY lang, pos),
+    cvec AS (
+      SELECT lang, list(m ORDER BY pos) AS center FROM cent GROUP BY lang),
+    scored AS (
+      SELECT j.vec_id, j.lang,
+             {_COS.replace('qv', 'j.embedding').replace('cv', 'c.center')} AS cosine_to_centroid
+      FROM j JOIN cvec c ON j.lang = c.lang)
+    SELECT vec_id, lang, cosine_to_centroid FROM scored
+    """,
+    description=(
+        "Per-language embedding centroid + cosine-to-centroid per doc — "
+        "the outlier/contamination score a corpus audit computes (docs "
+        "far from their language's centroid are mislabeled or noise). "
+        "Centroid via posexplode + groupBy(lang, pos) partial sums — "
+        "the scale shape for vector aggregation (no collect_list of "
+        "whole vectors through the shuffle); components quantized to a "
+        "2^-20 grid and summed as integers so the mean is exact, "
+        "summation-order-free, and engine-identical, then rebuilt into "
+        "an ordered array."
+    ),
+    tags=("similarity", "extension", "text"),
+)
+def q_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    j = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "lang", "vec_id", "embedding"
+    )
+    pos = j.select("lang", F.posexplode("embedding").alias("pos", "val"))
+    # components quantized to a 2^-20 grid with explicit floor BEFORE
+    # summing: integer sums are summation-order-free AND avoid the
+    # engines' different float→decimal rounding (a raw decimal-cast
+    # version flipped 2/500 cosines at the round(6) boundary from
+    # ~1e-10 cast differences). Quantization error 1e-6 is far below
+    # the outlier-score grain.
+    cent = pos.groupBy("lang", "pos").agg(
+        (
+            F.sum(F.floor(F.col("val").cast("double") * 1048576)).cast("double")
+            / (F.count("*") * 1048576.0)
+        ).alias("m")
+    )
+    cvec = cent.groupBy("lang").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("center")
+    )
+    return (
+        j.join(F.broadcast(cvec), "lang")
+        .select(
+            "vec_id",
+            "lang",
+            F.round(V.cosine(F.col("embedding"), F.col("center")), 6).alias(
+                "cosine_to_centroid"
+            ),
+        )
+    )
 
 
 @_register(
