@@ -61,7 +61,7 @@ def _run_streaming(spark, sf_dir: str) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
 
