@@ -56,6 +56,17 @@ _CHUNK_HEX = 8
 _CHUNKS_PER_MD5 = 32 // _CHUNK_HEX
 
 
+def md5_bucket(col: Column, mod: int = 100, salt: str = "") -> Column:
+    """Deterministic integer bucket: first two md5 bytes of the (salted)
+    stringified value, mod ``mod``. Engine-portable (the DuckDB twin is
+    four hex-nibble strpos lookups — see plans/extensions.py
+    train_val_split oracle); a non-empty ``salt`` decorrelates buckets
+    drawn for different purposes (split vs sample) from the same id.
+    """
+    salted = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
+    return F.conv(F.md5(salted).substr(1, 4), 16, 10).cast("long") % mod
+
+
 def salted_digest_fn(seed: int):
     """Element function: shingle → md5 hex of ``"seed|" + shingle``.
     Closure factory — a default-arg lambda (s, seed=seed) would be read

@@ -8,7 +8,7 @@ has an exact DuckDB-oracle twin (plans/extensions.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_start_spark.functions import texthash as TH
@@ -52,7 +52,9 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", pred)
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def text_stats(
+    df: DataFrame, text_col: str = "text", extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document token/char statistics + a composite quality score.
 
     Quality = 0.4 * min(1, n_tokens/64)            (length credit)
@@ -79,6 +81,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
+        *extra_cols,
         n_tokens.cast("long").alias("n_tokens"),
         n_distinct.cast("long").alias("n_distinct_tokens"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
@@ -158,12 +161,229 @@ def hash_split(
     RNG, no sampling order dependence), which is what makes dataset
     splits reproducible and join-free to recompute anywhere.
     """
-    bucket = F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 4), 16, 10).cast(
-        "long"
-    ) % 100
+    bucket = TH.md5_bucket(F.col(id_col))
     split = (
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters reduced to the available columns:
+    duplicate-token fraction, top-token fraction, top-bigram fraction
+    (Rae et al. '21 §A1.1 uses duplicate *lines* too — this corpus has
+    no newlines, so the line family is vacuous and omitted).
+
+    Two-stage projection on purpose: the word/bigram arrays are
+    materialized as columns FIRST, so the mode-count lambdas scan a
+    computed array instead of re-evaluating the split/zip_with
+    construction per element (the measured O(words²) Catalyst trap
+    documented at functions/texthash.py::shingles).
+    """
+    staged = df.select(
+        "doc_id",
+        TH.words(F.col(text_col)).alias("_w"),
+        TH.shingles(F.col(text_col), 2).alias("_bg"),
+    )
+    w, bg = F.col("_w"), F.col("_bg")
+    n = F.size(w)
+    mode_count = lambda arr: F.array_max(  # noqa: E731
+        F.transform(
+            F.array_distinct(arr), lambda t: F.size(F.filter(arr, lambda x: x == t))
+        )
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / F.greatest(den, F.lit(1)).cast("double"), 6
+    )
+    return staged.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        frac(n - F.size(F.array_distinct(w)), n).alias("dup_token_frac"),
+        frac(mode_count(w), n).alias("top_token_frac"),
+        frac(mode_count(bg), F.size(bg)).alias("top_bigram_frac"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 50,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its salted
+    md5 bucket falls under the stratum's target percentage. The
+    standard corpus-rebalancing move (downsample the dominant language,
+    keep the rare ones whole) with three scale properties: no RNG (the
+    sample is reproducible on any engine and any partitioning), no
+    shuffle (pure filter projection), and an emitted ``weight`` =
+    100/rate so downstream aggregates can reweight back to the
+    population (Horvitz-Thompson estimator).
+    """
+    bucket = TH.md5_bucket(F.col(id_col), salt="sample|")
+    rate = F.lit(default_pct)
+    for stratum, pct in rates.items():
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return (
+        df.withColumn("_rate", rate)
+        .filter(bucket < F.col("_rate"))
+        .withColumn("weight", F.round(F.lit(100.0) / F.col("_rate"), 6))
+        .drop("_rate")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    bench_pct: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    ``ngram``-shingles overlap a held-out benchmark set (the GPT-3 /
+    Llama eval-overlap procedure: any training doc sharing long
+    n-grams with an eval doc is suspect).
+
+    Here the "benchmark" is carved deterministically from the corpus
+    itself (md5 bucket < bench_pct, salt 'bench|') so the check is
+    self-contained and oracle-reproducible; in production the bench
+    side is the external eval suite. Scale shape: the benchmark
+    shingle set is small by contract (eval suites are MBs, not TBs) —
+    it is broadcast, so the scored side is one scan + one local hash
+    join + one groupBy on doc_id; no all-pairs stage and no shuffle of
+    the corpus text.
+    """
+    bucket = TH.md5_bucket(F.col(id_col), salt="bench|")
+    sh = F.array_distinct(TH.shingles(F.col(text_col), ngram))
+    shingled = df.select(F.col(id_col), bucket.alias("_bucket"), sh.alias("_sh"))
+    bench = (
+        shingled.filter(F.col("_bucket") < bench_pct)
+        .select(F.explode("_sh").alias("bench_shingle"))
+        .distinct()
+    )
+    scored = shingled.filter(F.col("_bucket") >= bench_pct).select(
+        id_col, F.explode("_sh").alias("_s")
+    )
+    joined = scored.join(
+        F.broadcast(bench), scored["_s"] == bench["bench_shingle"], "left"
+    )
+    frac = F.count("bench_shingle").cast("double") / F.count("*").cast("double")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.count("bench_shingle").cast("long").alias("n_contaminated"),
+        F.round(frac, 6).alias("contamination_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k terms per group by TF-IDF: tf = term occurrences in the
+    group, df = documents in the group containing the term, score =
+    tf * ln(1 + N/df). The corpus-profiling primitive behind keyword
+    extraction and topic drift monitoring in data pipelines.
+
+    Scale shape: explode → groupBy(group, term) with map-side partial
+    aggregation (duplicate terms collapse before the shuffle); the
+    per-group doc totals are a 5-row broadcast; the final top-k is a
+    window over the already-aggregated (group, term) relation, which is
+    orders of magnitude smaller than the corpus. Scores are rounded
+    BEFORE ranking and tie-broken on the term so the top-k set is
+    deterministic across engines and partitionings.
+    """
+    terms = df.select(
+        group_col, "doc_id", F.explode(TH.words(F.col(text_col))).alias("term")
+    )
+    stats = terms.groupBy(group_col, "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    totals = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    scored = stats.join(F.broadcast(totals), group_col).withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(group_col, "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def quality_median_filter(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Per-group exact-median quality cut: keep documents whose quality
+    score is >= their group's lower median (the distribution-relative
+    variant of threshold filtering — robust to per-language score
+    shifts that break a single global cutoff).
+
+    Median is the EXACT lower median (row at position (cnt+1)/2 under
+    (score, doc_id) order), not percentile_approx: approximate sketches
+    are engine-specific, the exact rank is reproducible everywhere.
+    Scale note: the rank window shuffles the per-doc stats relation
+    once on the group key — stats rows, not documents; the 5-row median
+    table then broadcasts back onto the stats.
+    """
+    st = text_stats(df, text_col, extra_cols=(group_col,))
+    wo = Window.partitionBy(group_col).orderBy("quality_score", "doc_id")
+    wc = Window.partitionBy(group_col)
+    ranked = st.withColumn("_rn", F.row_number().over(wo)).withColumn(
+        "_cnt", F.count("*").over(wc)
+    )
+    medians = ranked.filter(
+        F.col("_rn") == F.floor((F.col("_cnt") + F.lit(1)) / F.lit(2))
+    ).select(group_col, F.col("quality_score").alias("median_quality"))
+    return st.join(F.broadcast(medians), group_col).select(
+        "doc_id",
+        group_col,
+        "quality_score",
+        "median_quality",
+        (F.col("quality_score") >= F.col("median_quality")).alias("kept"),
+    )
+
+
+#: Portable PII patterns — the same regex dialect subset compiles in
+#: Java (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+#: \b ASCII word boundaries; no lookaround, no backreferences.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("id_number", r"\b\d{3}-\d{2}-\d{4}\b"),
+]
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scan + redaction: per-document match counts for each
+    pattern and a text with every match replaced by ``<TYPE>`` tokens.
+    Pure regexp projections (codegen'd, no shuffle); the pattern list
+    is the portable intersection of Java and RE2 regex dialects so the
+    oracle can recompute matches exactly.
+    """
+    out = df
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    has_pii = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        has_pii = c if has_pii is None else (has_pii | c)
+    return out.withColumn("redacted_text", redacted).withColumn("has_pii", has_pii)

@@ -1,0 +1,280 @@
+"""Corpus-pipeline queries, round 2: repetition filters, benchmark
+decontamination, TF-IDF profiling, stratified sampling, quantile
+filtering, PII scan — the remaining operations a 100 TB training-data
+pipeline runs between raw crawl and tokenizer (on top of the dedup /
+quality / packing surface in plans/extensions.py).
+
+Every oracle recomputes the identical engine-portable primitives
+(md5 buckets as hex-nibble arithmetic, word shingles as list
+comprehensions, regexes in the Java∩RE2 dialect) — see
+functions/texthash.py for the portability argument.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_start_spark.operators import text as TX
+from flink_start_spark.plans.catalog import _register
+from flink_start_spark.sources.catalog import fan_out, load_table
+
+
+def _bucket_sql(expr: str, mod: int = 100) -> str:
+    """DuckDB twin of texthash.md5_bucket: first 4 hex nibbles of the
+    md5 as a base-16 integer, mod ``mod`` (same construction as the
+    train_val_split oracle)."""
+    nib = "strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1"
+    terms = " + ".join(
+        f"({nib.format(e=expr, i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"(({terms}) % {mod})"
+
+
+#: word-shingle list comprehension (n consecutive words, space-joined;
+#: whole text when shorter) — DuckDB twin of texthash.shingles.
+def _shingle_sql(n: int) -> str:
+    joined = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} THEN [{joined} FOR i IN range(1, len(w) - {n - 2})] "
+        "ELSE [array_to_string(w, ' ')] END"
+    )
+
+
+@_register(
+    "repetition_stats",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    b AS (SELECT doc_id, w, {_shingle_sql(2)} AS bg FROM d)
+    SELECT doc_id,
+           len(w)::BIGINT AS n_tokens,
+           round((len(w) - len(list_distinct(w)))::DOUBLE / greatest(len(w), 1), 6)
+             AS dup_token_frac,
+           round(list_max([len(list_filter(w, x -> x = t)) FOR t IN list_distinct(w)])::DOUBLE
+                 / greatest(len(w), 1), 6) AS top_token_frac,
+           round(list_max([len(list_filter(bg, x -> x = t)) FOR t IN list_distinct(bg)])::DOUBLE
+                 / greatest(len(bg), 1), 6) AS top_bigram_frac
+    FROM b
+    """,
+    description=(
+        "Gopher-style repetition filters (Rae '21 §A1.1) reduced to the "
+        "available columns: duplicate-token fraction, top-token fraction, "
+        "top-bigram fraction. Pure per-row array expressions — no shuffle; "
+        "the arrays are materialized before the mode-count lambdas to "
+        "avoid the measured re-evaluation trap (texthash.shingles doc)."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.repetition_stats(docs)
+
+
+@_register(
+    "decontamination_flags",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                      {_bucket_sql("'bench|' || doc_id::VARCHAR")} AS bucket
+               FROM documents),
+    s AS (SELECT doc_id, bucket, {_shingle_sql(5)} AS sh FROM d),
+    sd AS (SELECT doc_id, bucket, unnest(list_distinct(sh)) AS s FROM s),
+    bench AS (SELECT DISTINCT s FROM sd WHERE bucket < 5)
+    SELECT sd.doc_id,
+           count(*) AS n_shingles,
+           count(bench.s) AS n_contaminated,
+           round(count(bench.s)::DOUBLE / count(*)::DOUBLE, 6) AS contamination_frac,
+           count(bench.s)::DOUBLE / count(*)::DOUBLE >= 0.2 AS contaminated
+    FROM sd LEFT JOIN bench ON sd.s = bench.s
+    WHERE sd.bucket >= 5
+    GROUP BY sd.doc_id
+    """,
+    description=(
+        "Benchmark decontamination (GPT-3/Llama eval-overlap procedure): "
+        "flag training docs whose distinct 5-word shingles overlap the "
+        "held-out benchmark set (deterministic md5 carve-out, salt "
+        "'bench|'). The benchmark shingle set is broadcast (eval suites "
+        "are small by contract), so the corpus side is one scan, a local "
+        "hash join, and a doc_id groupBy — no corpus-sized shuffle."
+    ),
+    tags=("text", "extension", "pipeline", "dedup"),
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.decontaminate(docs)
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+    t AS (SELECT lang, doc_id, unnest(w) AS term FROM d),
+    stats AS (SELECT lang, term, count(*) AS tf, count(DISTINCT doc_id) AS df
+              FROM t GROUP BY 1, 2),
+    n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    scored AS (SELECT stats.lang, term, tf, df,
+                      round(tf * ln(1.0 + n_docs::DOUBLE / df::DOUBLE), 6) AS tfidf
+               FROM stats JOIN n ON stats.lang = n.lang),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    SELECT lang, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 10
+    """,
+    description=(
+        "TF-IDF corpus profiling: top-10 terms per language by "
+        "tf * ln(1 + N/df). Explode collapses map-side before the "
+        "(lang, term) shuffle; doc totals broadcast; the rank window runs "
+        "on the aggregated term relation, not the corpus. Scores rounded "
+        "before ranking + term tie-break = deterministic top-k."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.tfidf_top_terms(docs, k=10)
+
+
+#: per-language sampling percentages: downsample the dominant language,
+#: keep the rarest whole (corpus rebalancing).
+_SAMPLE_RATES = {"en": 25, "es": 50, "de": 50, "fr": 50, "zh": 100}
+
+
+@_register(
+    "stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, source,
+             {_bucket_sql("'sample|' || doc_id::VARCHAR")} AS bucket,
+             CASE lang WHEN 'en' THEN 25 WHEN 'es' THEN 50 WHEN 'de' THEN 50
+                       WHEN 'fr' THEN 50 WHEN 'zh' THEN 100 ELSE 50 END AS rate
+      FROM documents)
+    SELECT doc_id, lang, source, round(100.0 / rate, 6) AS weight
+    FROM b WHERE bucket < rate
+    """,
+    description=(
+        "Deterministic stratified sampling: per-language target rates "
+        "via salted md5 buckets (no RNG, reproducible on any engine / "
+        "partitioning), with Horvitz-Thompson weights (100/rate) emitted "
+        "so downstream aggregates can reweight to the population. Pure "
+        "filter projection — zero shuffle at any scale."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.stratified_sample(docs, _SAMPLE_RATES).select(
+        "doc_id", "lang", "source", "weight"
+    )
+
+
+_QUALITY_SQL = """
+    q AS (
+      SELECT doc_id, lang,
+             round(0.4 * least(1.0, len(w)::DOUBLE / 64.0)
+                 + 0.4 * (len(list_distinct(w))::DOUBLE / greatest(len(w), 1))
+                 + 0.2 * (1.0 - abs(len(list_filter(w,
+                       x -> x IN ('the','a','an','of','and','or','to','in')))::DOUBLE
+                       / greatest(len(w), 1) - 0.4)),
+                 6) AS quality_score
+      FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents))
+"""
+
+
+@_register(
+    "quality_median_filter",
+    f"""
+    WITH {_QUALITY_SQL},
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY quality_score, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS cnt
+          FROM q),
+    m AS (SELECT lang, quality_score AS median_quality
+          FROM r WHERE rn = (cnt + 1) // 2)
+    SELECT q.doc_id, q.lang, q.quality_score, m.median_quality,
+           q.quality_score >= m.median_quality AS kept
+    FROM q JOIN m ON q.lang = m.lang
+    """,
+    description=(
+        "Per-language exact-median quality cut: keep docs at or above "
+        "their language's lower median quality score — the "
+        "distribution-relative filter that survives per-language score "
+        "shifts. Exact rank median (reproducible) instead of an "
+        "engine-specific percentile sketch; the 5-row median table "
+        "broadcasts back onto the stats relation."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_quality_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.quality_median_filter(docs)
+
+
+#: deterministic PII injection — the corpus is PII-free (verified), so
+#: the scan is exercised on synthetic spans derived from doc_id; the
+#: injection is part of the query contract and mirrored in the oracle.
+def _inject_pii(doc_id, text):  # Column helpers
+    return F.concat(
+        text,
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com from 10.0."),
+        (doc_id % 256).cast("string"),
+        F.lit("."),
+        ((doc_id * 7) % 256).cast("string"),
+        F.lit(" ref "),
+        F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((doc_id % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+    )
+
+
+_INJECT_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.' "
+    "|| (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR "
+    "|| ' ref ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' "
+    "|| lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' "
+    "|| lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+_PII_EMAIL, _PII_IPV4, _PII_ID = (p for _, p in TX.PII_PATTERNS)
+
+
+@_register(
+    "pii_scan",
+    f"""
+    WITH injected AS (SELECT doc_id, {_INJECT_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT AS n_email,
+           len(regexp_extract_all(t, '{_PII_IPV4}'))::BIGINT AS n_ipv4,
+           len(regexp_extract_all(t, '{_PII_ID}'))::BIGINT AS n_id_number,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IPV4>', 'g'),
+               '{_PII_ID}', '<ID_NUMBER>', 'g')) AS redacted_md5
+    FROM injected
+    """,
+    description=(
+        "PII scan + redaction: per-doc match counts for email / IPv4 / "
+        "SSN-shaped ids and the md5 of the fully redacted text (verifies "
+        "regexp_replace byte-for-byte across engines). The corpus itself "
+        "is PII-free, so deterministic spans derived from doc_id are "
+        "injected first — the scan runs on real matches, not vacuous "
+        "zeros. Patterns live in the Java∩RE2 dialect (no lookaround); "
+        "DuckDB replace needs the explicit 'g' flag, Spark is global by "
+        "default. Pure codegen projections, zero shuffle."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    injected = docs.select(
+        "doc_id", _inject_pii(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    out = TX.pii_stats(injected)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_id_number",
+        F.md5(F.col("redacted_text")).alias("redacted_md5"),
+    )

@@ -1,0 +1,197 @@
+"""Round-2 pipeline operators: repetition filters, decontamination,
+TF-IDF, stratified sampling, median filtering, PII scan.
+
+Catalog-level cross-engine equality is covered by scripts/crosscheck.py
+and the vanilla gate; these tests pin the operator SEMANTICS on
+hand-built fixtures where the expected values are computable by eye,
+plus a DuckDB regex cross-check on synthetic PII strings (the corpus
+itself is PII-free, so the catalog row only proves the injected spans —
+this pins the raw patterns).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_start_spark.operators import text as TX
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+# ---------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------
+
+def test_repetition_stats_hand_values(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "en", "a a a a"),          # fully repeated
+            (2, "en", "a b c d"),          # all distinct
+            (3, "en", "x"),                # single word: bigram = whole text
+            (4, "en", "a b a b a"),        # top bigram 'a b' x2 of 4 bigrams
+        ],
+    )
+    out = {r["doc_id"]: r for r in TX.repetition_stats(df).collect()}
+    assert out[1]["dup_token_frac"] == 0.75
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_token_frac"] == 0.25
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_bigram_frac"] == 1.0  # degenerate single shingle
+    assert out[4]["top_bigram_frac"] == 0.5
+    assert out[4]["dup_token_frac"] == pytest.approx(3 / 5)
+
+
+# ---------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------
+
+def test_decontaminate_copy_of_bench_doc_is_fully_contaminated(spark):
+    # Find ids on both sides of the 5% carve-out deterministically.
+    probe = _docs(spark, [(i, "en", "x") for i in range(400)])
+    from flink_start_spark.functions.texthash import md5_bucket
+
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in probe.select("doc_id", md5_bucket(F.col("doc_id"), salt="bench|").alias("b")).collect()
+    }
+    bench_id = next(i for i, b in buckets.items() if b < 5)
+    train_ids = [i for i, b in buckets.items() if b >= 5][:3]
+
+    bench_text = "one two three four five six seven eight"
+    rows = [(bench_id, "en", bench_text)]
+    rows.append((train_ids[0], "en", bench_text))          # exact copy
+    rows.append((train_ids[1], "en", "alpha beta gamma delta epsilon zeta"))
+    rows.append((train_ids[2], "en", "one two three four five nine ten eleven"))
+    out = {r["doc_id"]: r for r in TX.decontaminate(_docs(spark, rows)).collect()}
+
+    assert bench_id not in out  # benchmark docs are not scored
+    assert out[train_ids[0]]["contamination_frac"] == 1.0
+    assert out[train_ids[0]]["contaminated"]
+    assert out[train_ids[1]]["contamination_frac"] == 0.0
+    assert not out[train_ids[1]]["contaminated"]
+    # shares exactly 'one two three four five' (1 of 4 distinct 5-shingles)
+    assert out[train_ids[2]]["n_contaminated"] == 1
+    assert out[train_ids[2]]["contamination_frac"] == 0.25
+
+
+# ---------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_weighted(spark):
+    rows = [(i, ["en", "zh"][i % 2], f"t {i}") for i in range(400)]
+    df = _docs(spark, rows)
+    rates = {"en": 25, "zh": 100}
+    a = sorted(r["doc_id"] for r in TX.stratified_sample(df, rates).collect())
+    b = sorted(r["doc_id"] for r in TX.stratified_sample(df, rates).collect())
+    assert a == b  # no RNG anywhere
+    out = TX.stratified_sample(df, rates)
+    per = {r["lang"]: r for r in out.groupBy("lang").agg(
+        F.count("*").alias("n"), F.first("weight").alias("w")).collect()}
+    assert per["zh"]["n"] == 200 and per["zh"]["w"] == 1.0  # rate 100 keeps all
+    assert 20 <= per["en"]["n"] <= 80 and per["en"]["w"] == 4.0
+    # Horvitz-Thompson: weighted sample total estimates the population
+    est = out.filter(F.col("lang") == "en").agg(F.sum("weight")).first()[0]
+    assert est == per["en"]["n"] * 4.0
+
+
+# ---------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------
+
+def test_tfidf_rare_term_outranks_ubiquitous_term(spark):
+    rows = [(i, "en", "common common rare" if i == 0 else "common common filler")
+            for i in range(10)]
+    out = TX.tfidf_top_terms(_docs(spark, rows), k=3)
+    ranked = {r["term"]: r for r in out.collect()}
+    # 'rare' df=1 beats 'common' df=10 despite tf 1 vs 20:
+    # 1*ln(11) = 2.40 vs 20*ln(2) = 13.86 — no wait, tf dominates here;
+    # assert the actual deterministic ordering instead of folklore.
+    assert ranked["common"]["rnk"] == 1  # tf=20 dominates
+    assert ranked["common"]["df"] == 10
+    assert ranked["rare"]["df"] == 1
+    assert all(r["rnk"] <= 3 for r in out.collect())
+
+
+def test_tfidf_k_bound_and_per_group(spark):
+    rows = [(i, ["en", "fr"][i % 2], "w%d w%d w" % (i, i)) for i in range(20)]
+    out = TX.tfidf_top_terms(_docs(spark, rows), k=2).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["rnk"])
+    assert set(by_lang) == {"en", "fr"}
+    assert all(sorted(v) == [1, 2] for v in by_lang.values())
+
+
+# ---------------------------------------------------------------------
+# quality_median_filter
+# ---------------------------------------------------------------------
+
+def test_quality_median_filter_keeps_upper_half(spark):
+    rows = [(i, "en", " ".join(f"w{j}" for j in range(i + 1))) for i in range(9)]
+    out = TX.quality_median_filter(_docs(spark, rows))
+    kept = sorted(r["doc_id"] for r in out.filter("kept").collect())
+    # quality rises with length here; lower median = 5th of 9 docs
+    assert kept == [4, 5, 6, 7, 8]
+    meds = out.select("median_quality").distinct().collect()
+    assert len(meds) == 1
+
+
+# ---------------------------------------------------------------------
+# pii_stats — synthetic strings, counts by eye + DuckDB regex parity
+# ---------------------------------------------------------------------
+
+PII_FIXTURE = [
+    (1, "en", "reach me at jane.doe+spam@mail.example.org or 192.168.1.254 ok"),
+    (2, "en", "ssn 123-45-6789 and backup 987-65-4321 end"),
+    (3, "en", "no pii here at all"),
+    (4, "en", "two mails a@b.co c.d@e.io one ip 8.8.8.8"),
+]
+
+
+def test_pii_counts_and_redaction(spark):
+    out = {r["doc_id"]: r for r in TX.pii_stats(_docs(spark, PII_FIXTURE)).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_id_number"]) == (1, 1, 0)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_id_number"]) == (0, 0, 2)
+    assert not out[3]["has_pii"]
+    assert (out[4]["n_email"], out[4]["n_ipv4"]) == (2, 1)
+    assert "<EMAIL>" in out[1]["redacted_text"]
+    assert "<IPV4>" in out[4]["redacted_text"]
+    assert "jane.doe" not in out[1]["redacted_text"]
+    assert "123-45-6789" not in out[2]["redacted_text"]
+
+
+def test_pii_patterns_match_duckdb_re2(spark):
+    """The catalog oracle only proves the injected spans; this pins the
+    raw patterns on adversarial strings in both engines."""
+    out = TX.pii_stats(_docs(spark, PII_FIXTURE))
+    spark_rows = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_id_number"], r["redacted_text"])
+        for r in out.collect()
+    }
+    con = duckdb.connect()
+    for doc_id, _, text in PII_FIXTURE:
+        (ne, ni, nid, red) = con.execute(
+            """
+            SELECT len(regexp_extract_all($t, $email)),
+                   len(regexp_extract_all($t, $ip)),
+                   len(regexp_extract_all($t, $id)),
+                   regexp_replace(regexp_replace(regexp_replace($t,
+                       $email, '<EMAIL>', 'g'), $ip, '<IPV4>', 'g'),
+                       $id, '<ID_NUMBER>', 'g')
+            """,
+            {
+                "t": text,
+                "email": TX.PII_PATTERNS[0][1],
+                "ip": TX.PII_PATTERNS[1][1],
+                "id": TX.PII_PATTERNS[2][1],
+            },
+        ).fetchone()
+        assert spark_rows[doc_id] == (ne, ni, nid, red), doc_id
