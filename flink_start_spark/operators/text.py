@@ -33,6 +33,39 @@ def _marker_score(words_col: Column, markers: list[str]) -> Column:
     return hits.cast("double") / F.greatest(F.size(words_col), F.lit(1)).cast("double")
 
 
+def quality_expr(ws: Column) -> Column:
+    """The composite quality score over a word array (unrounded) —
+    single-sourced so text_stats and the curation audit grade with the
+    identical formula."""
+    n_tokens = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    stop_hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    denom = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(64.0))
+        + F.lit(0.4) * (n_distinct.cast("double") / denom)
+        + F.lit(0.2) * (F.lit(1.0) - F.abs(stop_hits.cast("double") / denom - F.lit(0.4)))
+    )
+
+
+def clean_keep_expr(cw: Column) -> Column:
+    """C4/Gopher keep rules over the *normalized* word array —
+    single-sourced for clean_text and the curation audit."""
+    n_tokens = F.size(cw)
+    n_distinct = F.size(F.array_distinct(cw))
+    denom = F.greatest(n_tokens, F.lit(1)).cast("double")
+    avg_len = (
+        F.aggregate(cw, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / denom
+    )
+    return (
+        (n_tokens >= 16)
+        & (avg_len >= 2.0)
+        & (avg_len <= 12.0)
+        & (n_distinct.cast("double") / denom > 0.3)
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of marker-stopword frequency.
 
@@ -74,11 +107,7 @@ def text_stats(
         F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
         / F.greatest(n_tokens, F.lit(1)).cast("double")
     )
-    quality = (
-        F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(64.0))
-        + F.lit(0.4) * distinct_ratio
-        + F.lit(0.2) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4)))
-    )
+    quality = quality_expr(ws)
     return df.select(
         "doc_id",
         *extra_cols,
@@ -130,23 +159,11 @@ def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     clean = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     ws = F.split(clean, " ")
-    n_tokens = F.size(ws)
-    n_distinct = F.size(F.array_distinct(ws))
-    avg_len = (
-        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
-        / F.greatest(n_tokens, F.lit(1)).cast("double")
-    )
-    kept = (
-        (n_tokens >= 16)
-        & (avg_len >= 2.0)
-        & (avg_len <= 12.0)
-        & (n_distinct.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double") > 0.3)
-    )
     return df.select(
         "doc_id",
         clean.alias("clean_text"),
-        n_tokens.cast("long").alias("n_tokens"),
-        kept.alias("kept"),
+        F.size(ws).cast("long").alias("n_tokens"),
+        clean_keep_expr(ws).alias("kept"),
     )
 
 
