@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_start_spark.operators import curation as CU
 from flink_start_spark.operators import text as TX
 from flink_start_spark.plans.catalog import _register
 from flink_start_spark.sources.catalog import fan_out, load_table
@@ -278,3 +279,83 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_id_number",
         F.md5(F.col("redacted_text")).alias("redacted_md5"),
     )
+
+
+#: CASE expression for the per-language sample rates (oracle twin of
+#: _SAMPLE_RATES as applied by stratified_sample / curation_audit).
+_RATE_CASE = (
+    "CASE lang WHEN 'en' THEN 25 WHEN 'es' THEN 50 WHEN 'de' THEN 50 "
+    "WHEN 'fr' THEN 50 WHEN 'zh' THEN 100 ELSE 50 END"
+)
+
+
+@_register(
+    "curation_audit",
+    f"""
+    WITH nb AS (
+      SELECT doc_id, lang, text,
+             {_bucket_sql("'bench|' || doc_id::VARCHAR")} AS bench_bucket,
+             {_bucket_sql("'sample|' || doc_id::VARCHAR")} AS sample_bucket,
+             string_split(trim(text), ' ') AS w,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS cw
+      FROM documents),
+    flags AS (
+      SELECT doc_id, lang, text,
+             bench_bucket < 5 AS is_bench,
+             sample_bucket < ({_RATE_CASE}) AS sampled,
+             (len(cw) >= 16
+              AND list_sum(list_transform(cw, x -> len(x)))::DOUBLE / greatest(len(cw), 1) >= 2.0
+              AND list_sum(list_transform(cw, x -> len(x)))::DOUBLE / greatest(len(cw), 1) <= 12.0
+              AND len(list_distinct(cw))::DOUBLE / greatest(len(cw), 1) > 0.3) AS clean_kept,
+             round(0.4 * least(1.0, len(w)::DOUBLE / 64.0)
+                 + 0.4 * (len(list_distinct(w))::DOUBLE / greatest(len(w), 1))
+                 + 0.2 * (1.0 - abs(len(list_filter(w,
+                       x -> x IN ('the','a','an','of','and','or','to','in')))::DOUBLE
+                       / greatest(len(w), 1) - 0.4)),
+                 6) AS quality_score,
+             doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
+      FROM nb),
+    med AS (
+      SELECT lang, quality_score AS median_quality
+      FROM (SELECT lang, quality_score,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY quality_score, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS cnt
+            FROM flags)
+      WHERE rn = (cnt + 1) // 2),
+    sh AS (SELECT doc_id, bench_bucket, {_shingle_sql(5)} AS sh FROM nb),
+    sd AS (SELECT doc_id, bench_bucket, unnest(list_distinct(sh)) AS s FROM sh),
+    bench AS (SELECT DISTINCT s FROM sd WHERE bench_bucket < 5),
+    decon AS (
+      SELECT sd.doc_id,
+             count(bench.s)::DOUBLE / count(*)::DOUBLE >= 0.2 AS contaminated
+      FROM sd LEFT JOIN bench ON sd.s = bench.s
+      WHERE sd.bench_bucket >= 5
+      GROUP BY sd.doc_id)
+    SELECT f.doc_id, f.lang,
+           CASE WHEN f.is_bench THEN 'benchmark'
+                WHEN NOT f.clean_kept THEN 'failed_clean'
+                WHEN f.is_dup THEN 'duplicate'
+                WHEN coalesce(d.contaminated, FALSE) THEN 'contaminated'
+                WHEN f.quality_score < m.median_quality THEN 'low_quality'
+                WHEN NOT f.sampled THEN 'not_sampled'
+                ELSE 'kept' END AS status
+    FROM flags f
+    JOIN med m ON f.lang = m.lang
+    LEFT JOIN decon d ON f.doc_id = d.doc_id
+    """,
+    description=(
+        "End-to-end curation audit: per-document disposition through the "
+        "full stage chain (benchmark carve-out, C4/Gopher clean rules, "
+        "exact dedup, decontamination, per-language median quality cut, "
+        "stratified sampling) with first-fail precedence — the "
+        "composition proof for the pipeline story. Flags are evaluated "
+        "independently on one corpus scan (auditable formulation); the "
+        "only doc_id join is the aggregated decontamination relation. "
+        "Oracle composes the five already-green stage oracles."
+    ),
+    tags=("text", "extension", "pipeline", "curation"),
+)
+def q_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return CU.curation_audit(docs, _SAMPLE_RATES)
