@@ -12,7 +12,10 @@ is a thin adapter over its query catalog
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -35,9 +38,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return query_map()["tumbling_signup_count"](spark, SMOKE_SF_DIR)
 
 
+def _last_verified_round() -> dict[str, int]:
+    """Per-query: the latest round whose CORRECTNESS_r{N}.json checked it.
+
+    The driver's per-round correctness budget covers a prefix of
+    ``queries()``; with a growing catalog a fixed registration order
+    leaves the same suffix unverified every round. Reading the recorded
+    correctness runs lets the ordering rotate automatically so every
+    query is driver-verified within two rounds of its last check.
+    """
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                checked = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in checked:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ §2b)."""
-    return query_map()
+    """One entry per implemented operator from SURVEY.md §2 (+ §2b),
+    ordered least-recently-driver-verified first (never-verified at the
+    very front) so the driver's correctness budget always lands on the
+    stalest entries. Ties keep registration order (deterministic)."""
+    qm = query_map()
+    last = _last_verified_round()
+    names = sorted(qm, key=lambda n: (last.get(n, -1), list(qm).index(n)))
+    return {n: qm[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:

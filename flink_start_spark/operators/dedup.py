@@ -24,6 +24,8 @@ functions/texthash.py) so the DuckDB oracle reproduces every stage.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -177,17 +179,39 @@ def connected_components(
     step that turns pairwise matches into dedup groups (keep one doc
     per component, drop the rest).
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round takes the min of its label and its neighbors'
-    labels; converges in <= diameter rounds (near-dup components are
-    near-cliques, so typically 1-3). The loop is DRIVER-side control
-    flow over fully distributed steps — each round is one join + one
-    aggregation, the standard Spark shape for iterative graph
-    algorithms (GraphX/Pregel do exactly this per superstep; the
-    Large-Star/Small-Star variant drops the round count to
-    O(log diameter) at planetary scale). Each round materializes and
-    persists its label table and unpersists the previous one, so
-    lineage stays one round deep.
+    Min-label propagation PLUS per-round pointer jumping: every node
+    starts labeled with its own id; each round first takes the min of
+    its label and its neighbors' labels (propagation — reach grows by 1
+    hop), then replaces the result with THAT node's own label (pointer
+    jump — reach roughly doubles, the path-halving trick from
+    PRAM/union-find and the Large-Star family). Combined reach is
+    ~2^round, so convergence is O(log diameter) rounds instead of
+    O(diameter) — a 200-node chained-near-dup path converges in ~8
+    rounds where plain propagation needs 200 (pytest-pinned). Near-dup
+    components are near-cliques anyway (1-3 rounds); the jump is the
+    insurance for adversarial chain-shaped corpora. The loop is
+    DRIVER-side control flow over fully distributed steps — each round
+    is one edge join + one aggregation + one label self-join, the
+    standard Spark shape for iterative graph algorithms (GraphX/Pregel
+    do exactly this per superstep). Each round materializes its label
+    table with ``localCheckpoint(eager=True)`` — ``persist`` alone
+    caches DATA but not the PLAN, and with the label table referenced
+    twice per round the analyzed plan doubles every round (measured:
+    a 200-node path ran minutes of pure Catalyst analysis by round 9
+    on a 2^9-leaf plan). Checkpointing collapses each round to a
+    constant-size leaf; superseded round RDDs are freed by the
+    ContextCleaner as their references drop (the GraphFrames pattern).
+    On a cluster with dynamic allocation, swap in a reliable
+    ``sparkContext.setCheckpointDir`` + ``checkpoint()`` — local
+    checkpoints die with their executor.
+
+    The fixpoint (no label changed through both steps) implies labels
+    are constant across every edge, hence equal to the component min —
+    the jump can only relabel to an id in the same component, so the
+    invariant "cluster is a component member >= the component min"
+    holds throughout. If ``max_iters`` is hit with labels still
+    changing, a RuntimeWarning is raised — the return would otherwise
+    silently split components.
 
     Output: node (id), cluster (min id in its component). Only nodes
     appearing in ``pairs`` are labeled — singletons are implicit.
@@ -202,33 +226,61 @@ def connected_components(
         "cluster", F.col("node")
     )
     labels.persist().count()
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("cluster").alias("_nbr"))
         )
+        prop = labels.join(
+            nbr_min, labels["node"] == nbr_min["src"], "left"
+        ).select(
+            "node",
+            F.col("cluster").alias("_old"),
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("_nbr"), F.col("cluster"))
+            ).alias("_mid"),
+        )
+        # Pointer jump: _mid is itself a node id (labels are node ids by
+        # construction), so chase one level through the CURRENT label
+        # table. label(_mid) <= _mid, same component — pure shrink.
+        mapping = labels.select(
+            F.col("node").alias("_mnode"), F.col("cluster").alias("_mcluster")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            prop.join(mapping, prop["_mid"] == mapping["_mnode"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("cluster"), F.coalesce(F.col("_nbr"), F.col("cluster"))
+                    F.col("_mid"), F.coalesce(F.col("_mcluster"), F.col("_mid"))
                 ).alias("cluster"),
-                (
-                    F.col("cluster")
-                    != F.least(
-                        F.col("cluster"), F.coalesce(F.col("_nbr"), F.col("cluster"))
-                    )
-                ).alias("_changed"),
+                "_old",
+            )
+            .select(
+                "node",
+                "cluster",
+                (F.col("cluster") != F.col("_old")).alias("_changed"),
             )
         )
-        new_labels.persist()
+        # Materialize AND cut lineage: the checkpointed frame is a
+        # constant-size leaf, so round N+1's analysis cost is flat.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
-        labels.unpersist()
+        if labels.is_cached:
+            labels.unpersist()
         labels = new_labels.select("node", "cluster")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components hit max_iters={max_iters} with labels "
+            "still changing; returned clusters may split true components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    sym.unpersist()
     return labels
 
 

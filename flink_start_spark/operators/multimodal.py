@@ -7,19 +7,25 @@ frame-sampling run as Arrow-batched Pandas functions over
 streams through Python in Arrow batches with no driver involvement and
 no per-row pickling.
 
-The image/audio codec libraries are not in this container, so the decode
-step is STUBBED: ``decode_stub`` raises NotImplementedError and
-``fake_decode`` produces a deterministic fake (documented below). The
-Spark-side plumbing — schema, batch iteration, partitioning, UDF
-signatures — is real and oracle-tested (metadata extraction over real
-bytes).
+Decode comes in two tiers. The REAL decode (``pcm_decode``) parses a
+fixed binary layout — an 8-byte header (magic 'PCM1', uint16-BE sample
+rate, uint16-BE sample count) followed by int16-BE PCM samples — with
+``struct``/``numpy.frombuffer`` inside mapInPandas and emits audio
+features (duration, mean/peak amplitude, RMS); ``with_pcm_payload``
+synthesizes such payloads deterministically from the text column so
+the decode is oracle-checkable end to end. Image/video codec libraries
+(PIL/ffmpeg) are not in this container, so the image-shaped feature
+extractor ``fake_decode`` derives its values from sha256 instead —
+same plumbing, placeholder math (documented below).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -88,13 +94,102 @@ def binary_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, schema=BINARY_META_SCHEMA)
 
 
-def decode_stub(df: DataFrame) -> DataFrame:
-    """Real decode entry point — requires codec libs absent from this
-    container. Kept as the documented integration point."""
-    raise NotImplementedError(
-        "media decode requires PIL/torchaudio/ffmpeg, not available in "
-        "this environment; use fake_decode for pipeline testing"
+#: PCM payload layout (all multi-byte fields big-endian):
+#:   bytes 0-3   magic 'PCM1'
+#:   bytes 4-5   uint16 sample rate (Hz)
+#:   bytes 6-7   uint16 sample count n
+#:   bytes 8-..  n x int16 samples
+PCM_MAGIC = b"PCM1"
+PCM_RATE = 8000
+
+#: Real-decode output schema (audio features).
+PCM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("header_hex", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("duration_ms", T.DoubleType(), False),
+        T.StructField("mean_amp", T.DoubleType(), False),
+        T.StructField("peak_amp", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def with_pcm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a binary payload in the fixed PCM layout above, derived
+    deterministically from ``text_col``: sample i is the i-th character's
+    code point spread over the int16 range (``(cp*257) mod 2^16``,
+    two's-complement). Pure hex-string projections + one ``unhex`` —
+    engine-portable, so the DuckDB oracle reproduces every byte."""
+    text = F.col(text_col)
+    n = F.least(F.length(text), F.lit(65535))
+    chars = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text), F.lit(1))),
+            lambda i: text.substr(i, F.lit(1)),
+        ),
+        F.lit(1),
+        F.greatest(n, F.lit(1)),
     )
+    sample_hex = F.when(n == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                chars, lambda c: F.lpad(F.hex((F.ascii(c) * 257) % 65536), 4, "0")
+            ),
+            "",
+        )
+    )
+    header_hex = F.concat(
+        F.lit(PCM_MAGIC.hex().upper()),
+        F.lpad(F.hex(F.lit(PCM_RATE)), 4, "0"),
+        F.lpad(F.hex(n), 4, "0"),
+    )
+    return df.select(
+        "doc_id", F.unhex(F.concat(header_hex, sample_hex)).alias("payload")
+    )
+
+
+def pcm_decode(df: DataFrame) -> DataFrame:
+    """REAL binary decode: parse the PCM header with ``struct.unpack``,
+    the sample block with ``numpy.frombuffer``, and emit audio features
+    — the actual decode shape (header parse → typed sample array →
+    per-payload features) a production audio pipeline runs, minus only
+    the codec library. Arrow-batched mapInPandas; nothing touches the
+    driver."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in PCM_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != PCM_MAGIC:
+                    raise ValueError(f"doc {doc_id}: bad magic {b[:4]!r}")
+                rate, n = struct.unpack(">HH", b[4:8])
+                samples = np.frombuffer(b[8 : 8 + 2 * n], dtype=">i2").astype(
+                    np.int64
+                )
+                out["doc_id"].append(doc_id)
+                out["header_hex"].append(b[:8].hex().upper())
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                # No round() on the features: every partial sum here is an
+                # integer-valued float64 below 2^53 (|v| <= 32768, n <=
+                # 65535), so mean/rms are bit-identical across engines at
+                # full precision — while Python round (banker's) vs DuckDB
+                # round (half-away) could disagree on exact halves.
+                out["duration_ms"].append(n * 1000.0 / rate)
+                out["mean_amp"].append(float(samples.mean()) if n else 0.0)
+                out["peak_amp"].append(int(np.abs(samples).max()) if n else 0)
+                out["rms"].append(
+                    float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+                    if n
+                    else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema=PCM_FEATURE_SCHEMA)
 
 
 #: Frame-sample output: one row per sampled "frame" of a payload.

@@ -72,18 +72,31 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition up to engine parallelism, for CPU-heavy
-    per-row pipelines (hashing, gram extraction).
+    per-row pipelines (hashing, gram extraction) over a freshly-loaded
+    file scan.
 
     A small single-file parquet table arrives as ONE input split, which
     would serialize the whole hash pipeline on one core (measured: the
     sf0.1 documents table is a single 600 KB file → 1 partition → the
     char-gram MinHash stage pegged one of 32 cores for 8 s). The
     round-robin exchange moves only the raw input bytes — negligible
-    against the compute it unlocks. Never shrinks an already-split
-    input, so on a real cluster reading many files it is a no-op.
+    against the compute it unlocks. Never widens an input already split
+    across >= target files, so on a real cluster reading many files it
+    is a no-op.
+
+    The width probe is ``inputFiles()`` — analyzed-plan metadata, no
+    DataFrame→RDD conversion (``df.rdd.getNumPartitions()`` forces a
+    full physical-plan translation per call — measurable overhead when
+    operators compose). Contract: callers pass source scans (all call
+    sites do); a non-file relation reports zero files and gets the
+    repartition, which is the safe direction for in-memory test data.
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file plans where the probe itself fails
+        n_splits = 0
+    return df.repartition(target) if n_splits < target else df
 
 
 def load_tables(

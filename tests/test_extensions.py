@@ -101,6 +101,36 @@ def test_connected_components_path_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 8: 8, 9: 8}
 
 
+def test_connected_components_long_path_log_rounds(spark):
+    # 200-node path: plain min-label propagation needs ~200 rounds; the
+    # propagation+pointer-jump variant reaches 2^k - 1 hops after k
+    # rounds, so 8 rounds label everything and round 9 detects the
+    # fixpoint. max_iters=9 both pins the O(log diameter) bound and
+    # proves the convergence check — a warning here means regression.
+    import warnings as _w
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        rows = D.connected_components(pairs, max_iters=9).collect()
+    assert len(rows) == 201
+    assert {r["cluster"] for r in rows} == {0}
+
+
+def test_connected_components_warns_on_truncation(spark):
+    import warnings as _w
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="max_iters"):
+        labels = D.connected_components(pairs, max_iters=2)
+    # truncated labels are partial (multiple labels in one component)
+    assert len({r["cluster"] for r in labels.collect()}) > 1
+
+
 def test_winnowing_matches_python_reference(docs):
     out = {
         r["doc_id"]: r
@@ -243,10 +273,56 @@ def test_multimodal_metadata_roundtrip(spark):
     assert out[2]["n_bytes"] == 0 and out[2]["first_byte"] is None
 
 
-def test_multimodal_decode_stub_raises(spark):
-    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    with pytest.raises(NotImplementedError):
-        M.decode_stub(M.with_binary_payload(df))
+def test_pcm_payload_layout_and_decode(spark):
+    # 'é' (U+00E9 = 233) exercises the negative (two's-complement)
+    # sample branch: 233*257 = 59881 >= 32768 → -5655.
+    df = spark.createDataFrame(
+        [(1, "hé"), (2, "")], "doc_id long, text string"
+    )
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in M.with_pcm_payload(df).collect()
+    }
+    # byte-exact layout: magic, rate 8000, count, big-endian samples
+    b = payloads[1]
+    assert b[:4] == b"PCM1"
+    import struct as _struct
+
+    rate, n = _struct.unpack(">HH", b[4:8])
+    assert (rate, n) == (8000, 2)
+    h = (ord("h") * 257) % 65536  # 26728, positive
+    e = (ord("é") * 257) % 65536  # 59881 → int16 -5655
+    assert b[8:] == _struct.pack(">2H", h, e)
+    assert payloads[2] == b"PCM1" + _struct.pack(">HH", 8000, 0)
+
+    out = {
+        r["doc_id"]: r for r in M.pcm_decode(M.with_pcm_payload(df)).collect()
+    }
+    r1 = out[1]
+    assert r1["header_hex"] == b[:8].hex().upper()
+    assert (r1["sample_rate"], r1["n_samples"]) == (8000, 2)
+    assert r1["duration_ms"] == 2 * 1000.0 / 8000
+    signed = [26728, 59881 - 65536]
+    assert r1["mean_amp"] == sum(signed) / 2
+    assert r1["peak_amp"] == 26728
+    assert r1["rms"] == pytest.approx(
+        (sum(v * v for v in signed) / 2) ** 0.5, abs=0
+    )
+    r2 = out[2]
+    assert (r2["n_samples"], r2["mean_amp"], r2["peak_amp"], r2["rms"]) == (
+        0,
+        0.0,
+        0,
+        0.0,
+    )
+
+
+def test_pcm_decode_rejects_bad_magic(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"XXXX\x1f\x40\x00\x00"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="bad magic"):
+        M.pcm_decode(df).collect()
 
 
 def test_fake_frame_sample_shapes(spark):
