@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from flink_start_spark import cache
 from flink_start_spark.plans import QUERIES
 from flink_start_spark.session import get_spark
 
@@ -34,7 +35,10 @@ def _run_once(spark, name: str, sf_dir: str) -> float:
     # sweep would accumulate them into memory pressure that degrades
     # later queries (measured 2x on the full catalog). Each query pays
     # for its own cache materialization inside the timed window; the
-    # drop afterwards keeps queries independent.
+    # release afterwards (the cache-ownership contract,
+    # flink_start_spark/cache.py) keeps queries independent; clearCache
+    # is the belt-and-suspenders sweep for anything untracked.
+    cache.release()
     spark.catalog.clearCache()
     return dt
 

@@ -1,0 +1,64 @@
+"""Session cache-ownership contract.
+
+Several operators ``persist()`` an intermediate that the RETURNED
+(lazy) DataFrame references from two branches of one plan — e.g. both
+sides of an LSH self-join, or both confirm sides of a Jaccard check.
+The cache must therefore outlive the operator call: unpersisting before
+the caller's action would silently re-run the whole upstream pipeline
+once per branch (the exact regression the persist exists to prevent).
+But Spark never garbage-collects SQL caches — the CacheManager holds
+them until ``unpersist()``/``clearCache()`` — so a long-lived session
+composing many operators accumulates them without bound (measured in
+round 1: 50+ queries in one session doubled late-query times).
+
+The contract that resolves the tension:
+
+- Operators register every internal persist through :func:`track`
+  instead of calling ``persist()`` directly.
+- Whoever runs the action calls :func:`release` AFTER materializing the
+  result (``bench.py`` does per timed query; the correctness gates run
+  one query per comparison; ``tests/test_cache_hygiene.py`` pins that
+  release leaves the CacheManager empty).
+- Caches an operator fully consumes internally (e.g. the per-round
+  label tables in ``connected_components``) stay self-managed — they
+  are unpersisted in-function and never registered here.
+
+``release`` is idempotent and safe to call between queries of a
+long-lived session; it only touches caches this library created.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK — spills instead of failing at
+    scale) and register it for the next :func:`release`."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release() -> int:
+    """Unpersist every tracked cache (blocking=False — async drop, the
+    caller never waits on executor cleanup). Returns how many were
+    still cached. Call after materializing an operator's result."""
+    n = 0
+    for df in _TRACKED:
+        try:
+            if df.is_cached:
+                df.unpersist()
+                n += 1
+        except Exception:
+            # a stopped/replaced session makes unpersist moot
+            pass
+    _TRACKED.clear()
+    return n
+
+
+def tracked_count() -> int:
+    """How many caches are currently registered (for tests/monitoring)."""
+    return len(_TRACKED)

@@ -29,6 +29,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_start_spark import cache as C
 from flink_start_spark.functions import texthash as TH
 from flink_start_spark.sources.catalog import fan_out
 
@@ -120,11 +121,9 @@ def minhash_candidate_pairs(
     # the whole shingle→digest→signature pipeline per reference; persist
     # the tiny band-key relation (bands rows x ~50B per doc) so it is
     # computed once. MEMORY_AND_DISK spills instead of failing at scale.
-    # NOTE: SQL caches are NOT garbage-collected — they stay registered
-    # in the CacheManager until unpersist()/clearCache(); long-lived
-    # sessions running many queries must drop caches between them (see
-    # bench.py).
-    exploded = exploded.persist()
+    # Registered with cache.track — callers release() after their action
+    # (see flink_start_spark/cache.py for the ownership contract).
+    exploded = C.track(exploded)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -158,8 +157,8 @@ def minhash_near_dups(
         fan_out(df)
         .select(F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh"))
         .select(F.col(id_col), F.array_distinct(F.col("_sh")).alias("sh"))
-        .persist()
     )
+    sh = C.track(sh)
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -347,10 +346,10 @@ def winnowing_shared_pairs(
       generator's inferred size()>0 filter reads the cache instead of
       cloning the gram pipeline (the InferFiltersFromGenerate trap).
     """
-    base = (
-        winnowing_fingerprints(df, content_col, id_col, k, w)
-        .select(F.col(id_col), F.col("fps"))
-        .persist()
+    base = C.track(
+        winnowing_fingerprints(df, content_col, id_col, k, w).select(
+            F.col(id_col), F.col("fps")
+        )
     )
     e = base.select(F.col(id_col), F.explode("fps").alias("fp"))
     rare = (
@@ -359,7 +358,7 @@ def winnowing_shared_pairs(
         .filter(F.col("_df") <= max_df)
         .select("fp")
     )
-    postings = e.join(rare, "fp").persist()
+    postings = C.track(e.join(rare, "fp"))
     n_kept = postings.groupBy(id_col).agg(F.count("*").alias("n_fps"))
     a, b = postings.alias("a"), postings.alias("b")
     shared = (
@@ -429,7 +428,7 @@ def simhash_near_dups(
     Output: id_a, id_b, hamming.
     """
     # persist: the block self-join references the simhash pipeline twice
-    sh = simhash_values(df, content_col, id_col, shingle_n).persist()
+    sh = C.track(simhash_values(df, content_col, id_col, shingle_n))
     # stack(), not explode/union — see minhash_candidate_pairs plan rules
     key_cols = sh.select(
         id_col,

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_start_spark import cache as C
 from flink_start_spark.functions import vector as V
 
 
@@ -96,14 +97,16 @@ def lsh_topk(
         key_fn = lambda col, b: V.sign_bits(col, bits, offset=b * bits)  # noqa: E731
 
     def keyed(df: DataFrame, prefix: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
-            *[
-                key_fn(F.col(vec_col), b).alias(f"{prefix}_band{b}")
-                for b in range(bands)
-            ],
-        ).persist()
+        return C.track(
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                *[
+                    key_fn(F.col(vec_col), b).alias(f"{prefix}_band{b}")
+                    for b in range(bands)
+                ],
+            )
+        )
 
     def stacked(df: DataFrame, prefix: str) -> DataFrame:
         pairs = ", ".join(f"{b}, {prefix}_band{b}" for b in range(bands))
@@ -225,7 +228,7 @@ def precompute_cells(
     cell-id equi-join — never a training pass.
     """
     centroids = deterministic_centroids(candidates, n_cells, id_col, vec_col)
-    centroids.persist()
+    C.track(centroids)
     assigned = assign_cells(candidates, centroids, id_col, vec_col)
     return assigned, centroids
 
@@ -362,7 +365,8 @@ def lsh_near_dup_pairs(
             V.sign_bits(F.col(vec_col), bits, offset=b * bits).alias(f"band{b}")
             for b in range(bands)
         ],
-    ).persist()
+    )
+    keyed = C.track(keyed)
     pairs = ", ".join(f"{b}, band{b}" for b in range(bands))
     stacked = keyed.selectExpr(id_col, f"stack({bands}, {pairs}) AS (band, key)")
     a, bb = stacked.alias("a"), stacked.alias("b")

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_start_spark import cache as C
 from flink_start_spark.functions import texthash as TH
 from flink_start_spark.functions import vector as V
 from flink_start_spark.operators import dedup as D
@@ -260,7 +261,8 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.filter(_char_grams(F.col("text"), 8), lambda g: F.length(g) == 8)
         ).alias("_g"),
-    ).persist()
+    )
+    grams = C.track(grams)
     pairs = grams.select(
         "doc_id",
         *[
@@ -277,9 +279,9 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *[TH.band_key(F.col("_sig"), b, 8).alias(f"_k{b}") for b in range(2)]
     )
     # persist: the self-join would otherwise run digests+signature twice
-    stacked = keys.selectExpr(
-        "doc_id", "stack(2, 0, _k0, 1, _k1) AS (band, key)"
-    ).persist()
+    stacked = C.track(
+        keys.selectExpr("doc_id", "stack(2, 0, _k0, 1, _k1) AS (band, key)")
+    )
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(

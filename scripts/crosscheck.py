@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
+from flink_start_spark import cache
 from flink_start_spark.plans import QUERIES
 from flink_start_spark.session import get_spark
 
@@ -54,6 +55,8 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            cache.release()  # per-query cache ownership (cache.py)
         if q.oracle is None:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
             continue

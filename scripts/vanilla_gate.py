@@ -29,6 +29,7 @@ def main() -> int:
 
     spark = SparkSession.builder.master("local[8]").appName("vanilla_gate").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    from flink_start_spark import cache
     from flink_start_spark.plans import QUERIES
 
     con = duckdb.connect()
@@ -69,6 +70,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {str(e).splitlines()[0][:140]}")
             fails += 1
+        finally:
+            cache.release()  # per-query cache ownership (cache.py)
     print(f"\nvanilla exact gate: {len(queries) - fails}/{len(queries)} passed")
     return 1 if fails else 0
 
