@@ -164,7 +164,15 @@ def session_window_stream(
     """Session windows (the reference's declared future goal,
     README.md:33): per-key sessions closed after ``gap`` of inactivity.
     Spark merges/extends session state incrementally; the watermark
-    finalizes sessions."""
+    finalizes sessions.
+
+    Late-data contract (pytest-pinned in tests/test_streaming.py): an
+    event older than the watermark arriving AFTER its session was
+    evicted+emitted is dropped (numRowsDroppedByWatermark) — emitted
+    sessions are final, never reopened or re-emitted. One measured
+    nuance: eviction happens after the batch's input merge, so a late
+    row landing in the same micro-batch that evicts its session still
+    merges in — a one-batch grace, not a reopen."""
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))

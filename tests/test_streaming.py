@@ -211,6 +211,55 @@ def test_streaming_session_windows(spark, tmp_path):
     assert "zz_sentinel" not in per_user  # its own session never finalizes
 
 
+def test_streaming_session_late_event_does_not_reopen(spark, tmp_path):
+    # The watermark-semantics corner for sessions (the reference's own
+    # late-drop spec, src/main/resources/README.md): once the watermark
+    # passes a session's end and the session is EMITTED, it is final —
+    # a later event landing inside the closed session's time range must
+    # be dropped (numRowsDroppedByWatermark), not reopen the session,
+    # extend it, or spawn a second row for the same key. Measured
+    # nuance pinning the batch layout here: Spark merges a batch's
+    # input into session state BEFORE evicting by watermark, so a late
+    # row arriving in the SAME micro-batch that evicts the session
+    # still merges in (a grace quirk, not a reopen). The late row
+    # therefore arrives one batch AFTER the eviction batch:
+    #   b0: bob :02,:03    → open session [02, 08)
+    #   b1: advance :01:00 → max event time 13:01:00 seen
+    #   b2: advance_b      → runs with watermark 13:00:59.5 → bob's
+    #                        session evicted + emitted HERE
+    #   b3: LATE bob :04   — inside the emitted [02, 08) interval
+    #   b4: advance2 :02:00 → would flush any state b3 wrongly created
+    batches = [
+        [
+            (1, "bob", "online", "2025-08-03T13:00:02Z"),
+            (2, "bob", "online", "2025-08-03T13:00:03Z"),
+        ],
+        [(3, "advance", "online", "2025-08-03T13:01:00Z")],
+        [(4, "advance_b", "online", "2025-08-03T13:01:01Z")],
+        [(5, "bob", "online", "2025-08-03T13:00:04Z")],
+        [(6, "advance2", "online", "2025-08-03T13:02:00Z")],
+    ]
+    src = _write_batches(tmp_path, "late_sess", batches)
+    stream = stream_user_activity(spark, src)
+    out = session_window_stream(stream, gap="5 seconds", key_col="user_id")
+    table = run_to_memory(out, "late_sess_sink", "append")
+    bob = [
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in table.collect()
+        if r["user_id"] == "bob"
+    ]
+    # exactly ONE bob session, byte-identical to the pre-late-event
+    # session: [13:00:02, 13:00:08), 2 events — the late :04 neither
+    # reopened it nor spawned a second row
+    assert len(bob) == 1, bob
+    start, end, n = bob[0]
+    assert (start.isoformat(), end.isoformat(), n) == (
+        "2025-08-03T13:00:02",
+        "2025-08-03T13:00:08",
+        2,
+    )
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     batches = [
         [(1, "bob", "register", "2025-08-03T13:00:02Z")],
