@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_start_spark.functions import texthash as TH
+from flink_start_spark.sources.catalog import fan_out
 
 #: Marker stopwords per language for the n-gram/stopword heuristic.
 #: Deterministic tie order = list order (first match wins on equal score).
@@ -404,3 +405,71 @@ def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         c = F.col(f"n_{name}") > 0
         has_pii = c if has_pii is None else (has_pii | c)
     return out.withColumn("redacted_text", redacted).withColumn("has_pii", has_pii)
+
+
+def ngram_novelty(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word
+    ``n``-grams appearing NOWHERE else in the corpus (corpus document
+    frequency == 1). Low novelty flags boilerplate/template documents;
+    high novelty plus low quality flags gibberish — the df-profile
+    companion to the dedup family.
+
+    Shape at 100 TB: one explode, one gram-keyed count aggregation, one
+    gram join back, one doc-keyed aggregation. Unlike the pairing
+    operators there is NO self-join, so hot grams only add counting
+    rows, never quadratic pairs — no df-cut needed.
+    Output: id, n_shingles (distinct), novel_frac (round 6).
+    """
+    sh = fan_out(df).select(
+        F.col(id_col),
+        F.array_distinct(TH.shingles(F.col(content_col), n)).alias("_sh"),
+    )
+    e = sh.select(F.col(id_col), F.explode("_sh").alias("g"))
+    dfreq = e.groupBy("g").agg(F.count("*").alias("_df"))
+    return (
+        e.join(dfreq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("_novel"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.round(F.col("_novel") / F.col("n_shingles"), 6).alias("novel_frac"),
+        )
+    )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wrs",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): each row draws u ~ U(0,1) and scores u^(1/weight); the
+    top-k scores ARE a weight-proportional sample without replacement.
+    u comes from the first 48 bits of a salted md5 — no RNG, so the
+    sample is reproducible on any engine, partitioning, or run, and the
+    DuckDB oracle re-derives it exactly.
+
+    Shape at 100 TB: score is a pure projection; top-k is
+    sort+limit, which Spark executes as TakeOrderedAndProject —
+    per-partition heaps merged once, NO total sort, no full shuffle.
+    """
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**12))
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.select(F.col(id_col), F.col(weight_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, weight_col, F.round("score", 6).alias("score"))
+    )

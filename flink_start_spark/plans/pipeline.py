@@ -359,3 +359,118 @@ _RATE_CASE = (
 def q_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, "documents", sf_dir))
     return CU.curation_audit(docs, _SAMPLE_RATES)
+
+
+# ---------------------------------------------------------------------
+# Round 3: novelty profiling, weighted reservoir sampling, Z-order layout
+# ---------------------------------------------------------------------
+
+@_register(
+    "ngram_novelty",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id, list_distinct({_shingle_sql(3)}) AS sh FROM d),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    f AS (SELECT g, count(*) AS df FROM e GROUP BY g)
+    SELECT e.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           round(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS novel_frac
+    FROM e JOIN f USING (g)
+    GROUP BY e.doc_id
+    """,
+    description=(
+        "Per-document n-gram novelty: share of a doc's distinct 3-word "
+        "shingles with corpus document-frequency 1. Low novelty flags "
+        "boilerplate/templates, high novelty + low quality flags "
+        "gibberish. No self-join anywhere — hot shingles only add "
+        "counting rows (vs the pairing operators' quadratic risk), so "
+        "no df-cut is needed at 100 TB."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.ngram_novelty(docs, "text", "doc_id", n=3)
+
+
+_WRS_NIB = "strpos('0123456789abcdef', substr(md5('wrs|' || doc_id::VARCHAR), {i}, 1)) - 1"
+_WRS_U = "((" + " + ".join(
+    f"({_WRS_NIB.format(i=i + 1)}) * {16 ** (11 - i)}" for i in range(12)
+) + f") / {float(16 ** 12)})"
+
+
+@_register(
+    "weighted_reservoir_sample",
+    f"""
+    SELECT doc_id, n_chars, round(pow({_WRS_U}, 1.0 / n_chars), 6) AS score
+    FROM documents
+    ORDER BY pow({_WRS_U}, 1.0 / n_chars) DESC, doc_id
+    LIMIT 100
+    """,
+    description=(
+        "Length-weighted sampling without replacement (Efraimidis-"
+        "Spirakis A-Res): score = u^(1/weight) with u derived from a "
+        "salted md5, top-k scores = the weighted sample. Deterministic "
+        "(no RNG) so reproducible across engines/partitionings; Spark "
+        "executes the top-k as TakeOrderedAndProject (per-partition "
+        "heaps, no total sort, no full shuffle)."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.weighted_reservoir_sample(docs, "n_chars", k=100)
+
+
+def _zorder_sql_terms(xe: str, ye: str, bits: int = 16) -> str:
+    # each term fully parenthesized (SQL '+' binds tighter than '<<')
+    # and the bit cast to BIGINT before shifting (INT32 1<<31 overflows)
+    terms = []
+    for j in range(bits):
+        terms.append(f"(((({xe} % 65536) >> {j}) & 1)::BIGINT << {2 * j + 1})")
+        terms.append(f"(((({ye} % 65536) >> {j}) & 1)::BIGINT << {2 * j})")
+    return " + ".join(terms)
+
+
+@_register(
+    "zorder_locality_stats",
+    f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             ({_zorder_sql_terms('l_partkey', 'l_suppkey')})::BIGINT AS zkey
+      FROM lineitem)
+    SELECT (zkey >> 12)::BIGINT AS z_bucket,
+           count(*)::BIGINT AS n_rows,
+           min(l_partkey)::BIGINT AS min_part, max(l_partkey)::BIGINT AS max_part,
+           min(l_suppkey)::BIGINT AS min_supp, max(l_suppkey)::BIGINT AS max_supp
+    FROM z GROUP BY 1
+    """,
+    description=(
+        "Z-order (Morton) clustering key over (l_partkey, l_suppkey) "
+        "with per-z-range min/max stats — the data-skipping layout "
+        "mechanic behind OPTIMIZE ZORDER: each z-range is a small "
+        "rectangle in both dimensions at once, so parquet row-group "
+        "min/max prunes on either column. Key construction is pure "
+        "codegen'd shift/mask arithmetic (operators/layout.py), "
+        "bit-identical in the oracle; tests/test_layout.py proves the "
+        "skipping empirically on written files."
+    ),
+    tags=("layout", "extension"),
+)
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.operators import layout as L
+
+    li = load_table(spark, "lineitem", sf_dir)
+    z = li.select(
+        "l_partkey",
+        "l_suppkey",
+        L.zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+    )
+    return z.groupBy(F.shiftright("zkey", 12).cast("long").alias("z_bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").cast("long").alias("min_part"),
+        F.max("l_partkey").cast("long").alias("max_part"),
+        F.min("l_suppkey").cast("long").alias("min_supp"),
+        F.max("l_suppkey").cast("long").alias("max_supp"),
+    )

@@ -274,8 +274,9 @@ def test_multimodal_metadata_roundtrip(spark):
 
 
 def test_pcm_payload_layout_and_decode(spark):
-    # 'é' (U+00E9 = 233) exercises the negative (two's-complement)
-    # sample branch: 233*257 = 59881 >= 32768 → -5655.
+    # 'é' (UTF-8 0xC3 0xA9) exercises both the multibyte rule (one
+    # sample per byte) and the negative (two's-complement) branch:
+    # 0xC3*257 = 50115 → -15421, 0xA9*257 = 43433 → -22103.
     df = spark.createDataFrame(
         [(1, "hé"), (2, "")], "doc_id long, text string"
     )
@@ -289,10 +290,9 @@ def test_pcm_payload_layout_and_decode(spark):
     import struct as _struct
 
     rate, n = _struct.unpack(">HH", b[4:8])
-    assert (rate, n) == (8000, 2)
-    h = (ord("h") * 257) % 65536  # 26728, positive
-    e = (ord("é") * 257) % 65536  # 59881 → int16 -5655
-    assert b[8:] == _struct.pack(">2H", h, e)
+    assert (rate, n) == (8000, 3)
+    expected = [bb * 257 for bb in "hé".encode()]  # byte duplicated
+    assert b[8:] == _struct.pack(">3H", *expected)
     assert payloads[2] == b"PCM1" + _struct.pack(">HH", 8000, 0)
 
     out = {
@@ -300,13 +300,13 @@ def test_pcm_payload_layout_and_decode(spark):
     }
     r1 = out[1]
     assert r1["header_hex"] == b[:8].hex().upper()
-    assert (r1["sample_rate"], r1["n_samples"]) == (8000, 2)
-    assert r1["duration_ms"] == 2 * 1000.0 / 8000
-    signed = [26728, 59881 - 65536]
-    assert r1["mean_amp"] == sum(signed) / 2
-    assert r1["peak_amp"] == 26728
+    assert (r1["sample_rate"], r1["n_samples"]) == (8000, 3)
+    assert r1["duration_ms"] == 3 * 1000.0 / 8000
+    signed = [v - 65536 if v >= 32768 else v for v in expected]
+    assert r1["mean_amp"] == sum(signed) / 3
+    assert r1["peak_amp"] == max(abs(v) for v in signed)
     assert r1["rms"] == pytest.approx(
-        (sum(v * v for v in signed) / 2) ** 0.5, abs=0
+        (sum(v * v for v in signed) / 3) ** 0.5, abs=0
     )
     r2 = out[2]
     assert (r2["n_samples"], r2["mean_amp"], r2["peak_amp"], r2["rms"]) == (

@@ -1,0 +1,123 @@
+"""Physical-layout operators (operators/layout.py): bucketed tables
+join with zero exchanges; Z-order layout makes parquet min/max stats
+prune on both dimensions.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from flink_start_spark.operators import layout as L
+from flink_start_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = (
+        spark.range(0, 300, 7)
+        .select(
+            F.col("id").alias("x"),
+            (F.col("id") * 13 % 997).alias("y"),
+            L.zorder_key(F.col("id"), F.col("id") * 13 % 997).alias("z"),
+        )
+        .collect()
+    )
+
+    def interleave(x, y, bits=16):
+        x, y = x % (1 << bits), y % (1 << bits)
+        out = 0
+        for j in range(bits):
+            out |= ((x >> j) & 1) << (2 * j + 1)
+            out |= ((y >> j) & 1) << (2 * j)
+        return out
+
+    for r in rows:
+        assert r["z"] == interleave(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_layout_tightens_file_stats(spark, tmp_path):
+    # Empirical data-skipping proof: after zorder_layout, each output
+    # file covers a small rectangle in BOTH dimensions, so the summed
+    # per-file min/max ranges shrink vs the natural (orderkey) layout —
+    # that range sum is exactly what parquet row-group pruning keys on.
+    li = load_table(spark, "lineitem", SF_DIR).select("l_partkey", "l_suppkey")
+    naive_dir, z_dir = str(tmp_path / "naive"), str(tmp_path / "zorder")
+    li.repartition(16).write.mode("overwrite").parquet(naive_dir)
+    # declared bit-widths MSB-align the 8-bit partkey and 4-bit suppkey
+    # so the interleave partitions BOTH dimensions (see quantize())
+    L.zorder_layout(
+        li, "l_partkey", "l_suppkey", partitions=16, x_bits=8, y_bits=4
+    ).write.mode("overwrite").parquet(z_dir)
+
+    def range_frac(d, col):
+        spans, lo_all, hi_all = [], None, None
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.read_metadata(f)
+            if md.num_rows == 0:
+                continue
+            idx = {md.schema.column(j).name: j for j in range(md.num_columns)}[col]
+            stats = [
+                md.row_group(i).column(idx).statistics
+                for i in range(md.num_row_groups)
+            ]
+            lo, hi = min(s.min for s in stats), max(s.max for s in stats)
+            spans.append(hi - lo)
+            lo_all = lo if lo_all is None else min(lo_all, lo)
+            hi_all = hi if hi_all is None else max(hi_all, hi)
+        # average per-file span as a fraction of the global range
+        return (sum(spans) / len(spans)) / max(hi_all - lo_all, 1)
+
+    for col in ("l_partkey", "l_suppkey"):
+        naive, z = range_frac(naive_dir, col), range_frac(z_dir, col)
+        # random layout: every file spans ~the full range (frac ≈ 1);
+        # z-order: 16 files ≈ 4 z-bits → each dimension split ~4 ways
+        # (range-partitioner boundaries are sampled, hence the slack)
+        assert naive > 0.8, (col, naive)
+        assert z < 0.55 * naive, (col, naive, z)
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_quantity"
+    )
+    try:
+        L.write_bucketed(
+            orders, "t_orders_b", ["o_orderkey"], 8, path=str(tmp_path / "ob")
+        )
+        L.write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b",
+            ["o_orderkey"],
+            8,
+            path=str(tmp_path / "lb"),
+        )
+        ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        with_bucket = ob.join(lb, "o_orderkey").groupBy("o_orderkey").agg(
+            F.sum("l_quantity").alias("qty"), F.first("o_totalprice").alias("tp")
+        )
+        # force sort-merge so the test can't pass via broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = with_bucket._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # and the result is still correct vs the unbucketed join
+            expect = (
+                orders.join(li, orders.o_orderkey == li.l_orderkey)
+                .groupBy("o_orderkey")
+                .count()
+                .count()
+            )
+            assert with_bucket.count() == expect
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
