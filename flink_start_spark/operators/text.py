@@ -416,10 +416,13 @@ def ngram_novelty(
     high novelty plus low quality flags gibberish — the df-profile
     companion to the dedup family.
 
-    Shape at 100 TB: one explode, one gram-keyed count aggregation, one
-    gram join back, one doc-keyed aggregation. Unlike the pairing
-    operators there is NO self-join, so hot grams only add counting
-    rows, never quadratic pairs — no df-cut needed.
+    Shape at 100 TB: ONE scan — explode, then corpus document
+    frequency as a count window partitioned by gram (first shuffle),
+    then the per-doc aggregation (second shuffle). The groupBy+join
+    formulation has the same two shuffles but re-runs the scan+explode
+    for each join side (plan-audited); the window form shares one.
+    Unlike the pairing operators there is NO self-join, so hot grams
+    only add counting rows, never quadratic pairs — no df-cut needed.
     Output: id, n_shingles (distinct), novel_frac (round 6).
     """
     sh = fan_out(df).select(
@@ -427,10 +430,9 @@ def ngram_novelty(
         F.array_distinct(TH.shingles(F.col(content_col), n)).alias("_sh"),
     )
     e = sh.select(F.col(id_col), F.explode("_sh").alias("g"))
-    dfreq = e.groupBy("g").agg(F.count("*").alias("_df"))
+    with_df = e.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
     return (
-        e.join(dfreq, "g")
-        .groupBy(id_col)
+        with_df.groupBy(id_col)
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("_novel"),
