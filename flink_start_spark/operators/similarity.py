@@ -399,3 +399,60 @@ def lsh_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors with an error
+    audit — the 4x storage/bandwidth lever for a 100 TB embedding
+    store (float32 -> int8 is what FAISS/ScaNN ship to disk; cosine
+    ranking degrades by ~the emitted error bounds).
+
+    Per-vector max-abs scale; code_i = floor(x_i / scale * 127) (floor,
+    not round — Python/Java round-half-even vs SQL round-half-away is a
+    cross-engine trap; floor is portable); dequant_i = code_i * scale /
+    127. Emits the integer code checksums (sum, L1) pinning every code
+    exactly, plus max|x - dequant| and cosine(original, dequantized).
+    Pure per-row array projections — zero shuffle at any scale.
+    """
+    zero = F.lit(0).cast("double")
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("_x"),
+        )
+        .withColumn("_scale", F.array_max(F.transform("_x", F.abs)))
+        .withColumn(
+            "_q",
+            F.when(
+                F.col("_scale") == 0,
+                F.transform(F.col("_x"), lambda v: F.lit(0).cast("long")),
+            ).otherwise(
+                F.transform(
+                    F.col("_x"), lambda v: F.floor(v / F.col("_scale") * 127)
+                )
+            ),
+        )
+        .withColumn(
+            "_d",
+            F.transform(F.col("_q"), lambda q: q * F.col("_scale") / 127),
+        )
+    )
+    err = F.array_max(
+        F.zip_with(F.col("_x"), F.col("_d"), lambda x, d: F.abs(x - d))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.round(F.col("_scale"), 6).alias("scale"),
+        F.aggregate(F.col("_q"), F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "q_sum"
+        ),
+        F.aggregate(
+            F.col("_q"), F.lit(0).cast("long"), lambda a, v: a + F.abs(v)
+        ).alias("q_l1"),
+        F.round(err, 6).alias("max_abs_err"),
+        F.when(F.col("_scale") == 0, F.lit(1.0))
+        .otherwise(F.round(V.cosine(F.col("_x"), F.col("_d")), 6))
+        .alias("cos_orig_deq"),
+    )

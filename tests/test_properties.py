@@ -153,3 +153,101 @@ def test_shingles_match_python_reference(spark, texts):
         else:
             expected = [t.strip()]
         assert s == expected, repr(t)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 5000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 10),
+)
+def test_weighted_reservoir_matches_python_a_res(spark, rows, k):
+    import hashlib as _h
+
+    from flink_start_spark.operators.text import weighted_reservoir_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [
+        r["doc_id"]
+        for r in weighted_reservoir_sample(df, "n_chars", k=k).collect()
+    ]
+
+    def score(doc_id, w):
+        u = int(_h.md5(f"wrs|{doc_id}".encode()).hexdigest()[:12], 16) / 16**12
+        return u ** (1.0 / w)
+
+    expect = [
+        d for d, w in sorted(rows, key=lambda t: (-score(*t), t[0]))[:k]
+    ]
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=25),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_ngram_novelty_matches_python_reference(spark, texts):
+    from flink_start_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["novel_frac"])
+        for r in ngram_novelty(df, "text", "doc_id", n=3).collect()
+    }
+
+    def sh(t):
+        # \s+ split like texthash.words (runs collapse); empty text
+        # falls through to the whole-trimmed-text shingle
+        w = [x for x in t.strip().split()] or [""]
+        if len(w) >= 3:
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        return {t.strip()}
+
+    all_sh = [sh(t) for t in texts]
+    from collections import Counter
+
+    df_count = Counter(g for s in all_sh for g in s)
+    for i, s in enumerate(all_sh):
+        novel = sum(1 for g in s if df_count[g] == 1)
+        assert got[i][0] == len(s), (i, texts[i])
+        assert got[i][1] == round(novel / len(s), 6), (i, texts[i])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_quantize_int8_codes_match_python(spark, vecs):
+    import math
+
+    from flink_start_spark.operators.similarity import quantize_int8
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    import numpy as np
+
+    for i, v in rows:
+        x = [float(np.float32(e)) for e in v]
+        scale = max(abs(e) for e in x)
+        q = [0] * len(x) if scale == 0 else [math.floor(e / scale * 127) for e in x]
+        assert got[i]["q_sum"] == sum(q), (i, v)
+        assert got[i]["q_l1"] == sum(abs(c) for c in q), (i, v)
