@@ -29,6 +29,13 @@ _REPRESENTATIVE = [
     "token_frequencies",
     "dedup_clusters",
     "train_val_split",
+    # round 3 families: real decode, novelty, reservoir, layout, int8
+    "multimodal_real_decode",
+    "ngram_novelty",
+    "weighted_reservoir_sample",
+    "zorder_locality_stats",
+    "embedding_quantization_audit",
+    "curation_audit",
 ]
 
 
