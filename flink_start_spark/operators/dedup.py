@@ -462,3 +462,69 @@ def simhash_near_dups(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def passage_dedup(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    passage_words: int = 20,
+) -> DataFrame:
+    """Passage-level exact dedup — the CCNet/RefinedWeb paragraph-dedup
+    stage (Wenzek '19 §4.1, Penedo '23 §3.3: drop repeated paragraphs
+    across the corpus, keep each at its first occurrence, reassemble the
+    trimmed documents). The canonical split is on newlines; this corpus
+    is single-line word streams, so the passage unit is non-overlapping
+    ``passage_words``-word chunks — same operator shape, documented
+    split rule.
+
+    Topology (scale path): one posexplode (corpus -> passages), one
+    groupBy on the passage md5 with a map-side partial ``min(struct(id,
+    pos))`` — boilerplate passages repeated millions of times collapse
+    to one row per partition before the exchange, so hot passages do
+    not skew the shuffle — then one equi-join back and one groupBy(id)
+    to reassemble. No self-join, no window over the passage hash.
+
+    Output per document: passage counts, kept fraction, and the md5 of
+    the reassembled deduplicated text (byte-exact contract with the
+    DuckDB oracle; emitting the hash keeps the result compact while
+    still pinning every surviving byte).
+    """
+    w = passage_words
+    ws = TH.words(F.col(content_col))
+    n_chunks = F.greatest(
+        F.ceil(F.size(ws) / F.lit(float(w))), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "),
+    )
+    hashed = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "passage")
+    ).withColumn("ph", F.md5("passage"))
+    # Referenced by both the first-occurrence aggregate and the
+    # join-back; without the cache the split/chunk pipeline runs twice.
+    hashed = C.track(hashed)
+    first = hashed.groupBy("ph").agg(
+        F.min(F.struct(id_col, "pos")).alias("fst")
+    )
+    flagged = hashed.join(first, "ph").withColumn(
+        "kept",
+        (F.col(id_col) == F.col(f"fst.{id_col}"))
+        & (F.col("pos") == F.col("fst.pos")),
+    )
+    kept_passages = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("pos", "passage")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.round(
+            F.sum(F.col("kept").cast("int")) / F.count("*"), 6
+        ).alias("kept_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(kept_passages, lambda s: s["passage"]), " "
+            )
+        ).alias("dedup_md5"),
+    )

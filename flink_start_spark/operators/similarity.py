@@ -456,3 +456,64 @@ def quantize_int8(
         .otherwise(F.round(V.cosine(F.col("_x"), F.col("_d")), 6))
         .alias("cos_orig_deq"),
     )
+
+
+def semdedup_flags(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas '23): semantic dedup by clustering embeddings,
+    then pruning, within each cluster, vectors whose cosine to another
+    cluster member exceeds ``threshold``. The deterministic survivor
+    rule is keep-smallest-id: a vector is pruned iff some SMALLER-id
+    vector in its cell is above the threshold — one survivor per
+    semantic duplicate group, same rule as the exact-dedup tier.
+
+    Reuses the ingest-time IVF build (:func:`precompute_cells`) as the
+    clustering step, so query time is one cell-keyed self-join over
+    cell-sized blocks — the paper's design point: pairwise cost is
+    |cell|^2, held constant by scaling the cluster count with the
+    corpus (n_cells ~ n/1000 at 100 TB; 16 here to match the oracle's
+    mirrored quantizer). At that cell count the join key has millions
+    of distinct values — no hot-key skew.
+
+    Output: every input vector with its cell, the max cosine to any
+    smaller-id cell-mate (null when alone in its cell), and the pruned
+    flag. Emitting flags (not the filtered corpus) keeps the row count
+    stable and lets downstream stages choose drop vs. downweight.
+    """
+    assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col)
+    # Both sides of the self-join and the final projection read it.
+    assigned = C.track(assigned)
+    a = assigned.select(
+        F.col(id_col).alias("_a_id"), F.col(vec_col).alias("_av"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_b_id"), F.col(vec_col).alias("_bv"), "cell"
+    )
+    scored = (
+        a.join(b, "cell")
+        .where(F.col("_a_id") < F.col("_b_id"))
+        .select(
+            F.col("_b_id").alias(id_col),
+            F.round(V.cosine(F.col("_av"), F.col("_bv")), 6).alias("_cos"),
+        )
+    )
+    mx = scored.groupBy(id_col).agg(
+        F.max("_cos").alias("max_cosine_smaller")
+    )
+    return (
+        assigned.select(id_col, F.col("cell").cast("bigint").alias("cell"))
+        .join(mx, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "max_cosine_smaller",
+            F.coalesce(
+                F.col("max_cosine_smaller") >= threshold, F.lit(False)
+            ).alias("pruned"),
+        )
+    )

@@ -1208,3 +1208,39 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return M.pcm_decode(M.with_pcm_payload(docs))
+
+
+@_register(
+    "semdedup_flags",
+    f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+             embedding AS center
+      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQDIST('e.embedding', 'c.center')}, c.cell) AS rk
+        FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+    p AS (
+      SELECT b.vec_id, {_COS.replace("qv", "a.embedding").replace("cv", "b.embedding")} AS c
+      FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id),
+    m AS (SELECT vec_id, max(c) AS max_cosine_smaller FROM p GROUP BY vec_id)
+    SELECT a.vec_id, a.cell::BIGINT AS cell, m.max_cosine_smaller,
+           coalesce(m.max_cosine_smaller >= 0.99, false) AS pruned
+    FROM assigned a LEFT JOIN m USING (vec_id)
+    """,
+    description=(
+        "SemDeDup (Abbas '23) semantic dedup: cluster embeddings with "
+        "the ingest-time IVF quantizer, then within each cell flag "
+        "vectors whose cosine to a smaller-id cell-mate exceeds 0.99 "
+        "(keep-smallest-id survivor rule). Pairwise cost is bounded by "
+        "the cell size - the cluster count scales with the corpus, so "
+        "the cell-keyed self-join stays linear at 100 TB."
+    ),
+    tags=("similarity", "extension", "pipeline", "dedup"),
+)
+def q_semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.semdedup_flags(emb, n_cells=16, threshold=0.99)

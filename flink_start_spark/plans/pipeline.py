@@ -521,3 +521,44 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return S.quantize_int8(emb, "embedding", "vec_id")
+
+
+@_register(
+    "passage_dedup",
+    """
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    c AS (SELECT doc_id,
+            [struct_pack(pos := i,
+                         passage := array_to_string(w[(i*20+1):((i+1)*20)], ' '))
+             FOR i IN range(0, greatest(cast(ceil(len(w)/20.0) AS BIGINT), 1))] AS cl
+          FROM d),
+    e AS (SELECT doc_id, unnest(cl, recursive := true) FROM c),
+    h AS (SELECT doc_id, pos, passage, md5(passage) AS ph FROM e),
+    f AS (SELECT ph, min(struct_pack(doc_id := doc_id, pos := pos)) AS fst
+          FROM h GROUP BY ph),
+    k AS (SELECT h.doc_id, h.pos, h.passage,
+                 (h.doc_id = f.fst.doc_id AND h.pos = f.fst.pos) AS kept
+          FROM h JOIN f USING (ph))
+    SELECT doc_id,
+           count(*)::BIGINT AS n_passages,
+           count_if(kept)::BIGINT AS n_kept,
+           round(count_if(kept) / count(*)::DOUBLE, 6) AS kept_frac,
+           md5(coalesce(string_agg(CASE WHEN kept THEN passage END, ' ' ORDER BY pos), ''))
+             AS dedup_md5
+    FROM k GROUP BY doc_id
+    """,
+    description=(
+        "Passage-level exact dedup (CCNet/RefinedWeb paragraph stage): "
+        "split every document into 20-word passages, keep each distinct "
+        "passage only at its global first occurrence (min (doc_id, pos)), "
+        "reassemble the trimmed documents. Map-side partial min on the "
+        "passage hash collapses boilerplate hot keys before the "
+        "exchange; dedup_md5 pins the reassembled text byte-exactly."
+    ),
+    tags=("text", "extension", "pipeline", "dedup"),
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.operators import dedup as D
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return D.passage_dedup(docs, "text", "doc_id", passage_words=20)

@@ -29,6 +29,8 @@ PERSIST_HEAVY = [
     "embedding_near_dup_lsh",
     "ann_topk_lsh",
     "ann_topk_rp_lsh",
+    "passage_dedup",
+    "semdedup_flags",
 ]
 
 

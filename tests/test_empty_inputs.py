@@ -36,6 +36,8 @@ _REPRESENTATIVE = [
     "zorder_locality_stats",
     "embedding_quantization_audit",
     "curation_audit",
+    "passage_dedup",
+    "semdedup_flags",
 ]
 
 

@@ -195,3 +195,78 @@ def test_pii_patterns_match_duckdb_re2(spark):
             },
         ).fetchone()
         assert spark_rows[doc_id] == (ne, ni, nid, red), doc_id
+
+
+# ---------------------------------------------------------------------
+# passage_dedup
+# ---------------------------------------------------------------------
+
+def test_passage_dedup_first_occurrence_wins(spark):
+    """A passage repeated across docs survives only at its global first
+    occurrence (min (doc_id, pos)); later copies are dropped and the
+    reassembled text reflects only surviving passages."""
+    from flink_start_spark.operators.dedup import passage_dedup
+
+    shared = " ".join(f"w{i}" for i in range(4))  # one 4-word passage
+    df = _docs(
+        spark,
+        [
+            (1, "en", shared + " " + "tail1 tail2 tail3 tail4"),
+            (2, "en", shared + " " + "only2 only2b only2c only2d"),
+            (3, "en", shared),  # every passage a duplicate -> nothing kept
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(df, "text", "doc_id", passage_words=4).collect()
+    }
+    assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_passages"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["n_passages"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["kept_frac"] == 0.0
+    # md5('') for the fully-deduplicated doc
+    assert out[3]["dedup_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
+    import hashlib
+
+    assert (
+        out[2]["dedup_md5"]
+        == hashlib.md5(b"only2 only2b only2c only2d").hexdigest()
+    )
+
+
+def test_passage_dedup_within_doc_repeat(spark):
+    """A passage repeated WITHIN one doc keeps only the earliest pos."""
+    from flink_start_spark.operators.dedup import passage_dedup
+
+    p = "x1 x2"
+    df = _docs(spark, [(7, "en", f"{p} {p} {p}")])
+    row = passage_dedup(df, "text", "doc_id", passage_words=2).collect()[0]
+    assert row["n_passages"] == 3 and row["n_kept"] == 1
+
+
+# ---------------------------------------------------------------------
+# semdedup_flags
+# ---------------------------------------------------------------------
+
+def test_semdedup_prunes_larger_id_duplicate(spark):
+    """Identical vectors land in the same cell; the larger id is pruned
+    (cosine 1.0 to a smaller-id cell-mate), the smaller survives. A
+    vector alone in its cell has a null max cosine and is kept."""
+    from flink_start_spark.operators.similarity import semdedup_flags
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, w)], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_flags(df, n_cells=2, threshold=0.99).collect()
+    }
+    dup_a, dup_b = out[1], out[2]
+    assert dup_a["cell"] == dup_b["cell"]
+    survivors = [r for r in out.values() if not r["pruned"]]
+    pruned = [r for r in out.values() if r["pruned"]]
+    assert [r["vec_id"] for r in pruned] == [2]  # larger id of the pair
+    assert dup_b["max_cosine_smaller"] == 1.0
+    assert len(survivors) == 2
