@@ -517,3 +517,66 @@ def semdedup_flags(
             ).alias("pruned"),
         )
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm), engine-exact variant.
+
+    The classic blocker for oracle-checking k-means is that float mean
+    recomputation is summation-order-dependent, so no two engines agree
+    bit-for-bit. This variant makes every iteration exactly mirrorable:
+
+    - init: the deterministic md5-ranked sample (same quantizer seed
+      rule as IVF — :func:`deterministic_centroids`);
+    - assign: argmin squared-L2 against the broadcast centroid table,
+      ties broken by cell id (``min_by`` struct — map-side collapse);
+    - recompute: per-(cell, dimension) means as INTEGER-quantized
+      partial sums (``sum(floor(val * 2^20)) / (n * 2^20)``), the
+      ``lang_centroid_outliers`` trick — integer addition commutes, so
+      the recomputed centroids are bit-identical across engines and
+      partitionings, which makes every subsequent assignment round
+      deterministic too.
+
+    Scale shape per round: one scan + broadcast-nested-loop against k
+    rows collapsed map-side, one posexplode + (cell, pos) partial-sum
+    groupBy (k*dim output rows), one k-row assembly. Centroid tables
+    are persisted between rounds so the lazy plan restarts from k rows
+    instead of re-deriving the full history. Empty cells simply drop
+    out (both engines recompute from the same assignment relation).
+
+    Output: each vector's final cell plus the cell population —
+    pinning the full clustering — as ``vec_id, cell, cell_size``.
+    """
+    quant = 1 << 20
+    cents = deterministic_centroids(emb, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_cells(emb, cents, id_col, vec_col)
+        by_pos = assigned.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = by_pos.groupBy("cell", "pos").agg(
+            (
+                F.sum(F.floor(F.col("val").cast("double") * quant))
+                / (F.count("*") * float(quant))
+            ).alias("m")
+        )
+        cents = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("center")
+        )
+        cents = C.track(cents)
+    final = assign_cells(emb, cents, id_col, vec_col).select(
+        F.col(id_col), F.col("cell").cast("bigint").alias("cell")
+    )
+    sizes = final.groupBy("cell").agg(F.count("*").alias("cell_size"))
+    return final.join(F.broadcast(sizes), "cell").select(
+        id_col, "cell", "cell_size"
+    )

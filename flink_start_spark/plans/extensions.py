@@ -1244,3 +1244,72 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return S.semdedup_flags(emb, n_cells=16, threshold=0.99)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations mirroring similarity.kmeans_lloyd:
+    md5-ranked init, argmin-sq-L2 assignment (ties by cell), integer-
+    quantized mean recompute — bit-identical centroids each round."""
+    parts = [
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+             embedding AS center
+      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQDIST('e.embedding', 'c.center')}, c.cell) AS rk
+        FROM embeddings e CROSS JOIN c{i - 1} c) WHERE rk = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+      SELECT cell, t.i AS pos,
+             sum(floor(embedding[t.i]::DOUBLE * 1048576))::DOUBLE
+               / (count(*) * 1048576.0) AS m
+      FROM a{i}, range(1, 65) t(i) GROUP BY cell, t.i)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+      SELECT cell, list(m ORDER BY pos) AS center FROM m{i} GROUP BY cell)"""
+        )
+    parts.append(
+        f"""fin AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQDIST('e.embedding', 'c.center')}, c.cell) AS rk
+        FROM embeddings e CROSS JOIN c{iters} c) WHERE rk = 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT vec_id, cell::BIGINT AS cell,
+           count(*) OVER (PARTITION BY cell)::BIGINT AS cell_size
+    FROM fin"""
+    )
+
+
+@_register(
+    "kmeans_clusters",
+    _kmeans_oracle(8, 3),
+    description=(
+        "Distributed k-means (Lloyd's, 3 iterations, k=8) made engine-"
+        "exact: md5-ranked deterministic init, argmin-L2 assignment "
+        "with cell-id tie-break, and INTEGER-QUANTIZED mean recompute "
+        "(sum(floor(val*2^20))/(n*2^20)) so recomputed centroids are "
+        "bit-identical across engines and partitionings - the trick "
+        "that makes an iterative float algorithm oracle-checkable. Per "
+        "round: one scan, broadcast-k assignment collapsed map-side, "
+        "(cell,dim) partial-sum groupBy. Emits the full clustering "
+        "(vec_id, cell, cell_size)."
+    ),
+    tags=("similarity", "extension", "iterative"),
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.kmeans_lloyd(emb, k=8, iters=3)

@@ -31,6 +31,7 @@ PERSIST_HEAVY = [
     "ann_topk_rp_lsh",
     "passage_dedup",
     "semdedup_flags",
+    "kmeans_clusters",
 ]
 
 

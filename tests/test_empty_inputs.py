@@ -38,6 +38,7 @@ _REPRESENTATIVE = [
     "curation_audit",
     "passage_dedup",
     "semdedup_flags",
+    "kmeans_clusters",
 ]
 
 

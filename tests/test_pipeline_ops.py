@@ -270,3 +270,28 @@ def test_semdedup_prunes_larger_id_duplicate(spark):
     assert [r["vec_id"] for r in pruned] == [2]  # larger id of the pair
     assert dup_b["max_cosine_smaller"] == 1.0
     assert len(survivors) == 2
+
+
+# ---------------------------------------------------------------------
+# kmeans_clusters
+# ---------------------------------------------------------------------
+
+def test_kmeans_duplicates_share_cell_and_sizes_sum(spark):
+    """Identical vectors must land in the same cell (deterministic
+    argmin); cell sizes partition the input; repeated runs agree."""
+    from flink_start_spark.operators.similarity import kmeans_lloyd
+
+    rows = [(i, [float(i % 3), float((i * 7) % 5), 0.25, 1.0]) for i in range(20)]
+    rows += [(100, [9.0, 9.0, 9.0, 9.0]), (101, [9.0, 9.0, 9.0, 9.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, k=3, iters=2).collect()
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    assert cells[100] == cells[101]
+    assert len(out) == 22
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r["cell"], set()).add(r["cell_size"])
+    for cell, declared in sizes.items():
+        assert declared == {sum(1 for c in cells.values() if c == cell)}
+    again = {r["vec_id"]: r["cell"] for r in kmeans_lloyd(df, k=3, iters=2).collect()}
+    assert again == cells
