@@ -108,3 +108,62 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived 100 TB table needs. Streaming sinks and fine-grained
+    ingest leave thousands of KB-scale parquet files; each costs a
+    task, a footer read, and an open/close round-trip, so scan cost
+    becomes file-count-bound instead of byte-bound (the classic
+    small-files problem; Delta/Iceberg ``OPTIMIZE`` is this operator).
+
+    Rewrites ``path`` in place to ``ceil(bytes / target_file_bytes)``
+    files. Without a clustering key the rewrite is a round-robin
+    ``repartition`` (even output sizes, no data-dependent skew). With
+    ``sort_within_by`` it is ``repartitionByRange`` + local sort:
+    round-robin scatters every key range across every output file, so
+    a within-file sort alone CANNOT tighten min/max spans (measured —
+    spans stayed at the full keyspace); range partitioning gives each
+    file one contiguous key slice, which is what restores parquet
+    min/max skipping. The rewrite goes through a temp sibling directory
+    then a rename swap: readers of ``path`` never observe a
+    half-written mix of old and new files.
+
+    Returns ``{"files_before", "files_after", "bytes"}``. Content is
+    preserved row-for-row (pinned by tests/test_layout.py).
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    files = [
+        f
+        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+        + _glob.glob(_os.path.join(path, "part-*"))
+        if _os.path.isfile(f)
+    ]
+    total = sum(_os.path.getsize(f) for f in set(files))
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        df = df.repartitionByRange(n_out, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        df = df.repartition(n_out)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old)
+    after = len(
+        [f for f in _glob.glob(_os.path.join(path, "part-*")) if _os.path.isfile(f)]
+    )
+    return {"files_before": len(set(files)), "files_after": after, "bytes": total}

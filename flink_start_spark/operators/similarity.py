@@ -488,18 +488,33 @@ def semdedup_flags(
     assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col)
     # Both sides of the self-join and the final projection read it.
     assigned = C.track(assigned)
+    # Norms are per-row, not per-pair: computing them in the keyed
+    # projections (before the join) instead of inside a per-pair
+    # cosine cuts ~2/3 of the join-side flops with bit-identical
+    # results (same sqrt of the same double accumulation, same final
+    # division tree as V.cosine).
     a = assigned.select(
-        F.col(id_col).alias("_a_id"), F.col(vec_col).alias("_av"), "cell"
+        F.col(id_col).alias("_a_id"),
+        F.col(vec_col).alias("_av"),
+        V.norm(F.col(vec_col)).alias("_an"),
+        "cell",
     )
     b = assigned.select(
-        F.col(id_col).alias("_b_id"), F.col(vec_col).alias("_bv"), "cell"
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_bv"),
+        V.norm(F.col(vec_col)).alias("_bn"),
+        "cell",
     )
     scored = (
         a.join(b, "cell")
         .where(F.col("_a_id") < F.col("_b_id"))
         .select(
             F.col("_b_id").alias(id_col),
-            F.round(V.cosine(F.col("_av"), F.col("_bv")), 6).alias("_cos"),
+            F.round(
+                V.dot(F.col("_av"), F.col("_bv"))
+                / (F.col("_an") * F.col("_bn")),
+                6,
+            ).alias("_cos"),
         )
     )
     mx = scored.groupBy(id_col).agg(

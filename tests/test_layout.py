@@ -121,3 +121,45 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_compact_small_files_preserves_content(spark, tmp_path):
+    """Compaction collapses a many-small-file table to few files with
+    identical content; readers see old-or-new, never a mix."""
+    from flink_start_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") % 97)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before = spark.read.parquet(path)
+    expected = sorted((r["id"], r["v"]) for r in before.collect())
+
+    stats = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] < stats["files_before"]
+    got = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert got == expected
+
+
+def test_compact_sort_within_restores_minmax_spans(spark, tmp_path):
+    """sort_within_by re-clusters rows so per-file min/max spans shrink
+    versus the shuffled layout (what makes skipping work again)."""
+    import glob
+    import pyarrow.parquet as pq
+
+    from flink_start_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "clust")
+    spark.range(0, 50_000).withColumn("k", F.col("id")).repartition(32).write.parquet(
+        path
+    )
+    compact_small_files(spark, path, target_file_bytes=200_000, sort_within_by=["k"])
+    spans = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.read_metadata(f)
+        lo = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        spans.append(hi - lo)
+    assert len(spans) >= 2
+    # each sorted output file covers ~1/n of the keyspace, not all of it
+    assert max(spans) < 50_000 / 2
