@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_start_spark import cache as C
 from flink_start_spark.functions import texthash as TH
 from flink_start_spark.sources.catalog import fan_out
 
@@ -474,4 +475,53 @@ def weighted_reservoir_sample(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
         .select(id_col, weight_col, F.round("score", 6).alias("score"))
+    )
+
+
+def vocab_oov_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 20,
+) -> DataFrame:
+    """Tokenizer-prep vocabulary audit: build the top-``vocab_size``
+    term vocabulary by global frequency (ties by term, so the cut is
+    deterministic), then score every document's out-of-vocabulary token
+    fraction — the coverage/OOV curve a tokenizer-training pipeline
+    sweeps before fixing its vocab.
+
+    Scale shape: term counts are one explode + one groupBy with
+    map-side combine (hot terms collapse pre-shuffle); the vocabulary
+    selection is a distributed top-k (``TakeOrderedAndProject``, no
+    total sort); the vocab table (thousands of rows at any corpus
+    size — a tokenizer vocab, not a corpus) broadcasts back onto the
+    token relation, so per-doc scoring is one more groupBy on the id.
+    The token relation feeds both the count and scoring branches, so
+    it is cache-tracked (one corpus scan total).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(TH.words(F.col(text_col))).alias("term")
+    )
+    toks = C.track(toks)
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), "term")
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("oov_frac"),
+        )
     )

@@ -562,3 +562,31 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, "documents", sf_dir))
     return D.passage_dedup(docs, "text", "doc_id", passage_words=20)
+
+
+@_register(
+    "vocab_oov_stats",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+               FROM documents),
+    cnt AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+    v AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 20)
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           (count(*) - count(v.term))::BIGINT AS n_oov,
+           round((count(*) - count(v.term)) / count(*)::DOUBLE, 6) AS oov_frac
+    FROM t LEFT JOIN v ON t.term = v.term
+    GROUP BY t.doc_id
+    """,
+    description=(
+        "Tokenizer-prep vocabulary audit: top-20 global-frequency "
+        "vocabulary (deterministic tie-break by term), then per-document "
+        "out-of-vocabulary token fraction. Term counts collapse map-side; "
+        "vocab selection is a distributed top-k (TakeOrderedAndProject); "
+        "the vocab broadcasts back onto the single-scan token relation."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.vocab_oov_stats(docs, "text", "doc_id", vocab_size=20)

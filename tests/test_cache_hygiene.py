@@ -32,6 +32,7 @@ PERSIST_HEAVY = [
     "passage_dedup",
     "semdedup_flags",
     "kmeans_clusters",
+    "vocab_oov_stats",
 ]
 
 

@@ -39,6 +39,7 @@ _REPRESENTATIVE = [
     "passage_dedup",
     "semdedup_flags",
     "kmeans_clusters",
+    "vocab_oov_stats",
 ]
 
 

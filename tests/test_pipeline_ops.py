@@ -295,3 +295,40 @@ def test_kmeans_duplicates_share_cell_and_sizes_sum(spark):
         assert declared == {sum(1 for c in cells.values() if c == cell)}
     again = {r["vec_id"]: r["cell"] for r in kmeans_lloyd(df, k=3, iters=2).collect()}
     assert again == cells
+
+
+# ---------------------------------------------------------------------
+# vocab_oov_stats
+# ---------------------------------------------------------------------
+
+def test_vocab_oov_hand_values(spark):
+    """vocab_size=1 keeps only the most frequent term ('a'); every
+    other token counts as OOV."""
+    from flink_start_spark.operators.text import vocab_oov_stats
+
+    df = _docs(
+        spark,
+        [
+            (1, "en", "a a b"),
+            (2, "en", "a c"),
+            (3, "en", "b c d"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in vocab_oov_stats(df, vocab_size=1).collect()
+    }
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (3, 1)
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (2, 1)
+    assert (out[3]["n_tokens"], out[3]["n_oov"]) == (3, 3)
+    assert out[3]["oov_frac"] == 1.0
+
+
+def test_vocab_tie_break_is_lexicographic(spark):
+    """Equal-frequency terms at the vocab cut are admitted in term
+    order — the determinism contract."""
+    from flink_start_spark.operators.text import vocab_oov_stats
+
+    df = _docs(spark, [(1, "en", "z y x w")])  # all freq 1
+    out = vocab_oov_stats(df, vocab_size=2).collect()[0]
+    # vocab = {'w','x'} (lexicographic among ties) -> 'y','z' are OOV
+    assert out["n_oov"] == 2

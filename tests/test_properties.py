@@ -251,3 +251,126 @@ def test_quantize_int8_codes_match_python(spark, vecs):
         q = [0] * len(x) if scale == 0 else [math.floor(e / scale * 127) for e in x]
         assert got[i]["q_sum"] == sum(q), (i, v)
         assert got[i]["q_l1"] == sum(abs(c) for c in q), (i, v)
+
+
+# ---------------------------------------------------------------------
+# passage_dedup vs a pure-python reference
+# ---------------------------------------------------------------------
+
+def _passage_dedup_ref(docs: dict[int, str], w: int) -> dict[int, tuple[int, int, str]]:
+    """Independent reference: first-occurrence-wins over (doc_id, pos)."""
+    import math
+
+    chunks = {}
+    for did in sorted(docs):
+        # mirror split(trim, \s+): empty text -> ['']
+        ws = docs[did].strip().split() or [""]
+        n = max(1, math.ceil(len(ws) / w))
+        chunks[did] = [" ".join(ws[i * w : (i + 1) * w]) for i in range(n)]
+    seen = {}
+    for did in sorted(chunks):
+        for pos, p in enumerate(chunks[did]):
+            seen.setdefault(p, (did, pos))
+    out = {}
+    for did, cl in chunks.items():
+        kept = [p for pos, p in enumerate(cl) if seen[p] == (did, pos)]
+        out[did] = (len(cl), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_passage_dedup_matches_reference(spark, texts):
+    import hashlib
+
+    from flink_start_spark.operators.dedup import passage_dedup
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["dedup_md5"])
+        for r in passage_dedup(df, "text", "doc_id", passage_words=3).collect()
+    }
+    ref = _passage_dedup_ref(docs, 3)
+    want = {
+        did: (n, k, hashlib.md5(txt.encode()).hexdigest())
+        for did, (n, k, txt) in ref.items()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------
+# kmeans_lloyd vs a pure-python Lloyd mirror
+# ---------------------------------------------------------------------
+
+def _kmeans_ref(vecs: dict[int, list[float]], k: int, iters: int):
+    """Same deterministic algorithm in plain python: md5-ranked init,
+    argmin-sq-L2 with cell tie-break, quantized mean recompute."""
+    import hashlib
+    import math
+
+    Q = 1 << 20
+    ranked = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = {c: [float(x) for x in vecs[i]] for c, i in enumerate(ranked[:k])}
+
+    def assign(cs):
+        a = {}
+        for i, v in vecs.items():
+            best = min(
+                cs,
+                key=lambda c: (sum((x - y) * (x - y) for x, y in zip(v, cs[c])), c),
+            )
+            a[i] = best
+        return a
+
+    for _ in range(iters):
+        a = assign(cents)
+        new = {}
+        for c in set(a.values()):
+            members = [vecs[i] for i in a if a[i] == c]
+            dim = len(members[0])
+            new[c] = [
+                sum(math.floor(m[d] * Q) for m in members) / (len(members) * Q)
+                for d in range(dim)
+            ]
+        cents = new
+    return assign(cents)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_kmeans_matches_python_lloyd(spark, vecs):
+    from flink_start_spark.operators.similarity import kmeans_lloyd
+
+    data = {i: v for i, v in enumerate(vecs)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in data.items()], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_lloyd(df, k=2, iters=2).collect()
+    }
+    # float32 storage: reference must see the same rounded values
+    stored = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in df.select("vec_id", "embedding").collect()
+    }
+    assert got == _kmeans_ref(stored, k=2, iters=2)
