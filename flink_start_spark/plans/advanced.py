@@ -422,3 +422,172 @@ def q_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"),
         F.count("*").alias("n_lines"),
     )
+
+
+@_register(
+    "signup_purchase_funnel",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT s.user_id, s.s_ts, min(e.ts) AS p_ts
+          FROM s LEFT JOIN events e
+            ON e.user_id = s.user_id AND e.event_type = 'purchase'
+               AND e.ts >= s.s_ts
+          GROUP BY s.user_id, s.s_ts)
+    SELECT user_id,
+           floor(epoch(s_ts))::BIGINT AS signup_epoch,
+           floor(epoch(p_ts))::BIGINT AS purchase_epoch,
+           (p_ts IS NOT NULL) AS converted,
+           (floor(epoch(p_ts)) - floor(epoch(s_ts)))::BIGINT AS secs_to_convert
+    FROM p
+    """,
+    description=(
+        "Funnel analysis over the reference's user-activity domain: per "
+        "signed-up user, first signup -> first subsequent purchase, "
+        "conversion flag, seconds-to-convert. One window over user_id "
+        "(first signup) then a groupBy on the SAME key — the second "
+        "aggregation reuses the window's partitioning, so the whole "
+        "funnel costs a single exchange of the events table."
+    ),
+    tags=("analytic", "funnel", "events"),
+)
+def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    s_ts = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    flagged = ev.withColumn("_s_ts", s_ts).filter(F.col("_s_ts").isNotNull())
+    agg = flagged.groupBy("user_id").agg(
+        F.min("_s_ts").alias("_s"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("_s_ts")),
+                F.col("ts"),
+            )
+        ).alias("_p"),
+    )
+    return agg.select(
+        "user_id",
+        F.unix_timestamp("_s").alias("signup_epoch"),
+        F.unix_timestamp("_p").alias("purchase_epoch"),
+        F.col("_p").isNotNull().alias("converted"),
+        (F.unix_timestamp("_p") - F.unix_timestamp("_s")).alias(
+            "secs_to_convert"
+        ),
+    )
+
+
+@_register(
+    "weekly_cohort_retention",
+    """
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    j AS (SELECT e.user_id,
+                 floor(floor(epoch(f.first_ts)) / 604800)::BIGINT AS cohort_week,
+                 floor(floor(epoch(e.ts)) / 604800)::BIGINT AS event_week
+          FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort_week,
+           (event_week - cohort_week)::BIGINT AS week_offset,
+           count(DISTINCT user_id)::BIGINT AS n_active
+    FROM j GROUP BY cohort_week, event_week
+    """,
+    description=(
+        "Cohort retention matrix: users bucketed by the week of their "
+        "first event; per (cohort, week-offset) distinct active users — "
+        "the standard product-analytics retention triangle. First-event "
+        "week rides a window over user_id; the distinct count is the "
+        "only further shuffle. Epoch-week arithmetic (floor(epoch/604800)) "
+        "is engine-portable; no date-truncation semantics in play."
+    ),
+    tags=("analytic", "cohort", "events"),
+)
+def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    first_ts = F.min("ts").over(w)
+    weeks = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp(first_ts) / 604800).alias("cohort_week"),
+        F.floor(F.unix_timestamp("ts") / 604800).alias("event_week"),
+    )
+    return (
+        weeks.groupBy("cohort_week", "event_week")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            "cohort_week",
+            (F.col("event_week") - F.col("cohort_week")).alias("week_offset"),
+            "n_active",
+        )
+    )
+
+
+@_register(
+    "value_outliers_mad",
+    """
+    WITH r1 AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events),
+    m1 AS (
+      SELECT event_type, event_id, value, cnt,
+             max(CASE WHEN rn = (cnt + 1) // 2 THEN value END)
+               OVER (PARTITION BY event_type) AS med
+      FROM r1),
+    r2 AS (
+      SELECT event_type, value, cnt, med, abs(value - med) AS dev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(value - med), event_id) AS drn
+      FROM m1),
+    m2 AS (
+      SELECT event_type, value, cnt, med, dev,
+             max(CASE WHEN drn = (cnt + 1) // 2 THEN dev END)
+               OVER (PARTITION BY event_type) AS mad
+      FROM r2)
+    SELECT event_type,
+           any_value(cnt)::BIGINT AS n_events,
+           round(any_value(med), 6) AS median_value,
+           round(any_value(mad), 6) AS mad,
+           count_if(dev > 3 * mad)::BIGINT AS n_outliers
+    FROM m2 GROUP BY event_type
+    """,
+    description=(
+        "Robust anomaly detection: per event_type exact lower median of "
+        "value, exact median absolute deviation (the robust sigma), and "
+        "the count of |v - med| > 3*MAD outliers. Both medians are "
+        "rank-pick windows over the SAME event_type partitioning (one "
+        "exchange, two local window passes) — exact picks, never "
+        "averaged, so every comparison runs on bit-identical doubles "
+        "in both engines."
+    ),
+    tags=("analytic", "robust-stats", "events"),
+)
+def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wt = Window.partitionBy("event_type")
+    med_pick = F.when(
+        F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2), F.col("value")
+    )
+    staged = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_cnt", F.count("*").over(wt))
+        .withColumn("_med", F.max(med_pick).over(wt))
+        .withColumn("_dev", F.abs(F.col("value") - F.col("_med")))
+    )
+    wd = Window.partitionBy("event_type").orderBy("_dev", "event_id")
+    mad_pick = F.when(
+        F.col("_drn") == F.floor((F.col("_cnt") + 1) / 2), F.col("_dev")
+    )
+    staged = staged.withColumn("_drn", F.row_number().over(wd)).withColumn(
+        "_mad", F.max(mad_pick).over(wt)
+    )
+    return staged.groupBy("event_type").agg(
+        F.any_value("_cnt").alias("n_events"),
+        F.round(F.any_value("_med"), 6).alias("median_value"),
+        F.round(F.any_value("_mad"), 6).alias("mad"),
+        F.sum(
+            (F.col("_dev") > 3 * F.col("_mad")).cast("long")
+        ).alias("n_outliers"),
+    )

@@ -57,3 +57,86 @@ def test_rollup_has_grand_total(spark):
     assert grand[0]["n_orders"] == sum(
         r["n_orders"] for r in rows if r["o_orderstatus"] != "ALL" and r["o_orderpriority"] != "ALL"
     )
+
+
+# ---------------------------------------------------------------------
+# event analytics: funnel / cohort / MAD outliers
+# ---------------------------------------------------------------------
+
+def _events(spark, rows):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [(i, datetime.fromtimestamp(ts), uid, et, float(v)) for i, (ts, uid, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_funnel_purchase_before_signup_does_not_convert(spark, tmp_path):
+    import os
+
+    from flink_start_spark.plans import QUERIES
+
+    df = _events(
+        spark,
+        [
+            (1000, 1, "purchase", 0),  # before signup: must not count
+            (2000, 1, "signup", 0),
+            (1000, 2, "signup", 0),
+            (1500, 2, "purchase", 0),  # converts in 500 s
+            (1000, 3, "view", 0),      # never signed up: absent
+        ],
+    )
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    rows = QUERIES["signup_purchase_funnel"].spark(spark, sf).collect()
+    out = {r["user_id"]: r for r in rows}
+    assert set(out) == {1, 2}
+    assert out[1]["converted"] is False
+    assert out[1]["purchase_epoch"] is None
+    assert out[2]["converted"] is True
+    assert out[2]["secs_to_convert"] == 500
+
+
+def test_mad_outliers_hand_values(spark, tmp_path):
+    """values [1,2,3,4,100]: lower median 3, deviations [2,1,0,1,97],
+    MAD (lower median of deviations) = 1, one 3-MAD outlier (97)."""
+    import os
+
+    from flink_start_spark.plans import QUERIES
+
+    df = _events(
+        spark,
+        [(1000 + i, 7, "click", v) for i, v in enumerate([1, 2, 3, 4, 100])],
+    )
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    out = QUERIES["value_outliers_mad"].spark(spark, sf).collect()
+    row = {r["event_type"]: r for r in out}["click"]
+    assert row["n_events"] == 5
+    assert row["median_value"] == 3.0
+    assert row["mad"] == 1.0
+    assert row["n_outliers"] == 1
+
+
+def test_cohort_offsets(spark, tmp_path):
+    """User active in their cohort week and two weeks later produces
+    offsets 0 and 2 for that cohort."""
+    import os
+
+    from flink_start_spark.plans import QUERIES
+
+    week = 604800
+    df = _events(
+        spark,
+        [
+            (10 * week + 100, 1, "view", 0),
+            (12 * week + 5, 1, "click", 0),
+            (10 * week + 200, 2, "view", 0),
+        ],
+    )
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    rows = QUERIES["weekly_cohort_retention"].spark(spark, sf).collect()
+    got = {(r["cohort_week"], r["week_offset"]): r["n_active"] for r in rows}
+    assert got == {(10, 0): 2, (10, 2): 1}
