@@ -1313,3 +1313,60 @@ def _kmeans_oracle(k: int, iters: int) -> str:
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return S.kmeans_lloyd(emb, k=8, iters=3)
+
+
+@_register(
+    "multimodal_frame_sample",
+    r"""
+    WITH n AS (
+      SELECT doc_id, text, least(length(text), 65535)::BIGINT AS n FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             concat('50434D311F40', lpad(upper(to_hex(n)), 4, '0'),
+                    substr(regexp_replace(hex(text), '(..)', '\1\1', 'g'),
+                           1, 262140)) AS ph
+      FROM n
+    ),
+    d AS (SELECT doc_id, ph, length(ph) // 2 AS plen FROM p),
+    o AS (
+      SELECT doc_id, ph,
+             CASE WHEN plen <= 16 THEN [0]
+                  ELSE list_sort(list_distinct(
+                         [((plen - 16) * i) // 3 FOR i IN range(0, 4)]))
+             END AS offs
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id, ph,
+             unnest([struct_pack(frame_idx := i - 1, frame_offset := offs[i])
+                     FOR i IN range(1, len(offs) + 1)], recursive := true)
+      FROM o
+    )
+    SELECT doc_id,
+           frame_idx::BIGINT AS frame_idx,
+           frame_offset::BIGINT AS frame_offset,
+           substr(ph, (frame_offset * 2 + 1)::INT, 32) AS frame_hex
+    FROM f
+    """,
+    description=(
+        "Frame sampling over binary payloads (video -> k evenly spaced "
+        "frames, decoder stubbed to offset slicing): one payload row in, "
+        "up to 4 typed 16-byte frame rows out through the Arrow "
+        "mapInPandas plumbing. The oracle reconstructs the full PCM "
+        "payload byte layout in SQL (header + doubled-byte samples) and "
+        "re-slices it — every emitted frame byte is pinned via its hex."
+    ),
+    tags=("multimodal", "extension", "pandas-udf"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    frames = M.fake_frame_sample(
+        M.with_pcm_payload(docs), n_frames=4, frame_bytes=16
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_offset").alias("frame_offset"),
+        F.hex("frame").alias("frame_hex"),
+    )

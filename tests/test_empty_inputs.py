@@ -40,6 +40,7 @@ _REPRESENTATIVE = [
     "semdedup_flags",
     "kmeans_clusters",
     "vocab_oov_stats",
+    "multimodal_frame_sample",
 ]
 
 
