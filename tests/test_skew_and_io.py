@@ -152,3 +152,44 @@ def test_sliding_window_plan_has_single_expand_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Spark injects a bloom filter built from a selective dimension
+    filter into the fact-side scan (runtime semi-join reduction) — at
+    100 TB this is what keeps a filtered dim join from shuffling the
+    whole fact table. Local datasets sit under the default application-
+    side threshold (10 GB), so the test lowers it to prove the
+    mechanism fires."""
+    conf = spark.conf
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    old = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set(keys[0], "true")
+        conf.set(keys[1], "0")
+        conf.set(keys[2], str(64 << 20))
+        # force a shuffle join: broadcast joins skip runtime filters
+        conf.set(keys[3], "-1")
+        orders = load_table(spark, "orders", SF_SMOKE).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = load_table(spark, "lineitem", SF_SMOKE)
+        joined = lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        ).groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "might_contain" in plan.lower(), plan[:2000]
+        # and the filtered result is still correct
+        n = joined.collect()
+        assert len(n) == 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
