@@ -1370,3 +1370,51 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_offset").alias("frame_offset"),
         F.hex("frame").alias("frame_hex"),
     )
+
+
+@_register(
+    "multimodal_resample",
+    r"""
+    WITH n AS (
+      SELECT doc_id, text, least(length(text), 65535)::BIGINT AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, (n + 1) // 2 AS n_out,
+             substr(regexp_replace(hex(text), '(..)', '\1\1', 'g'),
+                    1, 262140) AS sample_hex
+      FROM n
+    ),
+    k AS (
+      SELECT doc_id, n, n_out,
+             regexp_replace(sample_hex, '(....)(....)', '\1', 'g') AS kept_hex
+      FROM s
+    )
+    SELECT doc_id,
+           n AS n_in,
+           n_out,
+           4000::BIGINT AS rate_out,
+           md5(concat('50434D310FA0', lpad(upper(to_hex(n_out)), 4, '0'),
+                      kept_hex)) AS payload_md5
+    FROM k
+    """,
+    description=(
+        "Media resize, audio edition: decimate every PCM payload 2x "
+        "(keep even samples) and re-encode a valid payload at half "
+        "rate - the decode -> transform -> re-encode round trip of a "
+        "resize pipeline, via Arrow mapInPandas with numpy slicing. "
+        "The oracle rebuilds the decimated payload byte-for-byte in "
+        "SQL (alternate 4-hex-char sample groups; trailing odd sample "
+        "kept) and pins it via md5 of the hex."
+    ),
+    tags=("multimodal", "extension", "pandas-udf"),
+)
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = M.pcm_resample(M.with_pcm_payload(docs), factor=2)
+    return out.select(
+        "doc_id",
+        "n_in",
+        "n_out",
+        "rate_out",
+        F.md5(F.hex("payload")).alias("payload_md5"),
+    )

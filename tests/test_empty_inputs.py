@@ -41,6 +41,7 @@ _REPRESENTATIVE = [
     "kmeans_clusters",
     "vocab_oov_stats",
     "multimodal_frame_sample",
+    "multimodal_resample",
 ]
 
 

@@ -351,3 +351,26 @@ def test_fake_decode_deterministic(spark):
     assert row["width"] == 64 + d[0] % 192
     assert row["height"] == 64 + d[1] % 192
     assert abs(row["mean_intensity"] - d[2] / 255.0) < 1e-12
+
+
+def test_pcm_resample_roundtrip_decodes(spark):
+    """The resampled payload is itself a valid PCM payload: it decodes
+    at half rate with ceil(n/2) samples, and the kept samples are
+    exactly the even-indexed originals."""
+    from flink_start_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, "abcde"), (2, "xy")], "doc_id long, text string"
+    )
+    payloads = M.with_pcm_payload(df)
+    res = M.pcm_resample(payloads, factor=2)
+    decoded = {
+        r["doc_id"]: r for r in M.pcm_decode(res.select("doc_id", "payload")).collect()
+    }
+    # 'abcde' -> 5 samples -> keep indices 0,2,4 -> 'a','c','e'
+    assert decoded[1]["n_samples"] == 3
+    assert decoded[1]["sample_rate"] == 4000
+    assert decoded[1]["peak_amp"] == ord("e") * 257
+    # 'xy' -> keep 'x' only
+    assert decoded[2]["n_samples"] == 1
+    assert decoded[2]["mean_amp"] == float(ord("x") * 257)
