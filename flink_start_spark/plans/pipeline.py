@@ -590,3 +590,121 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, "documents", sf_dir))
     return TX.vocab_oov_stats(docs, "text", "doc_id", vocab_size=20)
+
+
+@_register(
+    "dq_constraint_audit",
+    """
+    WITH a AS (
+      SELECT count(*) AS n,
+             count_if(NOT (l_quantity BETWEEN 1 AND 50)) AS qty,
+             count_if(NOT (l_extendedprice > 0)) AS price,
+             count_if(NOT (l_discount BETWEEN 0 AND 0.1)) AS disc,
+             count_if(l_returnflag NOT IN ('R', 'A', 'N')) AS flag,
+             count_if(l_shipdate IS NULL) AS shipnull
+      FROM lineitem)
+    SELECT rule, n_violations, round(n_violations / n::DOUBLE, 6) AS violation_rate
+    FROM (
+      SELECT 'quantity_in_1_50' AS rule, qty::BIGINT AS n_violations, n FROM a
+      UNION ALL SELECT 'price_positive', price::BIGINT, n FROM a
+      UNION ALL SELECT 'discount_in_0_0.1', disc::BIGINT, n FROM a
+      UNION ALL SELECT 'returnflag_domain', flag::BIGINT, n FROM a
+      UNION ALL SELECT 'shipdate_not_null', shipnull::BIGINT, n FROM a)
+    """,
+    description=(
+        "Data-quality constraint audit (the Great-Expectations / Deequ "
+        "shape): declared range/domain/null rules over lineitem, one "
+        "scan, one global aggregate computing every rule's violation "
+        "count simultaneously, unpivoted to a rule/violations/rate "
+        "report. Zero joins, zero per-rule passes — the only shape "
+        "that audits a 100 TB table at scan cost."
+    ),
+    tags=("sql", "quality", "audit"),
+)
+def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    agg = li.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (~F.col("l_quantity").between(1, 50)).cast("long")
+        ).alias("qty"),
+        F.sum((~(F.col("l_extendedprice") > 0)).cast("long")).alias("price"),
+        F.sum(
+            (~F.col("l_discount").between(0.0, 0.1)).cast("long")
+        ).alias("disc"),
+        F.sum(
+            (~F.col("l_returnflag").isin("R", "A", "N")).cast("long")
+        ).alias("flag"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("shipnull"),
+    )
+    # A global aggregate keeps one row even over an empty table — the
+    # audit still reports every rule (with sums coalesced from null to
+    # 0 and a null rate); pinned by test_dq_audit_empty_table.
+    stacked = agg.selectExpr(
+        "n",
+        "stack(5, 'quantity_in_1_50', coalesce(qty, 0L), "
+        "'price_positive', coalesce(price, 0L), "
+        "'discount_in_0_0.1', coalesce(disc, 0L), "
+        "'returnflag_domain', coalesce(flag, 0L), "
+        "'shipdate_not_null', coalesce(shipnull, 0L)) AS (rule, n_violations)",
+    )
+    return stacked.select(
+        "rule",
+        "n_violations",
+        # try_divide, not '/': ANSI mode raises on the empty-table 0/0
+        F.round(F.try_divide("n_violations", "n"), 6).alias("violation_rate"),
+    )
+
+
+@_register(
+    "shard_manifest",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(trim(text), ' '))::BIGINT AS n_tokens,
+             md5('shard|' || doc_id::VARCHAR) AS h,
+             md5(doc_id::VARCHAR) AS idh
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_tokens,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 16 AS shard,
+             list_sum([(strpos('0123456789abcdef', substr(idh, i, 1)) - 1)
+                       * 16 ** (8 - i) FOR i IN range(1, 9)])::BIGINT AS idsum
+      FROM d)
+    SELECT shard::BIGINT AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           sum(idsum)::BIGINT AS ids_checksum
+    FROM b GROUP BY shard
+    """,
+    description=(
+        "Deterministic shard manifest - the output-shaping stage before "
+        "a training run: md5-bucket shard assignment (stable across "
+        "engines/partitionings), per-shard doc count, token total, and "
+        "an ORDER-FREE integer id checksum (sum of each doc's first 8 "
+        "md5 nibbles) pinning exact shard membership without any "
+        "collect_list - the manifest aggregates stay scan-shaped at "
+        "any corpus size."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.functions import texthash as TH
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    idsum = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    keyed = docs.select(
+        TH.md5_bucket(F.col("doc_id"), mod=16, salt="shard|").cast("bigint").alias("shard"),
+        F.size(TH.words(F.col("text"))).cast("long").alias("n_tokens"),
+        idsum.alias("idsum"),
+    )
+    return keyed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("idsum").alias("ids_checksum"),
+    )

@@ -42,6 +42,7 @@ _REPRESENTATIVE = [
     "vocab_oov_stats",
     "multimodal_frame_sample",
     "multimodal_resample",
+    "shard_manifest",
 ]
 
 

@@ -332,3 +332,71 @@ def test_vocab_tie_break_is_lexicographic(spark):
     out = vocab_oov_stats(df, vocab_size=2).collect()[0]
     # vocab = {'w','x'} (lexicographic among ties) -> 'y','z' are OOV
     assert out["n_oov"] == 2
+
+
+# ---------------------------------------------------------------------
+# dq_constraint_audit
+# ---------------------------------------------------------------------
+
+def test_dq_audit_counts_injected_violations(spark, tmp_path):
+    """The catalog corpus is violation-free (all-zero counts can hide a
+    flipped predicate), so inject one violation per rule and check each
+    lands on the right rule."""
+    import os
+    from datetime import datetime
+
+    from flink_start_spark.plans import QUERIES
+
+    ok = (1, 1, 1, 1, 10.0, 100.0, 0.05, 0.0, "R", "O", datetime(2024, 1, 1))
+    rows = [
+        ok,
+        ok[:4] + (99.0,) + ok[5:],                       # quantity out of range
+        ok[:5] + (-5.0,) + ok[6:],                       # price not positive
+        ok[:6] + (0.5,) + ok[7:],                        # discount out of range
+        ok[:8] + ("X",) + ok[9:],                        # bad returnflag
+        ok[:10] + (None,),                               # null shipdate
+    ]
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(sf, "lineitem.parquet")
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in QUERIES["dq_constraint_audit"].spark(spark, sf).collect()
+    }
+    assert out == {
+        "quantity_in_1_50": 1,
+        "price_positive": 1,
+        "discount_in_0_0.1": 1,
+        "returnflag_domain": 1,
+        "shipdate_not_null": 1,
+    }
+
+
+def test_dq_audit_empty_table(spark, tmp_path):
+    """An audit over an empty table still reports every rule: zero
+    violations, null rate (0/0) — not zero rows."""
+    import os
+
+    from flink_start_spark.plans import QUERIES
+
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame([], schema).write.parquet(
+        os.path.join(sf, "lineitem.parquet")
+    )
+    rows = QUERIES["dq_constraint_audit"].spark(spark, sf).collect()
+    assert len(rows) == 5
+    assert all(r["n_violations"] == 0 for r in rows)
+    assert all(r["violation_rate"] is None for r in rows)
