@@ -1418,3 +1418,69 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate_out",
         F.md5(F.hex("payload")).alias("payload_md5"),
     )
+
+
+@_register(
+    "cluster_cap_sample",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sig AS (SELECT doc_id,
+              [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
+                         FOR s IN shingles]) FOR k IN range(16)] AS sig
+            FROM shd),
+    bands AS (SELECT doc_id, b,
+                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
+              FROM sig, range(4) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               len(list_intersect(x.sh, y.sh))::DOUBLE /
+               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE AS jaccard
+        FROM cand JOIN shd x ON x.doc_id = id_a JOIN shd y ON y.doc_id = id_b)
+      WHERE jaccard >= 0.5),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    r(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src),
+    comps AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM r GROUP BY src)
+    SELECT doc_id, cluster_id,
+           row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id)::BIGINT
+             AS cluster_rank,
+           (row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) <= 2)
+             AS kept
+    FROM comps
+    """,
+    description=(
+        "Cluster-cap diversity sampling: instead of keep-one-per-"
+        "duplicate-cluster, cap each near-dup cluster at K=2 survivors "
+        "(the policy that retains formatting/stylistic variation while "
+        "still bounding duplication). Composes connected components "
+        "over the MinHash-LSH pair graph with a rank window PARTITIONed "
+        "by cluster - dup clusters are small by construction, so the "
+        "window never sees a hot partition."
+    ),
+    tags=("dedup", "extension", "pipeline", "iterative"),
+)
+def q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.minhash_near_dups(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comps = D.connected_components(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy("doc_id")
+    rank = F.row_number().over(w).cast("long")
+    return comps.select(
+        "doc_id",
+        "cluster_id",
+        rank.alias("cluster_rank"),
+        (rank <= 2).alias("kept"),
+    )

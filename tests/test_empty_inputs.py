@@ -43,6 +43,7 @@ _REPRESENTATIVE = [
     "multimodal_frame_sample",
     "multimodal_resample",
     "shard_manifest",
+    "cluster_cap_sample",
 ]
 
 
