@@ -19,8 +19,16 @@ from tests.conftest import SF_SMOKE
 # Queries where a small broadcast nested-loop is expected and bounded:
 # brute-force ANN does an intentional broadcast cross join of a FIXED
 # 10-query set against candidates (|Q| x |N|, linear in N); IVF crosses
-# the query set with the 16 broadcast centroids (|Q| x n_cells).
-_ALLOWED_NESTED_LOOP = {"ann_cosine_topk", "ann_topk_ivf"}
+# the query set with the 16 broadcast centroids (|Q| x n_cells), as do
+# the IVF-based SemDeDup clustering step and every k-means assignment
+# round (the k-row centroid table is the broadcast side by design —
+# linear in N, collapsed map-side by the follow-up min_by aggregate).
+_ALLOWED_NESTED_LOOP = {
+    "ann_cosine_topk",
+    "ann_topk_ivf",
+    "semdedup_flags",
+    "kmeans_clusters",
+}
 
 # Shuffle budget per query (hash exchanges). Multi-join pipelines
 # legitimately need one per non-broadcast join + aggregation.
@@ -28,9 +36,10 @@ _MAX_EXCHANGES = 8
 
 # Iterative queries (driver-controlled rounds) print the whole multi-
 # round lineage in one plan; their per-ROUND cost is the bounded
-# quantity (one join + one agg — asserted by the operator's design),
-# so the single-plan exchange budget doesn't apply.
-_ITERATIVE = {"dedup_clusters"}
+# quantity (one join + one agg for components, one assignment + one
+# quantized-mean recompute for Lloyd's — asserted by the operators'
+# design), so the single-plan exchange budget doesn't apply.
+_ITERATIVE = {"dedup_clusters", "kmeans_clusters", "cluster_cap_sample"}
 
 
 # Queries whose operators persist their base projection: the optimized
