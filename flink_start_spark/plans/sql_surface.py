@@ -711,3 +711,83 @@ def q_supplier_part_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
     )
+
+
+@_register(
+    "customer_order_distribution",
+    """
+    WITH co AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+    FROM co GROUP BY c_count
+    """,
+    description=(
+        "TPC-H Q13 shape: per-customer order counts (left join keeps "
+        "zero-order customers) re-aggregated into a distribution "
+        "histogram. Two aggregations; the first's groupBy key is the "
+        "join key, so AQE plans join + count without an extra exchange "
+        "of the customer side; the histogram input is one row per "
+        "customer - tiny at any scale."
+    ),
+    tags=("sql", "join", "aggregation"),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    co = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_register(
+    "large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    SELECT o.o_orderkey, o.o_custkey,
+           floor(epoch(o.o_orderdate))::BIGINT AS orderdate_epoch,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+    """,
+    description=(
+        "TPC-H Q18 shape (large-volume orders): HAVING over a grouped "
+        "sum selects the heavy orders, then a semi-join-shaped filter "
+        "back onto orders + lineitem re-aggregates their details. The "
+        "HAVING aggregate collapses lineitem to one row per order "
+        "map-side-first; both joins are orderkey-equi, so the whole "
+        "query rides the same hash partitioning."
+    ),
+    tags=("sql", "join", "aggregation", "having"),
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select(F.col("l_orderkey").alias("_big_orderkey"))
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["_big_orderkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )

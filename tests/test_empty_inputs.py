@@ -44,6 +44,8 @@ _REPRESENTATIVE = [
     "multimodal_resample",
     "shard_manifest",
     "cluster_cap_sample",
+    "customer_order_distribution",
+    "large_volume_orders",
 ]
 
 
