@@ -62,6 +62,20 @@ def _run_streaming(spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _run_streaming_sessions(spark, sf_dir: str) -> float:
+    """Stateful streaming session windows (the reference's declared
+    future goal): per-user sessions with a 1-hour gap over the same
+    file stream — exercises Spark's session-state merge path."""
+    from flink_start_spark.streaming import run_to_memory, stream_events
+    from flink_start_spark.streaming.pipelines import session_window_stream
+
+    stream = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    sessions = session_window_stream(stream, gap="1 hour", watermark="1 hour")
+    t0 = time.perf_counter()
+    run_to_memory(sessions, f"bench_sessions_{int(t0 * 1000)}", "append")
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -93,6 +107,10 @@ def main() -> None:
     if args.queries is None:
         samples = [_run_streaming(spark, args.sf_dir) for _ in range(args.runs)]
         timings["streaming_tumbling_events"] = round(min(samples), 3)
+        samples = [
+            _run_streaming_sessions(spark, args.sf_dir) for _ in range(args.runs)
+        ]
+        timings["streaming_session_windows"] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label
