@@ -229,7 +229,7 @@ def precompute_cells(
     """
     centroids = deterministic_centroids(candidates, n_cells, id_col, vec_col)
     C.track(centroids)
-    assigned = assign_cells(candidates, centroids, id_col, vec_col)
+    assigned = assign_cells_maponly(candidates, centroids, id_col, vec_col)
     return assigned, centroids
 
 
@@ -558,9 +558,11 @@ def kmeans_lloyd(
       partitionings, which makes every subsequent assignment round
       deterministic too.
 
-    Scale shape per round: one scan + broadcast-nested-loop against k
-    rows collapsed map-side, one posexplode + (cell, pos) partial-sum
-    groupBy (k*dim output rows), one k-row assembly. Centroid tables
+    Scale shape per round: one scan with a MAP-ONLY assignment
+    projection (array_min over the packed broadcast centroid array —
+    see :func:`assign_cells_maponly`; no row expansion, no shuffle),
+    then one posexplode + (cell, pos) partial-sum groupBy (k*dim
+    output rows) and one k-row assembly. Centroid tables
     are persisted between rounds so the lazy plan restarts from k rows
     instead of re-deriving the full history. Empty cells simply drop
     out (both engines recompute from the same assignment relation).
@@ -571,7 +573,7 @@ def kmeans_lloyd(
     quant = 1 << 20
     cents = deterministic_centroids(emb, k, id_col, vec_col)
     for _ in range(iters):
-        assigned = assign_cells(emb, cents, id_col, vec_col)
+        assigned = assign_cells_maponly(emb, cents, id_col, vec_col)
         by_pos = assigned.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
@@ -588,10 +590,50 @@ def kmeans_lloyd(
             ).alias("center")
         )
         cents = C.track(cents)
-    final = assign_cells(emb, cents, id_col, vec_col).select(
+    final = assign_cells_maponly(emb, cents, id_col, vec_col).select(
         F.col(id_col), F.col("cell").cast("bigint").alias("cell")
     )
     sizes = final.groupBy("cell").agg(F.count("*").alias("cell_size"))
     return final.join(F.broadcast(sizes), "cell").select(
         id_col, "cell", "cell_size"
+    )
+
+
+def assign_cells_maponly(
+    candidates: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION: pack the k
+    centroids into one broadcast array row, then per input row compute
+    ``array_min(transform(cents, c -> (sq_dist, cell)))`` — the
+    lexicographic struct min IS argmin-with-cell-tie-break, evaluated
+    map-side with no row expansion and no shuffle.
+
+    Bit-identical to :func:`assign_cells` (same sq_dist doubles, same
+    (d2, cell) ordering; array_min is order-independent so the
+    nondeterministic collect_list order cannot matter) but removes the
+    k-fold BNLJ expand + groupBy collapse — at 100 TB the assignment
+    stage becomes scan-speed map work. `assign_cells` remains the
+    relational formulation the IVF oracle mirrors CTE-for-CTE.
+    """
+    packed = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "center"))).alias("_cents")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            V.sq_dist(F.col(vec_col), c["center"]).alias("d2"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return (
+        candidates.select(id_col, vec_col)
+        .crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_min(scored)["cell"].alias("cell"),
+        )
     )
