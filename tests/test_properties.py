@@ -374,3 +374,72 @@ def test_kmeans_matches_python_lloyd(spark, vecs):
         for r in df.select("vec_id", "embedding").collect()
     }
     assert got == _kmeans_ref(stored, k=2, iters=2)
+
+
+# ---------------------------------------------------------------------
+# semdedup_flags vs a pure-python mirror
+# ---------------------------------------------------------------------
+
+def _semdedup_ref(vecs: dict[int, list[float]], n_cells: int, thr: float):
+    """Same algorithm in plain python: md5-ranked centroids, argmin
+    assignment with cell tie-break, within-cell cosine to smaller ids,
+    rounded at 6 before the threshold comparison."""
+    import hashlib
+    import math
+
+    ranked = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = {c: vecs[i] for c, i in enumerate(ranked[:n_cells])}
+    cell = {
+        i: min(
+            cents,
+            key=lambda c: (
+                sum((x - y) * (x - y) for x, y in zip(v, cents[c])),
+                c,
+            ),
+        )
+        for i, v in vecs.items()
+    }
+    out = {}
+    for i, v in vecs.items():
+        best = None
+        for j, w in vecs.items():
+            if j >= i or cell[j] != cell[i]:
+                continue
+            dot = sum(x * y for x, y in zip(v, w))
+            nv = math.sqrt(sum(x * x for x in v))
+            nw = math.sqrt(sum(x * x for x in w))
+            cos = round(dot / (nv * nw), 6) if nv and nw else None
+            if cos is not None and (best is None or cos > best):
+                best = cos
+        out[i] = (cell[i], best, best is not None and best >= thr)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=0.125, max_value=4, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_semdedup_matches_python_mirror(spark, vecs):
+    from flink_start_spark.operators.similarity import semdedup_flags
+
+    data = {i: v for i, v in enumerate(vecs)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in data.items()], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["max_cosine_smaller"], r["pruned"])
+        for r in semdedup_flags(df, n_cells=2, threshold=0.98).collect()
+    }
+    stored = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in df.select("vec_id", "embedding").collect()
+    }
+    assert got == _semdedup_ref(stored, n_cells=2, thr=0.98)
