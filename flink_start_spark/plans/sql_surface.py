@@ -791,3 +791,53 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@_register(
+    "fuzzy_customer_pairs",
+    """
+    WITH b AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, length(c_name) - 2) AS blk
+      FROM customer)
+    SELECT a.c_custkey AS custkey_a, c.c_custkey AS custkey_b,
+           levenshtein(a.c_name, c.c_name)::BIGINT AS edit_distance
+    FROM b a JOIN b c ON a.blk = c.blk AND a.c_custkey < c.c_custkey
+    WHERE levenshtein(a.c_name, c.c_name) <= 1
+    """,
+    description=(
+        "Entity resolution / fuzzy matching: near-identical customer "
+        "names via a BLOCKED self-join (prefix block key) + edit-"
+        "distance confirm - the standard record-linkage topology. The "
+        "block key bounds each comparison group, so the join never "
+        "goes all-pairs; Levenshtein runs only on within-block "
+        "candidates. Same blocking discipline as every LSH family in "
+        "operators/dedup.py, over strings instead of shingles."
+    ),
+    tags=("sql", "join", "entity-resolution"),
+)
+def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    blocked = cust.withColumn(
+        "blk", F.expr("substr(c_name, 1, length(c_name) - 2)")
+    )
+    a = blocked.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("_name_a"),
+        "blk",
+    )
+    b = blocked.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("_name_b"),
+        "blk",
+    )
+    dist = F.levenshtein("_name_a", "_name_b")
+    return (
+        a.join(b, "blk")
+        .where(F.col("custkey_a") < F.col("custkey_b"))
+        .where(dist <= 1)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            dist.cast("bigint").alias("edit_distance"),
+        )
+    )

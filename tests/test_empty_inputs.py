@@ -46,6 +46,7 @@ _REPRESENTATIVE = [
     "cluster_cap_sample",
     "customer_order_distribution",
     "large_volume_orders",
+    "fuzzy_customer_pairs",
 ]
 
 
