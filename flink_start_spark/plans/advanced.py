@@ -591,3 +591,65 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_dev") > 3 * F.col("_mad")).cast("long")
         ).alias("n_outliers"),
     )
+
+
+@_register(
+    "daily_revenue_gapfill",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d, count(*) AS n_orders,
+             round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS revenue
+      FROM orders GROUP BY o_orderdate),
+    b AS (SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM b),
+    j AS (SELECT spine.d, daily.n_orders, daily.revenue
+          FROM spine LEFT JOIN daily USING (d))
+    SELECT floor(epoch(d))::BIGINT AS date_epoch,
+           coalesce(n_orders, 0)::BIGINT AS n_orders,
+           coalesce(revenue, 0.0) AS revenue,
+           coalesce(round(last_value(revenue IGNORE NULLS)
+                            OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW), 2),
+                    0.0) AS revenue_locf
+    FROM j
+    """,
+    description=(
+        "Time-series gap filling: generate the full calendar spine "
+        "(sequence/explode between min and max order dates), left-join "
+        "daily revenue, and fill gaps twice - zeros for counts, "
+        "last-observation-carried-forward for revenue (last() IGNORE "
+        "NULLS over the date order). The unpartitioned window runs over "
+        "the SPINE, whose cardinality is calendar days (O(years)) - "
+        "corpus-size-independent, so the single-task total order is "
+        "safe at any scale; the only corpus-sized work is the daily "
+        "groupBy."
+    ),
+    tags=("analytic", "timeseries", "gapfill"),
+)
+def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.plans.catalog import money_sum
+
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").alias("n_orders"),
+        money_sum(F.col("o_totalprice"), "revenue"),
+    )
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    j = spine.join(daily, "d", "left")
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.unix_timestamp("d").alias("date_epoch"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce(
+            F.round(F.last("revenue", ignorenulls=True).over(w), 2), F.lit(0.0)
+        ).alias("revenue_locf"),
+    )

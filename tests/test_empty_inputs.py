@@ -47,6 +47,7 @@ _REPRESENTATIVE = [
     "customer_order_distribution",
     "large_volume_orders",
     "fuzzy_customer_pairs",
+    "daily_revenue_gapfill",
 ]
 
 

@@ -140,3 +140,34 @@ def test_cohort_offsets(spark, tmp_path):
     rows = QUERIES["weekly_cohort_retention"].spark(spark, sf).collect()
     got = {(r["cohort_week"], r["week_offset"]): r["n_active"] for r in rows}
     assert got == {(10, 0): 2, (10, 2): 1}
+
+
+def test_gapfill_zero_counts_and_locf(spark, tmp_path):
+    """A missing calendar day appears in the spine with 0 orders, 0
+    revenue, and the PREVIOUS day's revenue carried forward."""
+    import os
+    from datetime import datetime
+
+    from flink_start_spark.plans import QUERIES
+
+    rows = [
+        (1, 10, "O", 100.0, datetime(2024, 1, 1), "1-URGENT"),
+        (2, 11, "O", 50.0, datetime(2024, 1, 1), "1-URGENT"),
+        # Jan 2 missing entirely
+        (3, 12, "O", 70.0, datetime(2024, 1, 3), "1-URGENT"),
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(sf, "orders.parquet")
+    )
+    out = sorted(
+        QUERIES["daily_revenue_gapfill"].spark(spark, sf).collect(),
+        key=lambda r: r["date_epoch"],
+    )
+    assert [r["n_orders"] for r in out] == [2, 0, 1]
+    assert [r["revenue"] for r in out] == [150.0, 0.0, 70.0]
+    assert [r["revenue_locf"] for r in out] == [150.0, 150.0, 70.0]
