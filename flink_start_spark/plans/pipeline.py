@@ -708,3 +708,56 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("idsum").alias("ids_checksum"),
     )
+
+
+@_register(
+    "fk_integrity_audit",
+    """
+    WITH l AS (
+      SELECT count(*) AS n FROM lineitem li
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)),
+    o AS (
+      SELECT count(*) AS n FROM orders ord
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = ord.o_custkey)),
+    c AS (
+      SELECT count(*) AS n FROM customer cu
+      WHERE NOT EXISTS (SELECT 1 FROM nation na WHERE na.n_nationkey = cu.c_nationkey))
+    SELECT 'lineitem.l_orderkey->orders' AS fk, n::BIGINT AS n_orphans FROM l
+    UNION ALL SELECT 'orders.o_custkey->customer', n::BIGINT FROM o
+    UNION ALL SELECT 'customer.c_nationkey->nation', n::BIGINT FROM c
+    """,
+    description=(
+        "Referential-integrity audit: orphan counts for three declared "
+        "foreign keys via LEFT ANTI joins (the other half of the DQ "
+        "story next to dq_constraint_audit's row-local rules). Each "
+        "anti join is key-partitioned - at 100 TB the parent side of "
+        "small dimensions broadcasts and the fact-side anti join is "
+        "one shuffle; counts collapse map-side."
+    ),
+    tags=("sql", "quality", "audit", "join"),
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    def orphans(child, child_key, parent, parent_key, label):
+        n = (
+            child.join(
+                parent, child[child_key] == parent[parent_key], "left_anti"
+            )
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+        return n
+
+    return (
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(
+            orphans(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey->customer")
+        )
+        .unionAll(
+            orphans(cust, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey->nation")
+        )
+    )
