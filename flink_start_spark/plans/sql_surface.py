@@ -830,14 +830,20 @@ def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("_name_b"),
         "blk",
     )
-    dist = F.levenshtein("_name_a", "_name_b")
+    # Thresholded levenshtein (Spark 3.5+) early-exits bands beyond
+    # the bound: O(len * k) per pair instead of O(len^2), ~20x less
+    # work on non-matching candidates. Returns -1 above the threshold
+    # and the EXACT distance at or below it, so the kept pairs and
+    # their emitted distances are identical to the unthresholded form
+    # (and to the DuckDB oracle, which computes the full distance).
+    tdist = F.levenshtein("_name_a", "_name_b", 1)
     return (
         a.join(b, "blk")
         .where(F.col("custkey_a") < F.col("custkey_b"))
-        .where(dist <= 1)
+        .where(tdist >= 0)
         .select(
             "custkey_a",
             "custkey_b",
-            dist.cast("bigint").alias("edit_distance"),
+            tdist.cast("bigint").alias("edit_distance"),
         )
     )
