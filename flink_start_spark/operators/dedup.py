@@ -528,3 +528,73 @@ def passage_dedup(
             )
         ).alias("dedup_md5"),
     )
+
+
+def ppjoin_exact_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin family,
+    Xiao '08): all document pairs whose DISTINCT-WORD Jaccard is >=
+    ``threshold`` — no false negatives, unlike every LSH family in this
+    module (their recall is probabilistic; this is the exact
+    alternative when the threshold is high).
+
+    Candidate discipline: order each document's distinct tokens
+    rarest-first (global document frequency, ties by token); two sets
+    with Jaccard >= t MUST share a token within each other's first
+    ``|x| - ceil(t*|x|) + 1`` tokens, so only documents sharing a
+    PREFIX token are paired. Prefix tokens are rare by construction —
+    the candidate join key is skewed AWAY from hot tokens, the exact
+    opposite of a naive token join; boilerplate stopwords never
+    generate candidates.
+
+    Scale shape: one df-count aggregation, one token join to attach
+    ranks (shuffle on token — rare keys), per-doc reassembly, a
+    prefix-token equi-join for candidates, then the exact-Jaccard
+    confirm on the two full token arrays. Every stage is keyed;
+    nothing is quadratic in the corpus.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(TH.distinct_words(F.col(content_col))).alias("tok")
+    )
+    toks = C.track(toks)
+    dfc = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+    ranked = toks.join(dfc, "tok").select(
+        id_col, F.struct(F.col("_df"), F.col("tok")).alias("_key")
+    )
+    docs = ranked.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list("_key")), lambda s: s["tok"]
+        ).alias("_toks")
+    )
+    n = F.size("_toks")
+    prefix_len = (n - F.ceil(n * F.lit(float(threshold))) + 1).cast("int")
+    docs = C.track(docs.withColumn("_prefix", F.slice("_toks", 1, prefix_len)))
+    pre = docs.select(id_col, F.explode("_prefix").alias("tok"))
+    cand = (
+        pre.alias("x")
+        .join(pre.alias("y"), "tok")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -525,3 +525,51 @@ def vocab_oov_stats(
             ).alias("oov_frac"),
         )
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Unigram language-model scoring — the SQL-expressible core of the
+    CCNet/Wenzek '19 perplexity filter: score each document by the mean
+    negative log-probability of its tokens under the corpus's own
+    unigram distribution. Low scores = head-heavy/templated text; high
+    scores = rare-token-dense (gibberish or genuinely novel) — the two
+    tails a perplexity cut trims.
+
+    Engine-exactness: ln() outputs differ across libm implementations
+    in the last ulp, so per-token logs are INTEGER-QUANTIZED
+    (``floor(ln(p) * 2^20)``) before the per-doc mean — the same
+    commuting-integer-sum trick as the k-means centroid recompute,
+    making the result bit-identical across engines and partitionings.
+
+    Scale shape: one explode + token groupBy for counts (map-side
+    collapse), one token join back (rare-token keys are the heavy
+    side; hot tokens collapse in the count), one doc groupBy. The
+    corpus total rides a 1-row broadcast.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(TH.words(F.col(text_col))).alias("tok")
+    )
+    toks = C.track(toks)
+    counts = toks.groupBy("tok").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_n"))
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.log(F.col("_c").cast("double") / F.col("_n")) * quant
+            ).alias("_q"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.sum("_q") / (F.count("*") * float(quant)), 6).alias(
+            "mean_neg_logprob"
+        ),
+    )

@@ -1484,3 +1484,40 @@ def q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank.alias("cluster_rank"),
         (rank <= 2).alias("kept"),
     )
+
+
+@_register(
+    "ppjoin_exact_pairs",
+    """
+    WITH d AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+               FROM documents),
+    t AS (SELECT doc_id, unnest(w) AS tok FROM d),
+    dfc AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+    r AS (SELECT doc_id, tok,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY df, tok) AS pos,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM t JOIN dfc USING (tok)),
+    pre AS (SELECT doc_id, tok FROM r WHERE pos <= n - ceil(0.5 * n) + 1),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM pre x JOIN pre y ON x.tok = y.tok AND x.doc_id < y.doc_id)
+    SELECT id_a, id_b, j AS jaccard FROM (
+      SELECT id_a, id_b,
+             round(len(list_intersect(a.w, b.w))::DOUBLE /
+                   (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS j
+      FROM cand JOIN d a ON a.doc_id = id_a JOIN d b ON b.doc_id = id_b)
+    WHERE j >= 0.5
+    """,
+    description=(
+        "EXACT set-similarity join via prefix filtering (PPJoin, Xiao "
+        "'08): every distinct-word-Jaccard >= 0.5 pair, zero false "
+        "negatives - the exact counterpart to the probabilistic LSH "
+        "families. Tokens ordered rarest-first by global df; candidates "
+        "must share a token in both prefixes, so the join key is "
+        "skewed AWAY from hot tokens (boilerplate never generates "
+        "candidates). Confirm is exact Jaccard on the full token sets."
+    ),
+    tags=("dedup", "extension", "exact"),
+)
+def q_ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return D.ppjoin_exact_pairs(docs, "text", "doc_id", threshold=0.5)

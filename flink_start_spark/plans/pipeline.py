@@ -761,3 +761,34 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphans(cust, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey->nation")
         )
     )
+
+
+@_register(
+    "unigram_logprob_score",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents),
+    c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+    n AS (SELECT sum(cnt) AS total FROM c),
+    s AS (SELECT doc_id,
+                 floor(ln(cnt::DOUBLE / total) * 1048576) AS q
+          FROM t JOIN c USING (tok) CROSS JOIN n)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           round(-sum(q) / (count(*) * 1048576.0), 6) AS mean_neg_logprob
+    FROM s GROUP BY doc_id
+    """,
+    description=(
+        "Unigram LM scoring (the CCNet perplexity-filter proxy): mean "
+        "negative log-probability of each document's tokens under the "
+        "corpus unigram distribution. Per-token logs are integer-"
+        "quantized (floor(ln(p)*2^20)) before summing, so the mean is "
+        "bit-identical across engines despite libm ln() ulp "
+        "differences. One explode + token groupBy, one token join "
+        "back, one doc groupBy; corpus total is a 1-row broadcast."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.unigram_logprob_score(docs, "text", "doc_id")

@@ -48,6 +48,8 @@ _REPRESENTATIVE = [
     "large_volume_orders",
     "fuzzy_customer_pairs",
     "daily_revenue_gapfill",
+    "ppjoin_exact_pairs",
+    "unigram_logprob_score",
 ]
 
 

@@ -400,3 +400,38 @@ def test_dq_audit_empty_table(spark, tmp_path):
     assert len(rows) == 5
     assert all(r["n_violations"] == 0 for r in rows)
     assert all(r["violation_rate"] is None for r in rows)
+
+
+# ---------------------------------------------------------------------
+# ppjoin_exact_pairs
+# ---------------------------------------------------------------------
+
+def test_ppjoin_finds_all_pairs_exactly(spark):
+    """Prefix filtering must return EXACTLY the brute-force all-pairs
+    result — the zero-false-negative claim that distinguishes it from
+    the LSH families."""
+    from flink_start_spark.operators.dedup import ppjoin_exact_pairs
+
+    texts = {
+        1: "a b c d",
+        2: "a b c e",       # J(1,2)=3/5=0.6
+        3: "a b c d",       # J(1,3)=1.0
+        4: "x y z w",       # J with 1-3 = 0
+        5: "x y z v w",     # J(4,5)=4/5=0.8
+        6: "a x",           # low overlap with everything
+        7: "c d e f g h",   # J(2,7)... 2/8=0.25 < 0.5
+    }
+    df = _docs(spark, [(i, "en", t) for i, t in texts.items()])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_exact_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    expect = {}
+    for i in texts:
+        for j in texts:
+            if i < j:
+                a, b = set(texts[i].split()), set(texts[j].split())
+                jac = round(len(a & b) / len(a | b), 6)
+                if jac >= 0.5:
+                    expect[(i, j)] = jac
+    assert got == expect
