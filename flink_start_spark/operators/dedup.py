@@ -56,7 +56,7 @@ def fingerprint_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame
     )
 
 
-def minhash_candidate_pairs(
+def minhash_band_rows(
     df: DataFrame,
     content_col: str,
     id_col: str,
@@ -64,13 +64,10 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH candidate pairs: documents agreeing on >=1 MinHash band.
-
-    Returns (id_a, id_b) with id_a < id_b, distinct. The band join is
-    the only shuffle; its key space (band, md5) is effectively unique
-    per near-dup cluster, so skew only appears if the corpus contains
-    giant exact-dup clusters — run :func:`exact_dedup` first.
-    """
+    """(id, band, key) MinHash band rows — the shared signature stage
+    behind the self-join (:func:`minhash_candidate_pairs`) and the
+    delta-vs-corpus join (:func:`incremental_dedup_flags`). UNTRACKED:
+    callers persist according to their reference pattern."""
     rows = num_hashes // bands
     df = fan_out(df)  # md5-per-shingle must not run on one input split
     # Two hard-won plan-shape rules (each measured as a >10x blowup at
@@ -114,8 +111,28 @@ def minhash_candidate_pairs(
         *[TH.band_key(F.col("_sig"), b, rows).alias(f"_k{b}") for b in range(bands)],
     )
     stack_args = ", ".join(f"{b}, _k{b}" for b in range(bands))
-    exploded = keys.selectExpr(
+    return keys.selectExpr(
         id_col, f"stack({bands}, {stack_args}) AS (band, key)"
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: documents agreeing on >=1 MinHash band.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. The band join is
+    the only shuffle; its key space (band, md5) is effectively unique
+    per near-dup cluster, so skew only appears if the corpus contains
+    giant exact-dup clusters — run :func:`exact_dedup` first.
+    """
+    exploded = minhash_band_rows(
+        df, content_col, id_col, num_hashes, bands, shingle_n
     )
     # The self-join references this subtree twice and Spark re-evaluates
     # the whole shingle→digest→signature pipeline per reference; persist
@@ -597,4 +614,89 @@ def ppjoin_exact_pairs(
             F.round(inter / union, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup_flags(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    delta_pct: int = 20,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental dedup — the production shape when a DELTA batch
+    lands against an already-deduplicated CORPUS: flag each delta
+    document that exactly or nearly duplicates a corpus document,
+    WITHOUT any corpus-vs-corpus work. Here the delta is carved
+    deterministically (md5 bucket < delta_pct, salt 'delta|') so the
+    check is self-contained and oracle-reproducible; in production the
+    corpus-side fingerprints and band rows are precomputed at ingest
+    and this operator only computes the delta side fresh.
+
+    Topology: the band join is delta-rows x corpus-rows on (band, key)
+    — output bounded by crossing candidates, never |corpus|^2; exact
+    matching is a 32-byte fingerprint semi-join. Per delta doc: an
+    exact-dup flag, the count of confirmed near-dup corpus partners
+    (Jaccard >= threshold), and the near-dup flag.
+    """
+    is_delta = TH.md5_bucket(F.col(id_col), salt="delta|") < delta_pct
+    band_rows = C.track(
+        minhash_band_rows(df, content_col, id_col, num_hashes, bands, shingle_n)
+    )
+    d = band_rows.filter(is_delta).select(
+        F.col(id_col).alias("_d_id"), "band", "key"
+    )
+    c = band_rows.filter(~is_delta).select(
+        F.col(id_col).alias("_c_id"), "band", "key"
+    )
+    cand = d.join(c, ["band", "key"]).select("_d_id", "_c_id").distinct()
+    sh = C.track(
+        fan_out(df).select(
+            F.col(id_col),
+            F.array_distinct(
+                TH.shingles(F.col(content_col), shingle_n)
+            ).alias("sh"),
+        )
+    )
+    confirmed = (
+        cand.join(
+            sh.select(F.col(id_col).alias("_d_id"), F.col("sh").alias("_sh_d")),
+            "_d_id",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("_c_id"), F.col("sh").alias("_sh_c")),
+            "_c_id",
+        )
+        .withColumn("_j", F.round(TH.jaccard(F.col("_sh_d"), F.col("_sh_c")), 6))
+        .filter(F.col("_j") >= threshold)
+        .groupBy("_d_id")
+        .agg(F.count("*").alias("n_near_matches"))
+        .withColumnRenamed("_d_id", id_col)
+    )
+    fp = C.track(
+        df.select(F.col(id_col), TH.bag_fingerprint(F.col(content_col)).alias("_fp"))
+    )
+    exact = (
+        fp.filter(is_delta)
+        .join(fp.filter(~is_delta).select("_fp").distinct(), "_fp", "left_semi")
+        .select(F.col(id_col), F.lit(True).alias("exact_dup"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .filter(is_delta)
+        .join(exact, id_col, "left")
+        .join(confirmed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("n_near_matches", F.lit(0).cast("long")).alias(
+                "n_near_matches"
+            ),
+            (F.coalesce("n_near_matches", F.lit(0).cast("long")) > 0).alias(
+                "near_dup"
+            ),
+        )
     )

@@ -1521,3 +1521,57 @@ def q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, "documents", sf_dir))
     return D.ppjoin_exact_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+@_register(
+    "incremental_dedup_delta",
+    f"""
+    WITH {_SHINGLE_CTE},
+    flag AS (SELECT doc_id,
+               ({{bucket}}) < 20 AS is_delta
+             FROM documents),
+    sig AS (SELECT doc_id,
+              [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
+                         FOR s IN shingles]) FOR k IN range(16)] AS sig
+            FROM shd),
+    bandrows AS (SELECT doc_id, b,
+                   md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
+                 FROM sig, range(4) t(b)),
+    d AS (SELECT doc_id AS d_id, b, key FROM bandrows JOIN flag USING (doc_id) WHERE is_delta),
+    c AS (SELECT doc_id AS c_id, b, key FROM bandrows JOIN flag USING (doc_id) WHERE NOT is_delta),
+    cand AS (SELECT DISTINCT d_id, c_id FROM d JOIN c ON d.b = c.b AND d.key = c.key),
+    conf AS (
+      SELECT d_id AS doc_id, count(*) AS n_near FROM (
+        SELECT d_id, c_id,
+               round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                     (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS j
+        FROM cand JOIN shd x ON x.doc_id = d_id JOIN shd y ON y.doc_id = c_id)
+      WHERE j >= 0.5 GROUP BY d_id),
+    fp AS (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fpv
+           FROM documents),
+    ex AS (SELECT f.doc_id FROM fp f JOIN flag USING (doc_id)
+           WHERE is_delta AND fpv IN (
+             SELECT fpv FROM fp JOIN flag USING (doc_id) WHERE NOT is_delta))
+    SELECT flag.doc_id,
+           (flag.doc_id IN (SELECT doc_id FROM ex)) AS exact_dup,
+           coalesce(conf.n_near, 0)::BIGINT AS n_near_matches,
+           (coalesce(conf.n_near, 0) > 0) AS near_dup
+    FROM flag LEFT JOIN conf ON flag.doc_id = conf.doc_id
+    WHERE flag.is_delta
+    """.format(bucket=__import__('flink_start_spark.plans.pipeline', fromlist=['_bucket_sql'])._bucket_sql("'delta|' || doc_id::VARCHAR")),
+    description=(
+        "Incremental dedup - the production shape when a delta batch "
+        "lands against an already-deduplicated corpus: per delta doc, "
+        "an exact flag (32-byte fingerprint semi-join) and confirmed "
+        "near-dup corpus partners (delta-bands x corpus-bands on "
+        "(band, key) - bounded by crossing candidates, NEVER "
+        "corpus^2). Delta carve-out is a deterministic md5 bucket so "
+        "the oracle reproduces the split; in production the corpus "
+        "side is precomputed at ingest."
+    ),
+    tags=("dedup", "extension", "pipeline", "incremental"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.incremental_dedup_flags(docs, "text", "doc_id", delta_pct=20)

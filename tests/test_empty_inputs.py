@@ -50,6 +50,7 @@ _REPRESENTATIVE = [
     "daily_revenue_gapfill",
     "ppjoin_exact_pairs",
     "unigram_logprob_score",
+    "incremental_dedup_delta",
 ]
 
 

@@ -435,3 +435,44 @@ def test_ppjoin_finds_all_pairs_exactly(spark):
                 if jac >= 0.5:
                     expect[(i, j)] = jac
     assert got == expect
+
+
+# ---------------------------------------------------------------------
+# incremental_dedup_flags
+# ---------------------------------------------------------------------
+
+def test_incremental_dedup_crossing_only(spark):
+    """Delta docs are flagged only against CORPUS partners: an exact
+    twin inside the delta itself must NOT set exact_dup, and near-dups
+    are counted only across the boundary."""
+    from flink_start_spark.operators.dedup import incremental_dedup_flags
+    from flink_start_spark.functions.texthash import md5_bucket
+    from pyspark.sql import functions as F
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [(i, "en", base) for i in range(40)]       # all identical
+    rows += [(100 + i, "en", f"u{i} v{i} x{i}") for i in range(10)]  # uniques
+    df = _docs(spark, rows)
+    # find which ids land in the delta bucket (salt 'delta|', < 20)
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", md5_bucket(F.col("doc_id"), salt="delta|").alias("b")
+        ).collect()
+    }
+    delta_ids = {i for i, b in buckets.items() if b < 20}
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup_flags(df, "text", "doc_id", delta_pct=20).collect()
+    }
+    assert set(out) == delta_ids
+    for i, r in out.items():
+        if i < 100:
+            # identical text exists in the corpus side iff some twin is
+            # NOT in the delta (40 copies; with ~20% delta rate some
+            # corpus copy always survives)
+            assert r["exact_dup"] is True
+            assert r["near_dup"] is True
+        else:
+            assert r["exact_dup"] is False
+            assert r["n_near_matches"] == 0
