@@ -847,3 +847,59 @@ def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             tdist.cast("bigint").alias("edit_distance"),
         )
     )
+
+
+_PROFILE_COLS = [
+    ("l_orderkey", True), ("l_partkey", True), ("l_suppkey", True),
+    ("l_linenumber", True), ("l_quantity", True), ("l_extendedprice", True),
+    ("l_discount", True), ("l_tax", True), ("l_returnflag", False),
+    ("l_linestatus", False), ("l_shipdate", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, numeric in _PROFILE_COLS:
+        mn = f"round(min({c})::DOUBLE, 6)" if numeric else "NULL::DOUBLE"
+        mx = f"round(max({c})::DOUBLE, 6)" if numeric else "NULL::DOUBLE"
+        parts.append(
+            f"SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows, "
+            f"count_if({c} IS NULL)::BIGINT AS n_nulls, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+            f"{mn} AS min_value, {mx} AS max_value FROM lineitem"
+        )
+    return "\nUNION ALL ".join(parts)
+
+
+@_register(
+    "table_profile",
+    _profile_oracle(),
+    description=(
+        "Column-level table profiling (the ANALYZE TABLE / data-catalog "
+        "stats pass): per column of lineitem - row count, null count, "
+        "exact distinct count, numeric min/max (rounded 6). One Spark "
+        "job computes every column's metrics in a single multi-distinct "
+        "aggregate then unpivots; at 100 TB swap the exact distincts "
+        "for approx_count_distinct (declared rows-only elsewhere) - "
+        "the plan shape is otherwise identical."
+    ),
+    tags=("sql", "aggregation", "profiling"),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    aggs, stack_items = [], []
+    for c, numeric in _PROFILE_COLS:
+        aggs.append(F.count("*").alias(f"nr_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        if numeric:
+            aggs.append(F.round(F.min(F.col(c)).cast("double"), 6).alias(f"mn_{c}"))
+            aggs.append(F.round(F.max(F.col(c)).cast("double"), 6).alias(f"mx_{c}"))
+        mn = f"mn_{c}" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if numeric else "CAST(NULL AS DOUBLE)"
+        stack_items.append(f"'{c}', nr_{c}, nn_{c}, nd_{c}, {mn}, {mx}")
+    agg = li.agg(*aggs)
+    return agg.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_items)}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
