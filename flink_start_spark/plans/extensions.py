@@ -1489,8 +1489,12 @@ def q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ppjoin_exact_pairs",
     """
-    WITH d AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
-               FROM documents),
+    WITH dw AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    d AS (SELECT doc_id,
+            list_distinct(CASE WHEN len(w) >= 3
+                 THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+                 ELSE [array_to_string(w, ' ')] END) AS w
+          FROM dw),
     t AS (SELECT doc_id, unnest(w) AS tok FROM d),
     dfc AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
     r AS (SELECT doc_id, tok,
@@ -1509,12 +1513,12 @@ def q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description=(
         "EXACT set-similarity join via prefix filtering (PPJoin, Xiao "
-        "'08): every distinct-word-Jaccard >= 0.5 pair, zero false "
-        "negatives - the exact counterpart to the probabilistic LSH "
-        "families. Tokens ordered rarest-first by global df; candidates "
-        "must share a token in both prefixes, so the join key is "
-        "skewed AWAY from hot tokens (boilerplate never generates "
-        "candidates). Confirm is exact Jaccard on the full token sets."
+        "'08): every distinct-3-shingle-Jaccard >= 0.5 pair, zero "
+        "false negatives - the ground truth the MinHash family "
+        "approximates (same feature space). Shingles ordered "
+        "rarest-first by global df; candidates must share an element "
+        "in both prefixes, so the join key is skewed AWAY from hot "
+        "elements. Confirm is exact Jaccard on the full shingle sets."
     ),
     tags=("dedup", "extension", "exact"),
 )

@@ -850,10 +850,8 @@ def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PROFILE_COLS = [
-    ("l_orderkey", True), ("l_partkey", True), ("l_suppkey", True),
-    ("l_linenumber", True), ("l_quantity", True), ("l_extendedprice", True),
-    ("l_discount", True), ("l_tax", True), ("l_returnflag", False),
-    ("l_linestatus", False), ("l_shipdate", False),
+    ("o_orderkey", True), ("o_custkey", True), ("o_totalprice", True),
+    ("o_orderstatus", False), ("o_orderpriority", False), ("o_orderdate", False),
 ]
 
 
@@ -866,7 +864,7 @@ def _profile_oracle() -> str:
             f"SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows, "
             f"count_if({c} IS NULL)::BIGINT AS n_nulls, "
             f"count(DISTINCT {c})::BIGINT AS n_distinct, "
-            f"{mn} AS min_value, {mx} AS max_value FROM lineitem"
+            f"{mn} AS min_value, {mx} AS max_value FROM orders"
         )
     return "\nUNION ALL ".join(parts)
 
@@ -876,7 +874,7 @@ def _profile_oracle() -> str:
     _profile_oracle(),
     description=(
         "Column-level table profiling (the ANALYZE TABLE / data-catalog "
-        "stats pass): per column of lineitem - row count, null count, "
+        "stats pass): per column of orders - row count, null count, "
         "exact distinct count, numeric min/max (rounded 6). One Spark "
         "job computes every column's metrics in a single multi-distinct "
         "aggregate then unpivots; at 100 TB swap the exact distincts "
@@ -886,7 +884,7 @@ def _profile_oracle() -> str:
     tags=("sql", "aggregation", "profiling"),
 )
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
+    li = load_table(spark, "orders", sf_dir)
     aggs, stack_items = [], []
     for c, numeric in _PROFILE_COLS:
         aggs.append(F.count("*").alias(f"nr_{c}"))

@@ -406,20 +406,27 @@ def test_dq_audit_empty_table(spark, tmp_path):
 # ppjoin_exact_pairs
 # ---------------------------------------------------------------------
 
+def _shingle_set(t: str) -> set:
+    w = t.strip().split()
+    if len(w) >= 3:
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    return {t.strip()}
+
+
 def test_ppjoin_finds_all_pairs_exactly(spark):
     """Prefix filtering must return EXACTLY the brute-force all-pairs
-    result — the zero-false-negative claim that distinguishes it from
-    the LSH families."""
+    result over 3-shingle sets — the zero-false-negative claim that
+    distinguishes it from the LSH families."""
     from flink_start_spark.operators.dedup import ppjoin_exact_pairs
 
     texts = {
-        1: "a b c d",
-        2: "a b c e",       # J(1,2)=3/5=0.6
-        3: "a b c d",       # J(1,3)=1.0
-        4: "x y z w",       # J with 1-3 = 0
-        5: "x y z v w",     # J(4,5)=4/5=0.8
-        6: "a x",           # low overlap with everything
-        7: "c d e f g h",   # J(2,7)... 2/8=0.25 < 0.5
+        1: "a b c d e f",
+        2: "a b c d e g",      # shares 3 of the shingles
+        3: "a b c d e f",      # identical to 1
+        4: "x y z w q r",      # disjoint from 1-3
+        5: "x y z w q s",
+        6: "a x",              # short doc: whole-text shingle
+        7: "c d e f g h i j",
     }
     df = _docs(spark, [(i, "en", t) for i, t in texts.items()])
     got = {
@@ -430,11 +437,37 @@ def test_ppjoin_finds_all_pairs_exactly(spark):
     for i in texts:
         for j in texts:
             if i < j:
-                a, b = set(texts[i].split()), set(texts[j].split())
+                a, b = _shingle_set(texts[i]), _shingle_set(texts[j])
                 jac = round(len(a & b) / len(a | b), 6)
                 if jac >= 0.5:
                     expect[(i, j)] = jac
     assert got == expect
+
+
+def test_ppjoin_is_ground_truth_for_minhash(spark):
+    """Same feature space, same threshold: every pair the probabilistic
+    MinHash family finds must appear in the exact PPJoin result."""
+    from flink_start_spark.operators.dedup import (
+        minhash_near_dups,
+        ppjoin_exact_pairs,
+    )
+
+    rows = [
+        (i, "en", " ".join(f"w{(i * 7 + k) % 40}" for k in range(30)))
+        for i in range(30)
+    ]
+    rows += [(100 + i, "en", rows[i][2] + " tail") for i in range(5)]  # near-dups
+    df = _docs(spark, rows)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ppjoin_exact_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert lsh <= exact
+    assert exact  # the fixture does contain true near-dups
 
 
 # ---------------------------------------------------------------------

@@ -28,6 +28,8 @@ _ALLOWED_NESTED_LOOP = {
     "ann_topk_ivf",
     "semdedup_flags",
     "kmeans_clusters",
+    # 1-row corpus-total broadcast (crossJoin of the global token count)
+    "unigram_logprob_score",
 }
 
 # Shuffle budget per query (hash exchanges). Multi-join pipelines
