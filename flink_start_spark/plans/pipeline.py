@@ -792,3 +792,50 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, "documents", sf_dir))
     return TX.unigram_logprob_score(docs, "text", "doc_id")
+
+
+@_register(
+    "curriculum_buckets",
+    f"""
+    WITH w AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+    {_QUALITY_SQL},
+    b AS (SELECT doc_id, lang, quality_score,
+                 ntile(10) OVER (PARTITION BY lang
+                                 ORDER BY quality_score, doc_id) AS decile
+          FROM q)
+    SELECT lang, decile::BIGINT AS decile,
+           count(*)::BIGINT AS n_docs,
+           round(min(quality_score), 6) AS min_quality,
+           round(max(quality_score), 6) AS max_quality
+    FROM b GROUP BY lang, decile
+    """,
+    description=(
+        "Curriculum bucketing: per-language quality DECILES via "
+        "ntile(10) (deterministic doc_id tie-break), aggregated to "
+        "bucket boundaries - the ordering pass a curriculum-learning "
+        "data loader consumes (feed high-quality deciles late, or "
+        "sample per bucket). One lang-partitioned window + one "
+        "groupBy on the same key."
+    ),
+    tags=("text", "extension", "pipeline", "analytic"),
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_start_spark.functions import texthash as TH
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.round(TX.quality_expr(TH.words(F.col("text"))), 6).alias(
+            "quality_score"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    b = q.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    return b.groupBy("lang", "decile").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("quality_score"), 6).alias("min_quality"),
+        F.round(F.max("quality_score"), 6).alias("max_quality"),
+    )

@@ -901,3 +901,65 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {', '.join(stack_items)}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+@_register(
+    "sorted_neighborhood_pairs",
+    """
+    WITH r AS (
+      SELECT c_custkey, c_name,
+             lead(c_custkey, 1) OVER (ORDER BY c_name, c_custkey) AS k1,
+             lead(c_name, 1)    OVER (ORDER BY c_name, c_custkey) AS n1,
+             lead(c_custkey, 2) OVER (ORDER BY c_name, c_custkey) AS k2,
+             lead(c_name, 2)    OVER (ORDER BY c_name, c_custkey) AS n2
+      FROM customer)
+    SELECT custkey_a, custkey_b, edit_distance FROM (
+      SELECT c_custkey AS custkey_a, k1 AS custkey_b,
+             levenshtein(c_name, n1)::BIGINT AS edit_distance
+      FROM r WHERE k1 IS NOT NULL
+      UNION ALL
+      SELECT c_custkey, k2, levenshtein(c_name, n2)::BIGINT
+      FROM r WHERE k2 IS NOT NULL)
+    WHERE edit_distance <= 1
+    """,
+    description=(
+        "Sorted-neighborhood record linkage (Hernandez '95) - the "
+        "second classic blocking discipline next to fuzzy_customer_"
+        "pairs' prefix blocking: sort by the match key, compare each "
+        "row only to its w-1 successors (lead() windows, w=3), "
+        "Levenshtein confirm. O(n*w) comparisons regardless of block "
+        "sizes - robust where prefix blocks skew. The total sort is "
+        "a range-partition + local sort at scale; lead() at partition "
+        "edges needs a w-row boundary overlap, noted as the "
+        "production refinement."
+    ),
+    tags=("sql", "join", "entity-resolution", "analytic"),
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    w = Window.orderBy("c_name", "c_custkey")
+    r = cust.select(
+        "c_custkey",
+        "c_name",
+        F.lead("c_custkey", 1).over(w).alias("k1"),
+        F.lead("c_name", 1).over(w).alias("n1"),
+        F.lead("c_custkey", 2).over(w).alias("k2"),
+        F.lead("c_name", 2).over(w).alias("n2"),
+    )
+    p1 = r.where(F.col("k1").isNotNull()).select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("k1").alias("custkey_b"),
+        F.levenshtein("c_name", "n1", 1).alias("_d"),
+    )
+    p2 = r.where(F.col("k2").isNotNull()).select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("k2").alias("custkey_b"),
+        F.levenshtein("c_name", "n2", 1).alias("_d"),
+    )
+    return (
+        p1.unionAll(p2)
+        .where(F.col("_d") >= 0)
+        .select(
+            "custkey_a", "custkey_b", F.col("_d").cast("bigint").alias("edit_distance")
+        )
+    )

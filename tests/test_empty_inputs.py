@@ -51,6 +51,8 @@ _REPRESENTATIVE = [
     "ppjoin_exact_pairs",
     "unigram_logprob_score",
     "incremental_dedup_delta",
+    "curriculum_buckets",
+    "sorted_neighborhood_pairs",
 ]
 
 
