@@ -18,6 +18,7 @@ from flink_start_spark.operators import dedup as D
 from flink_start_spark.operators import multimodal as M
 from flink_start_spark.operators import similarity as S
 from flink_start_spark.operators import text as TX
+from flink_start_spark.plans.pipeline import _bucket_sql as _pipeline_bucket_sql
 from flink_start_spark.plans.catalog import _register
 from flink_start_spark.sources.catalog import fan_out, load_table
 
@@ -1563,7 +1564,7 @@ def q_ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            (coalesce(conf.n_near, 0) > 0) AS near_dup
     FROM flag LEFT JOIN conf ON flag.doc_id = conf.doc_id
     WHERE flag.is_delta
-    """.format(bucket=__import__('flink_start_spark.plans.pipeline', fromlist=['_bucket_sql'])._bucket_sql("'delta|' || doc_id::VARCHAR")),
+    """.format(bucket=_pipeline_bucket_sql("'delta|' || doc_id::VARCHAR")),
     description=(
         "Incremental dedup - the production shape when a delta batch "
         "lands against an already-deduplicated corpus: per delta doc, "

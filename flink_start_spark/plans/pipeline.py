@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_start_spark import cache as C
 from flink_start_spark.operators import curation as CU
 from flink_start_spark.operators import text as TX
 from flink_start_spark.plans.catalog import _register
@@ -838,4 +839,108 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.min("quality_score"), 6).alias("min_quality"),
         F.round(F.max("quality_score"), 6).alias("max_quality"),
+    )
+
+
+@_register(
+    "pmi_collocations",
+    """
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    bg AS (SELECT unnest([struct_pack(a := w[i], b := w[i+1])
+                          FOR i IN range(1, len(w))], recursive := true)
+           FROM d WHERE len(w) >= 2),
+    cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+    u AS (SELECT unnest(w) AS tok FROM d),
+    cu AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+    tot AS (SELECT (SELECT sum(c_ab) FROM cab) AS nb,
+                   (SELECT sum(c) FROM cu) AS nu),
+    s AS (SELECT a, b, c_ab,
+                 (floor(ln(c_ab::DOUBLE) * 1048576)
+                  + 2 * floor(ln(nu::DOUBLE) * 1048576)
+                  - floor(ln(nb::DOUBLE) * 1048576)
+                  - floor(ln(ca.c::DOUBLE) * 1048576)
+                  - floor(ln(cb.c::DOUBLE) * 1048576)) AS pmi_q
+          FROM cab JOIN cu ca ON cab.a = ca.tok
+                   JOIN cu cb ON cab.b = cb.tok
+                   CROSS JOIN tot
+          WHERE c_ab >= 5),
+    r AS (SELECT a, b, c_ab, pmi_q,
+                 row_number() OVER (ORDER BY pmi_q DESC, a, b) AS rank
+          FROM s)
+    SELECT a, b, c_ab::BIGINT AS c_ab,
+           round(pmi_q / 1048576.0, 6) AS pmi, rank::BIGINT AS rank
+    FROM r WHERE rank <= 50
+    """,
+    description=(
+        "Collocation mining: top-50 bigrams by pointwise mutual "
+        "information, PMI = ln(p(ab)/(p(a)p(b))) decomposed into a SUM "
+        "OF INTEGER-QUANTIZED LOG TERMS (floor(ln(count)*2^20) each) - "
+        "integer addition commutes and avoids the >2^53 products a "
+        "single-expression form hits at scale, so ranking is on exact "
+        "integers and fully deterministic. Bigram/unigram counts "
+        "collapse map-side; totals ride a 1-row broadcast; the rank "
+        "window runs on the min-count-filtered bigram relation."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_start_spark.functions import texthash as TH
+
+    Q = 1048576
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    ws = TH.words(F.col("text"))
+    d = docs.select(ws.alias("w")).where(F.size("w") >= 2)
+    bg = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1), F.slice("w", 2, F.size("w") - 1)
+            )
+        ).alias("p")
+    ).select(F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
+    cab = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    cab = C.track(cab)
+    cu = (
+        docs.select(F.explode(ws).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    cu = C.track(cu)
+    tot = cab.agg(F.sum("c_ab").alias("nb")).crossJoin(
+        cu.agg(F.sum("c").alias("nu"))
+    )
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * Q)
+
+    s = (
+        cab.where(F.col("c_ab") >= 5)
+        .join(cu.select(F.col("tok").alias("a"), F.col("c").alias("_ca")), "a")
+        .join(cu.select(F.col("tok").alias("b"), F.col("c").alias("_cb")), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            (
+                qln(F.col("c_ab"))
+                + 2 * qln(F.col("nu"))
+                - qln(F.col("nb"))
+                - qln(F.col("_ca"))
+                - qln(F.col("_cb"))
+            ).alias("pmi_q"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi_q").desc(), "a", "b")
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 50)
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(F.col("pmi_q") / float(Q), 6).alias("pmi"),
+            "rank",
+        )
     )

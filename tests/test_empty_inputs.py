@@ -53,6 +53,7 @@ _REPRESENTATIVE = [
     "incremental_dedup_delta",
     "curriculum_buckets",
     "sorted_neighborhood_pairs",
+    "pmi_collocations",
 ]
 
 
