@@ -28,8 +28,9 @@ _ALLOWED_NESTED_LOOP = {
     "ann_topk_ivf",
     "semdedup_flags",
     "kmeans_clusters",
-    # 1-row corpus-total broadcast (crossJoin of the global token count)
+    # 1-row corpus-total broadcasts (crossJoin of global count rows)
     "unigram_logprob_score",
+    "pmi_collocations",
 }
 
 # Shuffle budget per query (hash exchanges). Multi-join pipelines
