@@ -963,3 +963,44 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey_a", "custkey_b", F.col("_d").cast("bigint").alias("edit_distance")
         )
     )
+
+
+@_register(
+    "revenue_grouping_sets",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS revenue,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    description=(
+        "Explicit GROUPING SETS (the general form ROLLUP/CUBE sugar "
+        "over): per-priority AND per-status revenue in ONE scan - "
+        "Spark plans a single Expand + aggregate instead of a UNION of "
+        "two scans, the multi-dimensional-report shape that halves "
+        "scan cost at 100 TB. Coalesced labels keep the two grouping "
+        "shapes distinguishable in a flat result."
+    ),
+    tags=("sql", "aggregation", "grouping-sets"),
+)
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)
+                 AS revenue_dec,
+               count(*) AS n_orders
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    ).selectExpr(
+        "o_orderpriority",
+        "o_orderstatus",
+        "CAST(revenue_dec AS DOUBLE) AS revenue",
+        "n_orders",
+    )

@@ -54,6 +54,7 @@ _REPRESENTATIVE = [
     "curriculum_buckets",
     "sorted_neighborhood_pairs",
     "pmi_collocations",
+    "revenue_grouping_sets",
 ]
 
 
