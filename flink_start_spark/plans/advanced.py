@@ -653,3 +653,53 @@ def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last("revenue", ignorenulls=True).over(w), 2), F.lit(0.0)
         ).alias("revenue_locf"),
     )
+
+
+@_register(
+    "monthly_revenue_trend",
+    """
+    WITH daily AS (
+      SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS order_month,
+             day(o_orderdate)::BIGINT AS x,
+             (sum(CAST(o_totalprice AS DECIMAL(20,6))) * 100)::BIGINT AS y
+      FROM orders GROUP BY 1, 2)
+    SELECT order_month,
+           count(*)::BIGINT AS n_days,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / nullif((count(*) * sum(x * x) - sum(x) * sum(x)), 0)::DOUBLE,
+                 6) AS slope_cents_per_day
+    FROM daily GROUP BY order_month
+    """,
+    description=(
+        "Trend analytics: per-month least-squares slope of daily "
+        "revenue, computed from the closed form (n*Sxy - Sx*Sy)/"
+        "(n*Sxx - Sx^2) over INTEGER inputs - day index and exact "
+        "DECIMAL cent totals - so every sum commutes and the slope is "
+        "bit-identical across engines and partitionings (regr_slope's "
+        "internal float accumulation is not). Two aggregations, both "
+        "map-side collapsing; single-day months yield a null slope "
+        "(guarded division)."
+    ),
+    tags=("analytic", "timeseries", "regression"),
+)
+def q_monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("x"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(20,6)")) * 100)
+        .cast("long")
+        .alias("y")
+    )
+    n = F.count("*")
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    return daily.groupBy("order_month").agg(
+        n.alias("n_days"),
+        F.round(
+            F.try_divide(num, F.nullif(den, F.lit(0)).cast("double")), 6
+        ).alias("slope_cents_per_day"),
+    )

@@ -55,6 +55,7 @@ _REPRESENTATIVE = [
     "sorted_neighborhood_pairs",
     "pmi_collocations",
     "revenue_grouping_sets",
+    "monthly_revenue_trend",
 ]
 
 

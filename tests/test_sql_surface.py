@@ -171,3 +171,34 @@ def test_gapfill_zero_counts_and_locf(spark, tmp_path):
     assert [r["n_orders"] for r in out] == [2, 0, 1]
     assert [r["revenue"] for r in out] == [150.0, 0.0, 70.0]
     assert [r["revenue_locf"] for r in out] == [150.0, 150.0, 70.0]
+
+
+def test_trend_slope_hand_values(spark, tmp_path):
+    """Three days of linearly increasing revenue give exactly the step
+    as the slope; a single-day month yields a null slope."""
+    import os
+    from datetime import datetime
+
+    from flink_start_spark.plans import QUERIES
+
+    rows = [
+        (1, 1, "O", 10.0, datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "O", 20.0, datetime(2024, 1, 2), "1-URGENT"),
+        (3, 1, "O", 30.0, datetime(2024, 1, 3), "1-URGENT"),
+        (4, 1, "O", 99.0, datetime(2024, 2, 10), "1-URGENT"),  # lone day
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(sf, "orders.parquet")
+    )
+    out = {
+        r["order_month"]: r
+        for r in QUERIES["monthly_revenue_trend"].spark(spark, sf).collect()
+    }
+    assert out[202401]["n_days"] == 3
+    assert out[202401]["slope_cents_per_day"] == 1000.0  # +10.00/day in cents
+    assert out[202402]["slope_cents_per_day"] is None
