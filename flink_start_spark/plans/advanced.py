@@ -703,3 +703,48 @@ def q_monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(num, F.nullif(den, F.lit(0)).cast("double")), 6
         ).alias("slope_cents_per_day"),
     )
+
+
+@_register(
+    "last_touch_attribution",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed_type
+      FROM events)
+    SELECT coalesce(attributed_type, 'none') AS attributed_type,
+           count(*)::BIGINT AS n_purchases
+    FROM o WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    description=(
+        "Last-touch attribution: for every purchase, the user's most "
+        "recent preceding non-purchase event type (last_value IGNORE "
+        "NULLS over a user-partitioned, (ts, event_id)-ordered frame "
+        "ending 1 PRECEDING), aggregated to the channel report. ONE "
+        "window pass over one user partitioning; first-event purchases "
+        "attribute to 'none'."
+    ),
+    tags=("analytic", "attribution", "events"),
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("_attr", attributed)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("_attr", F.lit("none")).alias("attributed_type"))
+        .agg(F.count("*").alias("n_purchases"))
+    )

@@ -56,6 +56,7 @@ _REPRESENTATIVE = [
     "pmi_collocations",
     "revenue_grouping_sets",
     "monthly_revenue_trend",
+    "last_touch_attribution",
 ]
 
 

@@ -202,3 +202,32 @@ def test_trend_slope_hand_values(spark, tmp_path):
     assert out[202401]["n_days"] == 3
     assert out[202401]["slope_cents_per_day"] == 1000.0  # +10.00/day in cents
     assert out[202402]["slope_cents_per_day"] is None
+
+
+def test_last_touch_attribution_semantics(spark, tmp_path):
+    """A purchase attributes to the most recent PRIOR non-purchase
+    event; a purchase with no prior events attributes to 'none'; a
+    prior purchase is skipped over."""
+    import os
+
+    from flink_start_spark.plans import QUERIES
+
+    df = _events(
+        spark,
+        [
+            (100, 1, "view", 0),
+            (200, 1, "click", 0),
+            (300, 1, "purchase", 0),   # -> click
+            (400, 1, "purchase", 0),   # prior purchase skipped -> click
+            (100, 2, "purchase", 0),   # first event -> none
+            (150, 2, "error", 0),
+            (250, 2, "purchase", 0),   # -> error
+        ],
+    )
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    got = {
+        r["attributed_type"]: r["n_purchases"]
+        for r in QUERIES["last_touch_attribution"].spark(spark, sf).collect()
+    }
+    assert got == {"click": 2, "none": 1, "error": 1}
