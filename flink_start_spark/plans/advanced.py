@@ -748,3 +748,74 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("_attr", F.lit("none")).alias("attributed_type"))
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@_register(
+    "three_step_funnel",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT s.user_id, s.s_ts, min(e.ts) AS v_ts
+          FROM s LEFT JOIN events e
+            ON e.user_id = s.user_id AND e.event_type = 'view' AND e.ts >= s.s_ts
+          GROUP BY s.user_id, s.s_ts),
+    p AS (SELECT v.user_id, v.v_ts, min(e.ts) AS p_ts
+          FROM v LEFT JOIN events e
+            ON e.user_id = v.user_id AND e.event_type = 'purchase'
+               AND v.v_ts IS NOT NULL AND e.ts >= v.v_ts
+          GROUP BY v.user_id, v.v_ts)
+    SELECT CASE WHEN p_ts IS NOT NULL THEN 'purchased'
+                WHEN v_ts IS NOT NULL THEN 'viewed'
+                ELSE 'signup_only' END AS stage,
+           count(*)::BIGINT AS n_users
+    FROM p GROUP BY 1
+    """,
+    description=(
+        "Three-step ORDERED funnel (signup -> view -> purchase): each "
+        "later step must occur at or after the user's first completion "
+        "of the previous step - the ordering constraint that separates "
+        "a funnel from three independent counts. Per-step min-ts "
+        "aggregations chained through user_id-keyed left joins; every "
+        "stage rides the same user_id hash partitioning."
+    ),
+    tags=("analytic", "funnel", "events"),
+)
+def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    view_ev = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("_vu"), F.col("ts").alias("_vts")
+    )
+    v = (
+        s.join(
+            view_ev,
+            (F.col("user_id") == F.col("_vu")) & (F.col("_vts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("_vts").alias("v_ts"))
+    )
+    buy_ev = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_pu"), F.col("ts").alias("_pts")
+    )
+    p = (
+        v.join(
+            buy_ev,
+            (F.col("user_id") == F.col("_pu"))
+            & F.col("v_ts").isNotNull()
+            & (F.col("_pts") >= F.col("v_ts")),
+            "left",
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("_pts").alias("p_ts"))
+    )
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), F.lit("purchased"))
+        .when(F.col("v_ts").isNotNull(), F.lit("viewed"))
+        .otherwise(F.lit("signup_only"))
+    )
+    return p.groupBy(stage.alias("stage")).agg(F.count("*").alias("n_users"))

@@ -57,6 +57,7 @@ _REPRESENTATIVE = [
     "revenue_grouping_sets",
     "monthly_revenue_trend",
     "last_touch_attribution",
+    "three_step_funnel",
 ]
 
 

@@ -231,3 +231,32 @@ def test_last_touch_attribution_semantics(spark, tmp_path):
         for r in QUERIES["last_touch_attribution"].spark(spark, sf).collect()
     }
     assert got == {"click": 2, "none": 1, "error": 1}
+
+
+def test_three_step_funnel_ordering_constraint(spark, tmp_path):
+    """A view BEFORE signup does not advance the funnel; each step must
+    follow the previous one."""
+    import os
+
+    from flink_start_spark.plans import QUERIES
+
+    df = _events(
+        spark,
+        [
+            # u1: full ordered path
+            (100, 1, "signup", 0), (200, 1, "view", 0), (300, 1, "purchase", 0),
+            # u2: view happened BEFORE signup -> signup_only
+            (100, 2, "view", 0), (200, 2, "signup", 0),
+            # u3: purchase before the post-signup view -> viewed only
+            (100, 3, "signup", 0), (150, 3, "purchase", 0), (200, 3, "view", 0),
+            # u4: never signed up -> absent
+            (100, 4, "view", 0), (200, 4, "purchase", 0),
+        ],
+    )
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    got = {
+        r["stage"]: r["n_users"]
+        for r in QUERIES["three_step_funnel"].spark(spark, sf).collect()
+    }
+    assert got == {"purchased": 1, "signup_only": 1, "viewed": 1}
