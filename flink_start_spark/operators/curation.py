@@ -15,9 +15,11 @@ Scale shape (what survives a 100 TB corpus):
   score, bench/sample buckets) as pure projections;
 - exact-dedup survivorship is a min() window over the text partition —
   ONE shuffle, no self-join;
-- the per-language quality median rides a second window (rank + count
-  + value-at-rank over the same lang partitioning — no median join, no
-  recompute of the base);
+- the per-language quality median rides the two-phase histogram
+  selection (operators/selection.py): per-(lang, value-bucket) counts,
+  an array-fold prefix sum, and a resolve touching ~1/1024 of one
+  language — never a per-language sort task; the flag base is persisted
+  so the median pass and the final disposition share one computation;
 - decontamination is the only doc_id join: its left side is the
   aggregated shingle-overlap relation (one row per doc), its right the
   flagged base — both hash-partition on doc_id;
@@ -35,7 +37,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_start_spark import cache as C
 from flink_start_spark.functions import texthash as TH
+from flink_start_spark.operators import selection as SEL
 from flink_start_spark.operators import text as TX
 
 #: disposition precedence, first failing stage wins.
@@ -73,31 +77,26 @@ def curation_audit(
     for stratum, pct in rates.items():
         rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
     surv = F.min(id_col).over(Window.partitionBy(text_col))
-    base = df.select(
-        id_col,
-        stratum_col,
-        (TH.md5_bucket(F.col(id_col), salt="bench|") < bench_pct).alias("is_bench"),
-        (TH.md5_bucket(F.col(id_col), salt="sample|") < rate).alias("sampled"),
-        TX.clean_keep_expr(clean_words).alias("clean_kept"),
-        F.round(TX.quality_expr(TH.words(text)), 6).alias("quality_score"),
-        (F.col(id_col) != surv).alias("is_dup"),
-    )
-    # -- per-language exact lower median, windows only (no join) --------
-    wo = Window.partitionBy(stratum_col).orderBy("quality_score", id_col)
-    wl = Window.partitionBy(stratum_col)
-    flagged = (
-        base.withColumn("_rn", F.row_number().over(wo))
-        .withColumn("_cnt", F.count("*").over(wl))
-        .withColumn(
-            "median_quality",
-            F.max(
-                F.when(
-                    F.col("_rn") == F.floor((F.col("_cnt") + F.lit(1)) / F.lit(2)),
-                    F.col("quality_score"),
-                )
-            ).over(wl),
+    base = C.track(
+        df.select(
+            id_col,
+            stratum_col,
+            (TH.md5_bucket(F.col(id_col), salt="bench|") < bench_pct).alias(
+                "is_bench"
+            ),
+            (TH.md5_bucket(F.col(id_col), salt="sample|") < rate).alias("sampled"),
+            TX.clean_keep_expr(clean_words).alias("clean_kept"),
+            F.round(TX.quality_expr(TH.words(text)), 6).alias("quality_score"),
+            (F.col(id_col) != surv).alias("is_dup"),
         )
     )
+    # -- per-language exact lower median: two-phase histogram selection
+    # (operators/selection.py) — no per-language sort task; the tiny
+    # median table broadcasts back onto the persisted flag base.
+    medians = SEL.exact_rank_value(
+        base, [stratum_col], "quality_score", out_col="median_quality"
+    ).select(stratum_col, "median_quality")
+    flagged = base.join(F.broadcast(medians), stratum_col)
     # -- decontamination: the one doc_id join (aggregated left side) ----
     decon = TX.decontaminate(
         df, text_col, id_col, bench_pct=bench_pct

@@ -508,7 +508,13 @@ def passage_dedup(
     still pinning every surviving byte).
     """
     w = passage_words
-    ws = TH.words(F.col(content_col))
+    # materialize the word array as a REAL column first: F.slice inside
+    # the transform lambda must reference the column, not the split()
+    # expression — otherwise split() re-runs once per chunk, the
+    # O(words^2) lambda re-evaluation hazard texthash.shingles documents
+    # (and the slice-shifted pattern there avoids).
+    worded = df.select(F.col(id_col), TH.words(F.col(content_col)).alias("_ws"))
+    ws = F.col("_ws")
     n_chunks = F.greatest(
         F.ceil(F.size(ws) / F.lit(float(w))), F.lit(1)
     ).cast("int")
@@ -516,7 +522,7 @@ def passage_dedup(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "),
     )
-    hashed = df.select(
+    hashed = worded.select(
         F.col(id_col), F.posexplode(chunks).alias("pos", "passage")
     ).withColumn("ph", F.md5("passage"))
     # Referenced by both the first-occurrence aggregate and the

@@ -132,8 +132,18 @@ def compact_small_files(
     spans stayed at the full keyspace); range partitioning gives each
     file one contiguous key slice, which is what restores parquet
     min/max skipping. The rewrite goes through a temp sibling directory
-    then a rename swap: readers of ``path`` never observe a
-    half-written mix of old and new files.
+    then a rename swap: readers see old-or-new files, never a
+    half-written mix — but there IS a brief window between the two
+    renames where ``path`` itself is absent (local-FS rename gives no
+    two-directory atomic swap; concurrent readers should retry ENOENT,
+    and a real lakehouse deployment would use a table format's commit
+    protocol instead). Stale ``._compact_tmp``/``._compact_old``
+    siblings from a crashed prior run are removed at entry so a retry
+    always succeeds.
+
+    Only FLAT directories are supported: a partitioned (nested
+    key=value) layout would be silently flattened by the read-rewrite,
+    so it is refused with ``ValueError``.
 
     Returns ``{"files_before", "files_after", "bytes"}``. Content is
     preserved row-for-row (pinned by tests/test_layout.py).
@@ -142,6 +152,22 @@ def compact_small_files(
     import os as _os
     import shutil as _shutil
 
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    for stale in (tmp, old):
+        if _os.path.exists(stale):
+            _shutil.rmtree(stale)
+    subdirs = [
+        d
+        for d in _glob.glob(_os.path.join(path, "*"))
+        if _os.path.isdir(d) and not _os.path.basename(d).startswith("_")
+    ]
+    if subdirs:
+        raise ValueError(
+            f"compact_small_files supports flat directories only; {path} "
+            f"contains partition-like subdirectories (e.g. {subdirs[0]}) "
+            "whose structure an in-place rewrite would flatten"
+        )
     files = [
         f
         for f in _glob.glob(_os.path.join(path, "*.parquet"))
@@ -157,9 +183,7 @@ def compact_small_files(
         )
     else:
         df = df.repartition(n_out)
-    tmp = path.rstrip("/") + "._compact_tmp"
     df.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     _os.rename(path, old)
     _os.rename(tmp, path)
     _shutil.rmtree(old)

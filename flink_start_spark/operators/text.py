@@ -349,22 +349,22 @@ def quality_median_filter(
     variant of threshold filtering — robust to per-language score
     shifts that break a single global cutoff).
 
-    Median is the EXACT lower median (row at position (cnt+1)/2 under
-    (score, doc_id) order), not percentile_approx: approximate sketches
-    are engine-specific, the exact rank is reproducible everywhere.
-    Scale note: the rank window shuffles the per-doc stats relation
-    once on the group key — stats rows, not documents; the 5-row median
-    table then broadcasts back onto the stats.
+    Median is the EXACT lower median (the value at position (cnt+1)/2
+    under score order — the (score, doc_id) tiebreak of the oracle's
+    rank window cannot change WHICH VALUE sits at a rank), not
+    percentile_approx: approximate sketches are engine-specific, the
+    exact rank is reproducible everywhere. Scale note: selection runs
+    the two-phase histogram topology (operators/selection.py) — no
+    per-language sort task, ever; the 5-row median table then
+    broadcasts back onto the persisted stats.
     """
-    st = text_stats(df, text_col, extra_cols=(group_col,))
-    wo = Window.partitionBy(group_col).orderBy("quality_score", "doc_id")
-    wc = Window.partitionBy(group_col)
-    ranked = st.withColumn("_rn", F.row_number().over(wo)).withColumn(
-        "_cnt", F.count("*").over(wc)
-    )
-    medians = ranked.filter(
-        F.col("_rn") == F.floor((F.col("_cnt") + F.lit(1)) / F.lit(2))
-    ).select(group_col, F.col("quality_score").alias("median_quality"))
+    from flink_start_spark import cache as C
+    from flink_start_spark.operators import selection as S
+
+    st = C.track(text_stats(df, text_col, extra_cols=(group_col,)))
+    medians = S.exact_rank_value(
+        st, [group_col], "quality_score", out_col="median_quality"
+    ).select(group_col, "median_quality")
     return st.join(F.broadcast(medians), group_col).select(
         "doc_id",
         group_col,

@@ -147,11 +147,23 @@ def count_trigger_cumulative(
     Returns: fire_seq (1-based fire index), arrival (1-based dense rank of
     the triggering element in ``order_col`` order — dense even when the
     order column itself has gaps), cnt (cumulative).
+
+    Scale shape: arrival rank AND the running conditional sum ride the
+    two-phase bucket-offset topology (operators/selection.
+    with_rank_and_sum) in one pass — per-bucket partial counts/sums, an
+    array-fold prefix over the bounded histogram, and an in-bucket
+    window partitioned by ``_bkt`` — so even this un-keyed global-order
+    operator never funnels the relation through a single sort task.
+    (With a source-provided offset column the bucket id is a pure
+    projection and the same shape applies with zero extra passes.)
     """
-    w = Window.orderBy(F.col(order_col))
-    running = df.select(
-        F.row_number().over(w).alias("_rn"),
-        F.sum(F.when(pred, 1).otherwise(0)).over(w).alias(alias),
+    from flink_start_spark.operators import selection as S
+
+    slim = df.select(
+        F.col(order_col), F.when(pred, 1).otherwise(0).alias("_hit")
+    )
+    running = S.with_rank_and_sum(
+        slim, [], order_col, "_hit", out_rank="_rn", out_sum=alias
     )
     return running.filter(F.col("_rn") % every == 0).select(
         (F.col("_rn") / every).cast("long").alias("fire_seq"),
@@ -172,14 +184,20 @@ def count_trigger_buckets(
     Buckets arrivals into consecutive groups of ``every`` and counts
     ``pred`` per *complete* bucket (incomplete tail buckets do not fire,
     matching the trigger never firing for a partial batch). When the
-    arrival index comes from the source (e.g. a log offset) the bucket id
-    is a pure projection and the aggregation is an ordinary scalable hash
-    groupBy — only this fixture-sized path computes row_number globally.
+    arrival index comes from the source (e.g. a log offset) the bucket
+    id is a pure projection; here it is derived from the arrival rank,
+    which itself comes from the two-phase bucket-offset topology
+    (operators/selection.with_rank_and_sum) — no global sort task even
+    without a source offset.
     """
-    w = Window.orderBy(F.col(order_col))
-    bucketed = df.select(
-        F.floor((F.row_number().over(w) - F.lit(1)) / every).alias("bucket"),
-        F.when(pred, 1).otherwise(0).alias("_hit"),
+    from flink_start_spark.operators import selection as S
+
+    slim = df.select(
+        F.col(order_col), F.when(pred, 1).otherwise(0).alias("_hit")
+    )
+    bucketed = S.with_rank_and_sum(slim, [], order_col, out_rank="_rn").select(
+        F.floor((F.col("_rn") - F.lit(1)) / every).alias("bucket"),
+        "_hit",
     )
     agg = bucketed.groupBy("bucket").agg(
         F.sum("_hit").cast("long").alias(alias), F.count("*").alias("_sz")

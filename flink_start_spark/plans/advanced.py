@@ -554,42 +554,43 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "Robust anomaly detection: per event_type exact lower median of "
         "value, exact median absolute deviation (the robust sigma), and "
-        "the count of |v - med| > 3*MAD outliers. Both medians are "
-        "rank-pick windows over the SAME event_type partitioning (one "
-        "exchange, two local window passes) — exact picks, never "
-        "averaged, so every comparison runs on bit-identical doubles "
-        "in both engines."
+        "the count of |v - med| > 3*MAD outliers. Both medians ride the "
+        "two-phase histogram selection (operators/selection.py) — no "
+        "per-event_type sort task anywhere, the hot-key hazard SURVEY "
+        "§4 flags for ~5-value keys — yet the picks stay EXACT rank "
+        "elements, never averaged, so every comparison runs on "
+        "bit-identical doubles in both engines."
     ),
     tags=("analytic", "robust-stats", "events"),
 )
 def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark import cache as C
+    from flink_start_spark.operators import selection as S
+
     ev = load_table(spark, "events", sf_dir)
-    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wt = Window.partitionBy("event_type")
-    med_pick = F.when(
-        F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2), F.col("value")
+    base = C.track(ev.select("event_type", "value"))
+    med = S.exact_rank_value(
+        base, ["event_type"], "value", out_col="_med"
+    ).select("event_type", F.col("_gcnt").alias("n_events"), "_med")
+    dev = C.track(
+        base.join(F.broadcast(med), "event_type").withColumn(
+            "_dev", F.abs(F.col("value") - F.col("_med"))
+        )
     )
-    staged = (
-        ev.select("event_type", "event_id", "value")
-        .withColumn("_rn", F.row_number().over(wo))
-        .withColumn("_cnt", F.count("*").over(wt))
-        .withColumn("_med", F.max(med_pick).over(wt))
-        .withColumn("_dev", F.abs(F.col("value") - F.col("_med")))
+    mad = S.exact_rank_value(dev, ["event_type"], "_dev", out_col="_mad").select(
+        "event_type", "_mad"
     )
-    wd = Window.partitionBy("event_type").orderBy("_dev", "event_id")
-    mad_pick = F.when(
-        F.col("_drn") == F.floor((F.col("_cnt") + 1) / 2), F.col("_dev")
-    )
-    staged = staged.withColumn("_drn", F.row_number().over(wd)).withColumn(
-        "_mad", F.max(mad_pick).over(wt)
-    )
-    return staged.groupBy("event_type").agg(
-        F.any_value("_cnt").alias("n_events"),
-        F.round(F.any_value("_med"), 6).alias("median_value"),
-        F.round(F.any_value("_mad"), 6).alias("mad"),
-        F.sum(
-            (F.col("_dev") > 3 * F.col("_mad")).cast("long")
-        ).alias("n_outliers"),
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n_events").alias("n_events"),
+            F.round(F.any_value("_med"), 6).alias("median_value"),
+            F.round(F.any_value("_mad"), 6).alias("mad"),
+            F.sum((F.col("_dev") > 3 * F.col("_mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
     )
 
 

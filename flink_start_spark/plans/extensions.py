@@ -806,11 +806,13 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     )
     counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    # (cnt desc, token) is a total order: orderBy().limit() plans as
+    # TakeOrderedAndProject (distributed per-partition top-k), then the
+    # rank is reconstructed over the 50 surviving rows — no global sort.
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(50)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 50)
-        .select("token", "cnt", "rk")
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "token", "cnt", "rk"
     )
 
 
@@ -950,16 +952,18 @@ def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "Sequence packing: greedy contiguous fill of documents into "
         "4096-token training sequences (doc assigned to the pack where "
-        "it starts; BPE-estimate token counts). Packed PER SOURCE so "
-        "the running-sum window parallelizes across sources — the "
-        "shard-local packing a 100 TB pipeline uses instead of a "
-        "global order (which would serialize on one task). Emits pack "
-        "occupancy + fill rate for padding-efficiency audits."
+        "it starts; BPE-estimate token counts). The per-source running "
+        "sum rides the two-phase prefix-sum topology (operators/"
+        "selection.with_prefix_sum): per-(source, doc_id-bucket) "
+        "partial sums + array-fold prefix + in-bucket window — a hot "
+        "source never serializes through one sort task, unlike a plain "
+        "source-partitioned running window over a ~5-value key. Emits "
+        "pack occupancy + fill rate for padding-efficiency audits."
     ),
     tags=("text", "extension", "pipeline"),
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from flink_start_spark.operators import selection as S
 
     docs = load_table(spark, "documents", sf_dir)
     toks = F.aggregate(
@@ -968,18 +972,11 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
     )
     t = docs.select("source", "doc_id", toks.alias("toks"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    p = t.select(
+    p = S.with_prefix_sum(t, ["source"], "doc_id", "toks", out_col="_cum").select(
         "source",
         "doc_id",
         "toks",
-        (((F.sum("toks").over(w) - F.col("toks")) / 4096).cast("long")).alias(
-            "pack_id"
-        ),
+        (((F.col("_cum") - F.col("toks")) / 4096).cast("long")).alias("pack_id"),
     )
     return p.groupBy("source", "pack_id").agg(
         F.count("*").alias("n_docs"),

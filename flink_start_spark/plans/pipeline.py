@@ -811,30 +811,39 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b GROUP BY lang, decile
     """,
     description=(
-        "Curriculum bucketing: per-language quality DECILES via "
-        "ntile(10) (deterministic doc_id tie-break), aggregated to "
-        "bucket boundaries - the ordering pass a curriculum-learning "
-        "data loader consumes (feed high-quality deciles late, or "
-        "sample per bucket). One lang-partitioned window + one "
-        "groupBy on the same key."
+        "Curriculum bucketing: per-language quality DECILES with exact "
+        "ntile(10) semantics (deterministic doc_id tie-break, ties "
+        "split across deciles exactly as the SQL function does), "
+        "aggregated to bucket boundaries - the ordering pass a "
+        "curriculum-learning data loader consumes (feed high-quality "
+        "deciles late, or sample per bucket). The rank comes from the "
+        "two-phase bucket-offset topology (operators/selection."
+        "with_global_rank): the only row-level window partitions by "
+        "(lang, value-bucket), so no single task ever sorts a whole "
+        "language - the decile is then pure integer arithmetic on "
+        "(rank, count)."
     ),
     tags=("text", "extension", "pipeline", "analytic"),
 )
 def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from flink_start_spark import cache as C
     from flink_start_spark.functions import texthash as TH
+    from flink_start_spark.operators import selection as S
 
     docs = fan_out(load_table(spark, "documents", sf_dir))
-    q = docs.select(
-        "doc_id",
-        "lang",
-        F.round(TX.quality_expr(TH.words(F.col("text"))), 6).alias(
-            "quality_score"
-        ),
+    q = C.track(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.round(TX.quality_expr(TH.words(F.col("text"))), 6).alias(
+                "quality_score"
+            ),
+        )
     )
-    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
-    b = q.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    r = S.with_global_rank(q, ["lang"], "quality_score", ["doc_id"])
+    b = r.withColumn(
+        "decile", S.ntile_from_rank(F.col("_grank"), F.col("_gcnt"), 10)
+    )
     return b.groupBy("lang", "decile").agg(
         F.count("*").alias("n_docs"),
         F.round(F.min("quality_score"), 6).alias("min_quality"),
@@ -932,15 +941,16 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_q"),
         )
     )
+    # (pmi_q desc, a, b) is a total order: orderBy().limit() plans as
+    # TakeOrderedAndProject (distributed per-partition top-k) and the
+    # rank is reconstructed over the 50 survivors — no global sort of
+    # the whole bigram relation.
+    top = s.orderBy(F.col("pmi_q").desc(), "a", "b").limit(50)
     w = Window.orderBy(F.col("pmi_q").desc(), "a", "b")
-    return (
-        s.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= 50)
-        .select(
-            "a",
-            "b",
-            "c_ab",
-            F.round(F.col("pmi_q") / float(Q), 6).alias("pmi"),
-            "rank",
-        )
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "a",
+        "b",
+        "c_ab",
+        F.round(F.col("pmi_q") / float(Q), 6).alias("pmi"),
+        "rank",
     )

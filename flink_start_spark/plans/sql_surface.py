@@ -236,16 +236,16 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select(
-            "o_orderkey",
-            "revenue",
-            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
-            "o_orderpriority",
-        )
+    # Deterministic global top-10 WITHOUT a global sort: (revenue desc,
+    # orderkey) is a total order, so orderBy().limit() — planned as
+    # TakeOrderedAndProject, per-partition top-k then a k*P driver-side
+    # merge — returns exactly the rows a row_number() filter would.
+    top = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+    return top.select(
+        "o_orderkey",
+        "revenue",
+        F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+        "o_orderpriority",
     )
 
 
@@ -986,21 +986,27 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql", "aggregation", "grouping-sets"),
 )
 def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame.groupingSets (Spark 4.0+) keeps this a pure plan build —
+    # no createOrReplaceTempView mutating shared session catalog state
+    # (two concurrent builds in one session would race on a fixed view
+    # name).
     orders = load_table(spark, "orders", sf_dir)
-    orders.createOrReplaceTempView("_orders_gs")
-    return spark.sql(
-        """
-        SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-               coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
-               round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)
-                 AS revenue_dec,
-               count(*) AS n_orders
-        FROM _orders_gs
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
-        """
-    ).selectExpr(
-        "o_orderpriority",
-        "o_orderstatus",
-        "CAST(revenue_dec AS DOUBLE) AS revenue",
-        "n_orders",
+    return (
+        orders.groupingSets(
+            [[F.col("o_orderpriority")], [F.col("o_orderstatus")]],
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2
+            ).alias("revenue_dec"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            "n_orders",
+        )
     )

@@ -58,14 +58,70 @@ def parse_kafka_json(raw: DataFrame, schema: T.StructType, ts_col: str | None = 
     return out
 
 
+#: The Kafka sink's accepted frame schema (Spark's kafka writer
+#: contract): `value` is REQUIRED (string or binary); everything else
+#: optional. Any other column makes the write fail at runtime — the
+#: validator turns that into a plan-build-time error.
+KAFKA_SINK_FIELDS: dict[str, tuple[str, ...]] = {
+    "key": ("string", "binary"),
+    "value": ("string", "binary"),
+    "topic": ("string",),
+    "partition": ("integer",),
+    "headers": ("array",),
+}
+
+
+def validate_kafka_frame(df: DataFrame) -> DataFrame:
+    """Assert ``df`` matches the Kafka writer's (key, value, topic,
+    partition, headers) schema contract — the runtime failure a live
+    broker would raise, surfaced at plan build so it is testable
+    without one."""
+    names = [f.name for f in df.schema.fields]
+    if "value" not in names:
+        raise ValueError(f"Kafka frame requires a 'value' column; got {names}")
+    for f in df.schema.fields:
+        allowed = KAFKA_SINK_FIELDS.get(f.name)
+        if allowed is None:
+            raise ValueError(
+                f"column '{f.name}' is not a Kafka frame field "
+                f"(allowed: {sorted(KAFKA_SINK_FIELDS)})"
+            )
+        if f.dataType.typeName() not in allowed:
+            raise ValueError(
+                f"Kafka frame field '{f.name}' must be one of {allowed}, "
+                f"got {f.dataType.typeName()}"
+            )
+    return df
+
+
+def encode_kafka_frame(
+    df: DataFrame, key_col: str | None = None, topic: str | None = None
+) -> DataFrame:
+    """Serialize typed rows into the exact frame the Kafka sink writes:
+    the whole row JSON-encoded into a binary ``value`` (the wire twin of
+    :func:`parse_kafka_json`'s decode), an optional binary ``key``
+    (Kafka's partitioner input — choose the same column you would
+    ``keyBy`` so per-key ordering survives the broker), and an optional
+    per-row ``topic``."""
+    cols = []
+    if key_col is not None:
+        cols.append(F.col(key_col).cast("string").cast("binary").alias("key"))
+    cols.append(F.to_json(F.struct(*df.columns)).cast("binary").alias("value"))
+    if topic is not None:
+        cols.append(F.lit(topic).alias("topic"))
+    return validate_kafka_frame(df.select(*cols))
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
     topic: str,
     checkpoint_dir: str,
+    key_col: str | None = None,
 ):
-    """Kafka streaming writer: rows serialized as JSON values."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    """Kafka streaming writer: rows serialized as JSON values through
+    :func:`encode_kafka_frame` (schema contract validated at build)."""
+    payload = encode_kafka_frame(df, key_col=key_col)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

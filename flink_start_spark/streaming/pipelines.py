@@ -29,7 +29,7 @@ streaming, so production keys should be salted or composite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_start_spark.schemas import USER_ACTIVITY_RAW
@@ -196,6 +196,64 @@ def stream_dedup(
     (``dropDuplicatesWithinWatermark``) so the seen-keys store cannot
     grow without bound — the streaming twin of operators/dedup.py."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def asof_enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    eff_col: str = "eff_ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming AS-OF join against a versioned static dimension — the
+    Structured Streaming twin of the batch as-of join
+    (operators/joins.py, itself the windowed-join direction the
+    reference's README declares as future work).
+
+    As-of semantics ("the dimension version in effect at event time")
+    are recast as a POINT-IN-TIME INTERVAL join so that no streaming
+    aggregation (and hence no append-mode/watermark-on-agg restriction)
+    is needed: the static side is preprocessed — batch-side, tiny —
+    with a ``lead()`` per key into half-open validity intervals
+    ``[eff_ts, eff_end)``, and each stream row equi-joins on the key
+    plus a range predicate that matches EXACTLY ONE version. Left join:
+    events before the first version (or with no dimension row) keep
+    null attributes.
+
+    Scale shape: the versioned dimension is broadcast (dimension
+    versions, not facts — small by construction); the stream side never
+    shuffles. The per-key ``lead`` window runs once on the static side
+    at plan build. An optional event-time ``watermark`` is applied to
+    the STREAM before the join so downstream stateful operators (window
+    aggs, dedup) compose without re-declaring it.
+    """
+    wd = Window.partitionBy(key).orderBy(eff_col)
+    versioned = dim.withColumn(
+        "_eff_end",
+        F.coalesce(
+            F.lead(eff_col).over(wd),
+            F.lit("9999-12-31 23:59:59").cast("timestamp"),
+        ),
+    )
+    if watermark:
+        stream = stream.withWatermark(ts_col, watermark)
+    dim_key = F.col(f"_dim.{key}")
+    cond = (
+        (F.col(f"_ev.{ts_col}") >= F.col(f"_dim.{eff_col}"))
+        & (F.col(f"_ev.{ts_col}") < F.col("_dim._eff_end"))
+        & (F.col(f"_ev.{key}") == dim_key)
+    )
+    out_dim = [
+        F.col(f"_dim.{c}").alias(c)
+        for c in versioned.columns
+        if c not in (key, "_eff_end")
+    ]
+    return (
+        stream.alias("_ev")
+        .join(F.broadcast(versioned.alias("_dim")), cond, "left")
+        .select("_ev.*", *out_dim)
+    )
 
 
 def run_to_memory(

@@ -48,6 +48,61 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     assert got == {"bob": "US", "sam": "DE", "ghost": None}
 
 
+def test_stream_asof_join_static_dimension(spark, tmp_path):
+    # AS-OF enrichment: each event picks the dimension version in
+    # effect at ITS event time (not the latest overall) — recast as a
+    # point-in-time interval join so no streaming aggregation is needed;
+    # watermark applied on the stream side composes with a downstream
+    # windowed count.
+    from flink_start_spark.streaming.pipelines import asof_enrich_stream
+
+    src = _write_one_batch(
+        tmp_path,
+        "asof",
+        [
+            ("bob", "login", "2025-08-03T12:59:00Z"),  # before any version
+            ("bob", "login", "2025-08-03T13:00:30Z"),  # v1 in effect
+            ("bob", "login", "2025-08-03T13:02:30Z"),  # v2 in effect
+            ("sam", "login", "2025-08-03T13:05:00Z"),  # sam's only version
+        ],
+    )
+    dim = spark.createDataFrame(
+        [
+            ("bob", "bronze", "2025-08-03 13:00:00"),
+            ("bob", "gold", "2025-08-03 13:02:00"),
+            ("sam", "silver", "2025-08-03 13:00:00"),
+        ],
+        "user_id string, tier string, eff_ts string",
+    ).withColumn("eff_ts", F.col("eff_ts").cast("timestamp"))
+    stream = stream_user_activity(spark, src)
+    enriched = asof_enrich_stream(
+        stream, dim, "user_id", ts_col="ts", watermark="30 seconds"
+    )
+    table = run_to_memory(enriched, "asof_sink", "append")
+    got = sorted((r["user_id"], str(r["ts"]), r["tier"]) for r in table.collect())
+    assert got == [
+        ("bob", "2025-08-03 12:59:00", None),
+        ("bob", "2025-08-03 13:00:30", "bronze"),
+        ("bob", "2025-08-03 13:02:30", "gold"),
+        ("sam", "2025-08-03 13:05:00", "silver"),
+    ]
+    # watermark survives the join: a downstream windowed count runs in
+    # append mode without re-declaring it
+    counted = (
+        asof_enrich_stream(
+            stream_user_activity(spark, src),
+            dim,
+            "user_id",
+            ts_col="ts",
+            watermark="30 seconds",
+        )
+        .groupBy(F.window("ts", "1 minute"), F.col("tier"))
+        .count()
+    )
+    t2 = run_to_memory(counted, "asof_counts", "append")
+    assert t2.schema.simpleString().startswith("struct<window:")
+
+
 def test_stream_stream_join_within_watermark(spark, tmp_path):
     # correlate registers with logins of the same user within 10 s —
     # the canonical watermarked stream-stream inner join with a time bound
