@@ -64,6 +64,7 @@ from flink_start_spark import cache as C
 
 __all__ = [
     "exact_rank_value",
+    "exact_quantile_values",
     "with_global_rank",
     "with_prefix_sum",
     "with_rank_and_sum",
@@ -223,6 +224,137 @@ def exact_rank_value(
         *keys, F.aggregate("_vh", zero, pick)["val"].alias(out_col)
     )
     return target.select(*keys, "_gcnt").join(F.broadcast(resolved), keys)
+
+
+def exact_quantile_values(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+    n_buckets: int = 1024,
+    out_col: str = "_q_value",
+) -> DataFrame:
+    """Per-key exact lower-quantile VALUES for several probabilities in
+    ONE histogram pass — the multi-rank generalization of
+    :func:`exact_rank_value` (a p-quantile is the value at rank
+    ``max(1, ceil(p * cnt))``; "lower"/disc semantics, never
+    interpolated, so results are bit-exact across engines).
+
+    Returns one row per (key, prob): ``(*keys, _prob, _gcnt,
+    out_col)``. All targets are located by a single fold over the same
+    per-key histogram and all in-bucket resolves share one filtered
+    scan — cost is independent of ``len(probs)`` up to the (tiny)
+    per-target fold work.
+    """
+    keys = list(keys)
+    probs = [float(p) for p in probs]
+    slim = C.track(df.select(*keys, value_col))
+    d = _bucketed(slim, keys, value_col, n_buckets)
+    hist = d.groupBy(*keys, "_bkt").agg(F.count(F.lit(1)).alias("_bc"))
+    arr = hist.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct("_bkt", "_bc"))).alias("_h")
+    )
+    arr = arr.withColumn(
+        "_gcnt",
+        F.aggregate("_h", F.lit(0).cast("long"), lambda a, y: a + y["_bc"]),
+    )
+    # one target row per (key, probability) via a single explode — NOT
+    # a per-prob union, which would re-evaluate the whole histogram
+    # pipeline once per branch. rank = max(1, ceil(p * cnt)), located
+    # by the same found-flag fold as the single-rank path.
+    zero = F.struct(
+        F.lit(False).alias("found"),
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(0).cast("int").alias("bkt"),
+        F.lit(0).cast("long").alias("before"),
+    )
+    targets = (
+        arr.select(
+            *keys,
+            "_h",
+            "_gcnt",
+            F.explode(F.array(*[F.lit(p) for p in probs])).alias("_prob"),
+        )
+        .withColumn(
+            "_r",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("_prob") * F.col("_gcnt")).cast("long"),
+            ),
+        )
+        .withColumn(
+            "_t",
+            F.aggregate(
+                "_h",
+                zero,
+                lambda acc, y: F.when(acc["found"], acc).otherwise(
+                    F.when(
+                        acc["cum"] + y["_bc"] >= F.col("_r"),
+                        F.struct(
+                            F.lit(True).alias("found"),
+                            (acc["cum"] + y["_bc"]).alias("cum"),
+                            y["_bkt"].alias("bkt"),
+                            acc["cum"].alias("before"),
+                        ),
+                    ).otherwise(
+                        F.struct(
+                            F.lit(False).alias("found"),
+                            (acc["cum"] + y["_bc"]).alias("cum"),
+                            acc["bkt"].alias("bkt"),
+                            acc["before"].alias("before"),
+                        )
+                    )
+                ),
+            ),
+        )
+        .select(
+            *keys,
+            "_prob",
+            "_gcnt",
+            "_r",
+            F.col("_t")["bkt"].alias("_tbkt"),
+            F.col("_t")["before"].alias("_cum_before"),
+        )
+    )
+    # shared in-bucket resolve: ONE filtered scan covers every target
+    # bucket; distinct-value counts per (key, bucket), then each target
+    # folds the bucket's value histogram to its local rank.
+    tb = targets.select(*keys, "_tbkt").distinct()
+    in_bucket = _bjoin(d, tb.withColumnRenamed("_tbkt", "_bkt"), [*keys, "_bkt"])
+    vc = in_bucket.groupBy(*keys, "_bkt", value_col).agg(
+        F.count(F.lit(1)).alias("_vc")
+    )
+    vh = vc.groupBy(*keys, "_bkt").agg(
+        F.array_sort(F.collect_list(F.struct(F.col(value_col), F.col("_vc")))).alias(
+            "_vh"
+        )
+    )
+    joined = _bjoin(
+        targets.withColumn("_lr", F.col("_r") - F.col("_cum_before")),
+        vh.withColumnRenamed("_bkt", "_tbkt"),
+        [*keys, "_tbkt"],
+    )
+    zero_v = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    pick = lambda acc, y: F.when(acc["val"].isNotNull(), acc).otherwise(  # noqa: E731
+        F.when(
+            acc["cum"] + y["_vc"] >= F.col("_lr"),
+            F.struct(
+                (acc["cum"] + y["_vc"]).alias("cum"),
+                y[value_col].alias("val"),
+            ),
+        ).otherwise(
+            F.struct((acc["cum"] + y["_vc"]).alias("cum"), acc["val"].alias("val"))
+        )
+    )
+    return joined.select(
+        *keys,
+        "_prob",
+        "_gcnt",
+        F.aggregate("_vh", zero_v, pick)["val"].alias(out_col),
+    )
 
 
 def with_global_rank(

@@ -852,6 +852,56 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quality_quartiles",
+    f"""
+    WITH {_QUALITY_SQL.strip()},
+    r AS (
+      SELECT lang, quality_score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality_score, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS cnt
+      FROM q)
+    SELECT r.lang, p.prob::DOUBLE AS prob, r.cnt::BIGINT AS n_docs,
+           round(r.quality_score, 6) AS q_value
+    FROM r CROSS JOIN (VALUES (0.25), (0.50), (0.75)) AS p(prob)
+    WHERE r.rn = greatest(1, ceil(p.prob * r.cnt))
+    """,
+    description=(
+        "Per-language exact quality QUARTILES (p25/p50/p75, lower/disc "
+        "semantics - the value at rank max(1, ceil(p*cnt)), never "
+        "interpolated, so cross-engine bit-exact) in ONE histogram "
+        "pass via operators/selection.exact_quantile_values: all three "
+        "targets are located by folds over the same per-(lang, value-"
+        "bucket) histogram and share one in-bucket resolve scan - no "
+        "per-language sort task, cost independent of how many "
+        "quantiles are requested. The distribution summary a corpus "
+        "quality dashboard reads per language."
+    ),
+    tags=("text", "extension", "pipeline", "analytic"),
+)
+def q_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.functions import texthash as TH
+    from flink_start_spark.operators import selection as S
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    q = docs.select(
+        "lang",
+        F.round(TX.quality_expr(TH.words(F.col("text"))), 6).alias(
+            "quality_score"
+        ),
+    )
+    out = S.exact_quantile_values(
+        q, ["lang"], "quality_score", [0.25, 0.50, 0.75], out_col="q_value"
+    )
+    return out.select(
+        "lang",
+        F.col("_prob").alias("prob"),
+        F.col("_gcnt").alias("n_docs"),
+        F.round(F.col("q_value"), 6).alias("q_value"),
+    )
+
+
+@_register(
     "pmi_collocations",
     """
     WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -49,9 +49,14 @@ _MAX_EXCHANGES = 8
 # rises while corpus-level shuffles stay <=3. AQE coalesces the tiny
 # ones at runtime; the budget override records the trade explicitly.
 _EXCHANGE_OVERRIDES = {
-    "value_outliers_mad": 20,  # two chained selections (median + MAD)
+    # two chained selections (median + MAD); the count is cache-state
+    # dependent (an unmaterialized tracked persist compiles one physical
+    # subtree PER referencing branch, each with fresh plan_ids), so the
+    # budget covers the cold-session worst case seen in full-suite runs
+    "value_outliers_mad": 26,
     "curation_audit": 14,  # one selection + the stage-chain joins
     "quality_median_filter": 12,
+    "quality_quartiles": 12,
     "curriculum_buckets": 12,
     "sequence_packing": 12,
     "count_trigger_cumulative": 12,

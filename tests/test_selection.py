@@ -76,6 +76,38 @@ def test_exact_rank_value_arbitrary_rank(spark, skewed):
     assert naive == mine
 
 
+def test_exact_quantile_values_match_windows(spark, skewed):
+    """Multi-rank path: p25/p50/p75 from ONE histogram pass equal the
+    per-rank window picks at rank max(1, ceil(p*cnt))."""
+    wo = Window.partitionBy("lang").orderBy("v", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = skewed.withColumn("_rn", F.row_number().over(wo)).withColumn(
+        "_cnt", F.count("*").over(wc)
+    )
+    naive = {}
+    for p in (0.25, 0.50, 0.75):
+        rows = ranked.filter(
+            F.col("_rn")
+            == F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("_cnt")).cast("long"))
+        ).collect()
+        for r in rows:
+            naive[(r["lang"], p)] = (r["v"], r["_cnt"])
+    got = S.exact_quantile_values(
+        skewed, ["lang"], "v", [0.25, 0.50, 0.75], out_col="qv"
+    )
+    mine = {
+        (r["lang"], r["_prob"]): (r["qv"], r["_gcnt"]) for r in got.collect()
+    }
+    C.release()
+    assert naive == mine
+    # monotone sanity: per key, p25 <= p50 <= p75
+    by_key = {}
+    for (k, p), (v, _) in mine.items():
+        by_key.setdefault(k, {})[p] = v
+    for k, qs in by_key.items():
+        assert qs[0.25] <= qs[0.50] <= qs[0.75], (k, qs)
+
+
 def test_with_global_rank_and_ntile_match_window(spark, skewed):
     w = Window.partitionBy("lang").orderBy("v", "doc_id")
     naive = sorted(
