@@ -553,6 +553,60 @@ def passage_dedup(
     )
 
 
+def repeated_ngram_flags(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Repeated-substring dedup signal (Lee '21, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): flag
+    documents containing an OVERLAPPING ``n``-word gram whose total
+    occurrence count across the corpus — within-document repeats
+    included, exactly as a suffix-array occurrence count would — is
+    >= ``min_count``. The sliding-window complement to
+    :func:`passage_dedup`'s non-overlapping chunks: repeats that
+    straddle a chunk boundary are invisible there and caught here.
+    (The paper's suffix array finds arbitrary-length repeats; fixed-n
+    grams are the distributable relaxation — any repeat of length
+    >= n contains a repeated n-gram, so recall at the target length
+    is exact; n is the length threshold. Production value ~30-50
+    words; the catalog uses n=10 to exercise real overlap on the
+    synthetic corpus.)
+
+    Topology: explode overlapping grams (slice-shifted O(words)
+    construction, functions/texthash.py::shingles) → md5 → ONE
+    groupBy (doc, gram) with map-side collapse of within-doc repeats
+    → per-gram totals aggregated FROM that relation (so both sides of
+    the confirm join are already partitioned on the gram hash and the
+    join co-locates; per-gram row count is bounded by documents-
+    containing, not occurrences) → one groupBy(doc). No self-join,
+    no window over the gram partition.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(TH.shingles(F.col(content_col), n)).alias("_g"),
+    ).select(id_col, F.md5("_g").alias("_gh"))
+    dgc = C.track(
+        grams.groupBy(id_col, "_gh").agg(F.count(F.lit(1)).alias("_dc"))
+    )
+    tot = dgc.groupBy("_gh").agg(F.sum("_dc").alias("_c"))
+    rep = F.when(F.col("_c") >= min_count, F.col("_dc")).otherwise(F.lit(0))
+    return (
+        dgc.join(tot, "_gh")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_dc").cast("long").alias("n_grams"),
+            F.sum(rep).cast("long").alias("n_repeated"),
+            F.round(
+                F.sum(rep).cast("double") / F.sum("_dc"), 6
+            ).alias("repeated_frac"),
+            (F.max((F.col("_c") >= min_count).cast("int")) == 1).alias("flagged"),
+        )
+    )
+
+
 def ppjoin_exact_pairs(
     df: DataFrame,
     content_col: str,

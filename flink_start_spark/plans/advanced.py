@@ -595,6 +595,74 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "value_winsorized_stats",
+    """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events),
+    q AS (
+      SELECT r.event_type, p.prob, r.value
+      FROM r CROSS JOIN (VALUES (0.05), (0.95)) AS p(prob)
+      WHERE r.rn = greatest(1, ceil(p.prob::DOUBLE * r.cnt))),
+    lh AS (
+      SELECT event_type,
+             max(CASE WHEN prob = 0.05 THEN value END) AS p05,
+             max(CASE WHEN prob = 0.95 THEN value END) AS p95
+      FROM q GROUP BY event_type)
+    SELECT e.event_type, count(*)::BIGINT AS n_events,
+           round(any_value(p05), 6) AS p05,
+           round(any_value(p95), 6) AS p95,
+           round(sum(floor(least(greatest(e.value, p05), p95) * 1048576))
+                 / (count(*) * 1048576.0), 6) AS winsorized_mean
+    FROM events e JOIN lh USING (event_type)
+    GROUP BY e.event_type
+    """,
+    description=(
+        "Winsorized robust mean: clip value to the per-event_type EXACT "
+        "p05/p95 (lower-quantile semantics via the shared two-phase "
+        "multi-rank selection, operators/selection."
+        "exact_quantile_values - both tails located in one histogram "
+        "pass, no hot-key sort), then average the clipped values as "
+        "integer-quantized floor(v*2^20) partial sums so the mean is "
+        "bit-identical across engines regardless of summation order. "
+        "The outlier-robust KPI form (p05/p95 bounds reported "
+        "alongside) that complements value_outliers_mad's MAD flags."
+    ),
+    tags=("analytic", "robust-stats", "events"),
+)
+def q_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark import cache as C
+    from flink_start_spark.operators import selection as S
+
+    ev = load_table(spark, "events", sf_dir)
+    base = C.track(ev.select("event_type", "value"))
+    qs = S.exact_quantile_values(
+        base, ["event_type"], "value", [0.05, 0.95], out_col="qv"
+    )
+    lohi = qs.groupBy("event_type").agg(
+        F.any_value("_gcnt").alias("n_events"),
+        F.max(F.when(F.col("_prob") == 0.05, F.col("qv"))).alias("p05"),
+        F.max(F.when(F.col("_prob") == 0.95, F.col("qv"))).alias("p95"),
+    )
+    clipped = base.join(F.broadcast(lohi), "event_type").withColumn(
+        "_cv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.any_value("p05"), 6).alias("p05"),
+        F.round(F.any_value("p95"), 6).alias("p95"),
+        F.round(
+            F.sum(F.floor(F.col("_cv") * 1048576))
+            / (F.count(F.lit(1)) * F.lit(1048576.0)),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+@_register(
     "daily_revenue_gapfill",
     """
     WITH daily AS (

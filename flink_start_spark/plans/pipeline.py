@@ -566,6 +566,43 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "repeated_ngram_flags",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id, unnest({_shingle_sql(10)}) AS g FROM d),
+    dg AS (SELECT doc_id, md5(g) AS gh, count(*) AS dc FROM s GROUP BY 1, 2),
+    t AS (SELECT gh, sum(dc) AS c FROM dg GROUP BY gh)
+    SELECT dg.doc_id,
+           sum(dc)::BIGINT AS n_grams,
+           sum(CASE WHEN c >= 2 THEN dc ELSE 0 END)::BIGINT AS n_repeated,
+           round(sum(CASE WHEN c >= 2 THEN dc ELSE 0 END)::DOUBLE
+                 / sum(dc), 6) AS repeated_frac,
+           max(CASE WHEN c >= 2 THEN 1 ELSE 0 END) = 1 AS flagged
+    FROM dg JOIN t USING (gh) GROUP BY dg.doc_id
+    """,
+    description=(
+        "Repeated-substring dedup signal (Lee '21 ExactSubstr, the "
+        "fixed-n distributable relaxation - any repeat of length >= n "
+        "contains a repeated n-gram): per document, the share of its "
+        "OVERLAPPING 10-word grams whose corpus-wide occurrence count "
+        "(within-doc repeats included) is >= 2, plus a flag. The "
+        "sliding-window complement to passage_dedup's non-overlapping "
+        "chunks - boundary-straddling repeats are invisible there and "
+        "caught here. One (doc, gram) groupBy with map-side collapse, "
+        "per-gram totals derived from that same relation (co-"
+        "partitioned confirm join, bounded by docs-containing), one "
+        "doc groupBy; no self-join, no gram-partition window."
+    ),
+    tags=("text", "extension", "pipeline", "dedup"),
+)
+def q_repeated_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.operators import dedup as D
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return D.repeated_ngram_flags(docs, "text", "doc_id", n=10, min_count=2)
+
+
+@_register(
     "vocab_oov_stats",
     """
     WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

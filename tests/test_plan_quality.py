@@ -57,6 +57,7 @@ _EXCHANGE_OVERRIDES = {
     "curation_audit": 14,  # one selection + the stage-chain joins
     "quality_median_filter": 12,
     "quality_quartiles": 12,
+    "value_winsorized_stats": 14,  # multi-rank selection + clip re-scan
     "curriculum_buckets": 12,
     "sequence_packing": 12,
     "count_trigger_cumulative": 12,
