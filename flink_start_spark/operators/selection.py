@@ -185,7 +185,15 @@ def exact_rank_value(
     keys = list(keys)
     if rank_fn is None:
         rank_fn = lambda cnt: F.floor((cnt + F.lit(1)) / F.lit(2))  # noqa: E731
-    slim = C.track(df.select(*keys, value_col))
+    # the topology scans its input 3x (stats, histogram, resolve):
+    # persist the narrow projection — unless the caller already persists
+    # the input, in which case a second cache would just duplicate the
+    # materialization pass (each scan re-reads the caller's cache).
+    slim = (
+        df.select(*keys, value_col)
+        if df.is_cached
+        else C.track(df.select(*keys, value_col))
+    )
     d = _bucketed(slim, keys, value_col, n_buckets)
     target = _prefix_targets(d, keys, rank_fn)
     # Phase 3: distinct-value counts inside the single target bucket,
@@ -248,7 +256,11 @@ def exact_quantile_values(
     """
     keys = list(keys)
     probs = [float(p) for p in probs]
-    slim = C.track(df.select(*keys, value_col))
+    slim = (
+        df.select(*keys, value_col)
+        if df.is_cached
+        else C.track(df.select(*keys, value_col))
+    )
     d = _bucketed(slim, keys, value_col, n_buckets)
     hist = d.groupBy(*keys, "_bkt").agg(F.count(F.lit(1)).alias("_bc"))
     arr = hist.groupBy(*keys).agg(
@@ -378,6 +390,8 @@ def with_global_rank(
     """
     keys = list(keys)
     cols = df.columns
+    if not df.is_cached:
+        df = C.track(df)
     d = _bucketed(df, keys, value_col, n_buckets)
     hist = d.groupBy(*keys, "_bkt").agg(F.count(F.lit(1)).alias("_bc"))
     arr = hist.groupBy(*keys).agg(
@@ -442,6 +456,11 @@ def with_rank_and_sum(
     """
     keys = list(keys)
     cols = df.columns
+    # 3 scans (stats, histogram, ranked join): persist unless the
+    # caller already did — recomputing an expensive upstream projection
+    # (e.g. per-document token counts) per scan triples its cost.
+    if not df.is_cached:
+        df = C.track(df)
     want_sum = value_col is not None and out_sum is not None
     if want_sum:
         integral = df.schema[value_col].dataType.typeName() in {
