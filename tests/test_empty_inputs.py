@@ -43,6 +43,15 @@ _REPRESENTATIVE = [
     "multimodal_frame_sample",
     "multimodal_resample",
     "shard_manifest",
+    # round 4 families: two-phase selection (single-rank, multi-rank,
+    # global rank + ntile, un-keyed rank+sum, prefix sum) and the
+    # overlapping-gram repeat scan
+    "value_outliers_mad",
+    "quality_quartiles",
+    "curriculum_buckets",
+    "count_trigger_cumulative",
+    "sequence_packing",
+    "repeated_ngram_flags",
     "cluster_cap_sample",
     "customer_order_distribution",
     "large_volume_orders",
