@@ -26,8 +26,12 @@ from flink_start_spark.session import get_spark
 
 
 def _run_once(spark, name: str, sf_dir: str) -> float:
-    df = QUERIES[name].spark(spark, sf_dir)
+    # plan BUILD is inside the timed window: for most queries it is
+    # milliseconds, but iterative operators (bpe_merges, and any future
+    # driver-loop op) run eager per-round jobs during build — excluding
+    # it would report their cost as ~0.
     t0 = time.perf_counter()
+    df = QUERIES[name].spark(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     # Several operators persist() intermediates; SQL caches live in the

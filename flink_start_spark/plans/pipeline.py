@@ -603,6 +603,35 @@ def q_repeated_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_merges",
+    None,  # iterative list-building folds have no DuckDB twin; the
+    # EXACT check is the pure-python BPE mirror in tests/test_tokenize.py
+    # (same integer pair counts, same (count desc, left, right)
+    # tie-break, same greedy-left application)
+    description=(
+        "BPE tokenizer induction (Sennrich '16): learn the first 8 "
+        "character-level merges over the corpus - the merge table a "
+        "training pipeline's tokenizer ships. ONE corpus scan (word "
+        "counts, map-side collapse); every round then runs on the "
+        "vocabulary relation: pair counts via explode+groupBy, winner "
+        "via distributed TakeOrdered(1) with a total-order tie-break, "
+        "1-row broadcast back, O(word-length) greedy fold to apply - "
+        "rounds are localCheckpoint'ed like connected components, "
+        "which both bounds re-execution and stops CollapseProject "
+        "from inlining round r-1's fold into round r (an exponential "
+        "expression blow-up, measured as an optimizer hang). No "
+        "collect(); deterministic end to end."
+    ),
+    tags=("text", "extension", "pipeline", "tokenizer", "iterative"),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.operators import tokenize as TK
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TK.bpe_train(docs, "text", n_merges=8)
+
+
+@_register(
     "vocab_oov_stats",
     """
     WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

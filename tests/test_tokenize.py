@@ -1,0 +1,134 @@
+"""BPE induction: the distributed merge learner must EXACTLY mirror a
+pure-python reference BPE (same tie-breaks, same greedy application) —
+the determinism contract that substitutes for a SQL oracle (iterative
+list-building folds have no DuckDB twin; the driver records the
+catalog entry rows-only, this test is the exact check)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_start_spark import cache as C
+from flink_start_spark.operators import tokenize as TK
+
+
+# ---------------------------------------------------------------- mirror
+def py_bpe_train(texts: list[str], n_merges: int):
+    wc = Counter()
+    for t in texts:
+        for w in t.strip().split():
+            wc[w] += 1
+    syms = {w: [*w, TK.EOW] for w in wc}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        # (count desc, left asc, right asc)
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, left + right, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms, wc
+
+
+def py_bpe_encode(texts_by_id, merges):
+    out = {}
+    for doc_id, t in texts_by_id.items():
+        n, chars = 0, 0
+        for w in t.strip().split():
+            s = [*w, TK.EOW]
+            for _, left, right, _, _ in merges:
+                i, ns = 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        ns.append(left + right)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                s = ns
+            n += len(s)
+            chars += sum(len(x) for x in s)
+        out[doc_id] = (n, round(chars / n, 6))
+    return out
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "that hat is the hat the cat had",
+    "matter chatter hatter",
+    "the the the thee them theme",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    df.cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_bpe_train_mirrors_pure_python(spark, docs):
+    expect, _, _ = py_bpe_train(TEXTS, 8)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in TK.bpe_train(docs, "text", n_merges=8)
+        .orderBy("step")
+        .collect()
+    ]
+    C.release()
+    assert got == expect
+    # sanity: the corpus is saturated with -at words (cat/sat/mat/hat/
+    # that/matter...), so the first merge is (a, t)
+    assert got[0][1:4] == ("a", "t", "at")
+    # counts never increase across steps within a greedy run's frontier
+    assert all(g[4] > 0 for g in got)
+
+
+def test_bpe_apply_merge_greedy_left(spark):
+    # "aaa</w>" + (a,a) -> ["aa", "a", "</w>"]: greedy left, no overlap
+    df = spark.createDataFrame([("aaa",)], "w string")
+    out = df.select(
+        TK.bpe_apply_merge(
+            TK._initial_symbols(F.col("w")), F.lit("a"), F.lit("a")
+        ).alias("s")
+    ).collect()[0]["s"]
+    assert out == ["aa", "a", TK.EOW]
+
+
+def test_bpe_encode_mirrors_pure_python(spark, docs):
+    merges_df = TK.bpe_train(docs, "text", n_merges=6)
+    merges, _, _ = py_bpe_train(TEXTS, 6)
+    expect = py_bpe_encode({i: t for i, t in enumerate(TEXTS)}, merges)
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["mean_token_len"])
+        for r in TK.bpe_encode(docs, merges_df, 6, "text", "doc_id").collect()
+    }
+    C.release()
+    assert got == expect
+    # compression sanity: BPE tokens are fewer than characters
+    n_chars = sum(len(w) + 1 for t in TEXTS for w in t.split())
+    assert sum(n for n, _ in got.values()) < n_chars
