@@ -194,20 +194,34 @@ def test_persisted_projection_single_scan(spark, name):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_is_scale_safe(spark, name):
+    # plan-id counting is cache-state dependent (a materialized cache
+    # prints one shared subtree; an unmaterialized one compiles per
+    # branch) — start from a deterministic cold cache so the budget
+    # means the same thing in any test order
+    from flink_start_spark import cache as _c
+
+    _c.release()
+    spark.catalog.clearCache()
     df = QUERIES[name].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    _c.release()
+    spark.catalog.clearCache()
     if name not in _ALLOWED_NESTED_LOOP:
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    # count DISTINCT exchanges: a persisted subtree's plan is printed
-    # once under every InMemoryTableScan that reads it, so raw substring
-    # counts double-charge cached pipelines; plan_id identifies the node
-    exchange_ids = set(
-        re.findall(r"Exchange hashpartitioning[^\n]*plan_id=(\d+)", plan)
-    )
+    # count DISTINCT exchange SHAPES (partitioning text with expr ids
+    # and plan ids stripped): plan_id counting is unstable — an
+    # UNMATERIALIZED cached subtree compiles one physical instance per
+    # referencing branch, each with fresh plan_ids, so the same logical
+    # topology counts differently depending on cache state / test
+    # order. Shape counting is a property of the logical plan alone.
+    shapes = {
+        re.sub(r"#\d+L?|plan_id=\d+", "", line)
+        for line in re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+    }
     if name not in _ITERATIVE:
         budget = _EXCHANGE_OVERRIDES.get(name, _MAX_EXCHANGES)
-        assert len(exchange_ids) <= budget, (name, len(exchange_ids))
+        assert len(shapes) <= budget, (name, len(shapes), sorted(shapes)[:4])
     # every parquet scan must prune columns: reading all 5+ columns of a
     # table for a 2-column query is a bug; allow scans that genuinely
     # need wide rows (documents text pipelines read doc_id+text of 5).
