@@ -1,0 +1,93 @@
+"""Streaming bounded-state quantiles: the enclosing-bucket guarantee
+against the batch exact median, and cross-batch state accumulation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_start_spark.sources.catalog import load_table
+from flink_start_spark.streaming import run_to_memory, stream_events
+from flink_start_spark.streaming.quantiles import quantile_stream
+
+from tests.conftest import SF_SMOKE
+
+LO, HI, B = 0.0, 1100.0, 512
+
+
+def _latest(rows):
+    out = {}
+    for r in rows:
+        k = (r["key"], r["prob"])
+        if k not in out or r["n_seen"] > out[k]["n_seen"]:
+            out[k] = r
+    return out
+
+
+def test_stream_median_bucket_encloses_exact(spark):
+    import os
+
+    stream = stream_events(spark, os.path.join(SF_SMOKE, "events.parquet"))
+    q = quantile_stream(
+        stream, "event_type", "value", probs=(0.5, 0.9), lo=LO, hi=HI, n_buckets=B
+    )
+    got = _latest(run_to_memory(q, "sq_sink", "update").collect())
+
+    ev = load_table(spark, "events", SF_SMOKE).select("event_type", "value")
+    wo = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    exact = {}
+    for p in (0.5, 0.9):
+        rows = (
+            ev.withColumn("_rn", F.row_number().over(wo))
+            .withColumn("_cnt", F.count("*").over(wc))
+            .filter(
+                F.col("_rn")
+                == F.greatest(
+                    F.lit(1), F.ceil(F.lit(p) * F.col("_cnt")).cast("long")
+                )
+            )
+            .collect()
+        )
+        for r in rows:
+            exact[(r["event_type"], p)] = (r["value"], r["_cnt"])
+    assert set(got) == set(exact)
+    for k, r in got.items():
+        val, cnt = exact[k]
+        clamped = min(max(val, LO), HI - 1e-9)
+        assert r["n_seen"] == cnt, k
+        assert r["q_lo"] <= clamped < r["q_hi"] + 1e-9, (k, val, r)
+        assert r["q_hi"] - r["q_lo"] == pytest.approx((HI - LO) / B)
+
+
+def test_state_accumulates_across_batches(spark, tmp_path):
+    import json as _json
+    import os
+    import time
+
+    d = tmp_path / "qbatches"
+    d.mkdir()
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    for i, vals in enumerate([[1.0, 2.0, 3.0], [100.0, 200.0, 300.0]]):
+        p = d / f"b{i}.json"
+        p.write_text(
+            "\n".join(_json.dumps({"k": "a", "v": float(x)}) for x in vals)
+        )
+        os.utime(p, (time.time() - 5 + i, time.time() - 5 + i))
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = quantile_stream(stream, "k", "v", probs=(0.5,), lo=0.0, hi=400.0, n_buckets=400)
+    rows = run_to_memory(q, "sq2_sink", "update").collect()
+    by_n = {r["n_seen"]: r for r in rows}
+    # after all 6 values the lower median is the rank-3 value (3.0)
+    final = by_n[max(by_n)]
+    assert final["n_seen"] == 6
+    assert final["q_lo"] <= 3.0 < final["q_hi"]
+    # and some earlier emission saw only the first batch
+    if len(by_n) > 1:
+        first = by_n[min(by_n)]
+        assert first["n_seen"] == 3 and first["q_lo"] <= 2.0 < first["q_hi"]
