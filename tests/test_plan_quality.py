@@ -38,31 +38,12 @@ _ALLOWED_NESTED_LOOP = {
     "count_trigger_buckets",
 }
 
-# Shuffle budget per query (hash exchanges). Multi-join pipelines
-# legitimately need one per non-broadcast join + aggregation.
+# Shuffle budget per query, counted as DISTINCT EXCHANGE SHAPES
+# (partitioning text with expression/plan ids stripped — see
+# test_plan_is_scale_safe). Multi-join pipelines legitimately need one
+# per non-broadcast join + aggregation; the two-phase selection
+# queries' extra bounded-relation exchanges dedupe to <=7 shapes.
 _MAX_EXCHANGES = 8
-
-# Queries using the two-phase exact-selection topology (operators/
-# selection.py) trade the single hot-key sort for several EXTRA
-# exchanges over BOUNDED relations (per-key stats rows, <=|keys|*1024
-# histogram rows, distinct values of one bucket): raw exchange count
-# rises while corpus-level shuffles stay <=3. AQE coalesces the tiny
-# ones at runtime; the budget override records the trade explicitly.
-_EXCHANGE_OVERRIDES = {
-    # two chained selections (median + MAD); the count is cache-state
-    # dependent (an unmaterialized tracked persist compiles one physical
-    # subtree PER referencing branch, each with fresh plan_ids), so the
-    # budget covers the cold-session worst case seen in full-suite runs
-    "value_outliers_mad": 26,
-    "curation_audit": 14,  # one selection + the stage-chain joins
-    "quality_median_filter": 12,
-    "quality_quartiles": 12,
-    "value_winsorized_stats": 14,  # multi-rank selection + clip re-scan
-    "curriculum_buckets": 12,
-    "sequence_packing": 12,
-    "count_trigger_cumulative": 12,
-    "count_trigger_buckets": 12,
-}
 
 # Iterative queries (driver-controlled rounds) print the whole multi-
 # round lineage in one plan; their per-ROUND cost is the bounded
@@ -220,8 +201,7 @@ def test_plan_is_scale_safe(spark, name):
         for line in re.findall(r"Exchange hashpartitioning[^\n]*", plan)
     }
     if name not in _ITERATIVE:
-        budget = _EXCHANGE_OVERRIDES.get(name, _MAX_EXCHANGES)
-        assert len(shapes) <= budget, (name, len(shapes), sorted(shapes)[:4])
+        assert len(shapes) <= _MAX_EXCHANGES, (name, len(shapes), sorted(shapes)[:4])
     # every parquet scan must prune columns: reading all 5+ columns of a
     # table for a 2-column query is a bug; allow scans that genuinely
     # need wide rows (documents text pipelines read doc_id+text of 5).
