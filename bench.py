@@ -80,6 +80,22 @@ def _run_streaming_sessions(spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _run_streaming_quantiles(spark, sf_dir: str) -> float:
+    """Bounded-state running quantiles (streaming twin of the batch
+    two-phase selection): per-event_type p50/p90 via the permanent
+    histogram state operator."""
+    from flink_start_spark.streaming import run_to_memory, stream_events
+    from flink_start_spark.streaming.quantiles import quantile_stream
+
+    stream = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    q = quantile_stream(
+        stream, "event_type", "value", probs=(0.5, 0.9), lo=0.0, hi=1100.0
+    )
+    t0 = time.perf_counter()
+    run_to_memory(q, f"bench_squant_{int(t0 * 1000)}", "update")
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -147,6 +163,10 @@ def main() -> None:
         _record(
             "streaming_session_windows",
             [_run_streaming_sessions(spark, args.sf_dir) for _ in range(args.runs)],
+        )
+        _record(
+            "streaming_quantiles",
+            [_run_streaming_quantiles(spark, args.sf_dir) for _ in range(args.runs)],
         )
 
     total = round(sum(timings.values()), 3)

@@ -138,18 +138,23 @@ def test_no_low_cardinality_window_partitions(spark, name):
         pytest.skip(_ALLOWED_BOUNDED_WINDOW[name])
     df = QUERIES[name].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    has_group_limit = "WindowGroupLimit" in plan
     has_take_ordered = "TakeOrderedAndProject" in plan
+    specs = list(_window_specs(plan))
+    # rank-pushdown exemptions must match the SPECIFIC partition spec:
+    # a WindowGroupLimit on one window must not grandfather an
+    # unrelated hot-key window elsewhere in the same plan
+    limited = {tuple(cols) for kind, cols, _ in specs if kind == "WindowGroupLimit"}
     bad = []
-    for kind, cols, has_order in _window_specs(plan):
+    for kind, cols, has_order in specs:
         if kind != "Window":
             continue
         low_card = (not cols) or all(c in _LOW_CARD_COLS for c in cols)
         if not low_card:
             continue
-        # rank-pushdown or post-limit windows read bounded input
-        if has_group_limit or has_take_ordered:
-            continue
+        if tuple(cols) in limited:
+            continue  # per-partition top-k pushdown bounds this window
+        if not cols and has_take_ordered:
+            continue  # global rank reconstructed over a k-row limit
         bad.append((cols, has_order))
     assert not bad, (name, bad)
 
