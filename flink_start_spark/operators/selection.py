@@ -21,7 +21,7 @@ EXACT so oracle hashes are unchanged:
 3. **Resolve**: touch ONLY the target bucket's rows (~n/n_buckets per
    key) and pick the exact element.
 
-Two entry points:
+Entry points:
 
 - :func:`exact_rank_value` — the VALUE at rank r per key (medians,
   quantile cuts). Exploits that the value at rank r under
@@ -29,10 +29,23 @@ Two entry points:
   ties by id permutes equal values among themselves), so phase 3 needs
   no row-level sort either: a ``groupBy(key, value)`` count inside the
   target bucket plus one more array fold over DISTINCT values.
+- :func:`exact_quantile_values` — N quantile values per key from ONE
+  histogram pass (every target located by a fold over the same
+  histogram; all in-bucket resolves share one filtered scan).
 - :func:`with_global_rank` — every row's exact ``row_number`` (ntile
-  assignment, top-k with tie-splitting). Phase 3 is a window over
-  ``(key, bucket)`` — cardinality ``|keys| x n_buckets``, each
-  partition ~n/n_buckets rows — then ``global_rank = prefix + local``.
+  assignment via :func:`ntile_from_rank`, top-k with tie-splitting).
+  Phase 3 is a window over ``(key, bucket)`` — cardinality
+  ``|keys| x n_buckets``, each partition ~n/n_buckets rows — then
+  ``global_rank = prefix + local``.
+- :func:`with_rank_and_sum` / :func:`with_prefix_sum` — exact running
+  rank and/or running sum under an order column, same topology with
+  bucket counts replaced/joined by bucket sums; empty ``keys`` = the
+  global (un-keyed count-trigger) case via 1-row broadcasts.
+
+Streaming twin: ``streaming/quantiles.py`` holds the same fixed
+value-bucket histogram as permanent keyed state and answers quantiles
+with the enclosing bucket (batch can rescan the bucket for exactness,
+a stream cannot — the histogram is the part that transfers).
 
 Scale bounds (100 TB story): the histogram and prefix relations are
 ``O(|keys| x n_buckets)`` regardless of corpus size; the only
