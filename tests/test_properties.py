@@ -443,3 +443,71 @@ def test_semdedup_matches_python_mirror(spark, vecs):
         for r in df.select("vec_id", "embedding").collect()
     }
     assert got == _semdedup_ref(stored, n_cells=2, thr=0.98)
+
+
+# ------------------------------------------------------- exact selection
+_sel_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["hot", "hot", "hot", "k1", "k2"]),  # skewed key mix
+        st.integers(min_value=0, max_value=12),  # tie-heavy value lattice
+        st.integers(min_value=0, max_value=10_000),  # unique-ish id seed
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_sel_rows)
+def test_exact_rank_value_matches_sorted_pick(spark, rows):
+    from flink_start_spark import cache as C
+    from flink_start_spark.operators.selection import exact_rank_value
+
+    data = [(k, float(v) / 3.0, f"id{i:05d}_{j}") for j, (k, v, i) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, v double, tid string")
+    got = {
+        r["k"]: (r["med"], r["_gcnt"])
+        for r in exact_rank_value(df, ["k"], "v", out_col="med").collect()
+    }
+    C.release()
+    expected = {}
+    by_key: dict[str, list[float]] = {}
+    for k, v, _ in data:
+        by_key.setdefault(k, []).append(v)
+    for k, vs in by_key.items():
+        vs.sort()
+        expected[k] = (vs[(len(vs) + 1) // 2 - 1], len(vs))
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_sel_rows, st.integers(min_value=2, max_value=7))
+def test_with_global_rank_is_a_permutation_free_rank(spark, rows, tiles):
+    from flink_start_spark.operators.selection import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    data = [(k, float(v) / 3.0, f"id{i:05d}_{j}") for j, (k, v, i) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, v double, tid string")
+    ranked = with_global_rank(df, ["k"], "v", ["tid"])
+    out = ranked.withColumn(
+        "tile", ntile_from_rank(F.col("_grank"), F.col("_gcnt"), tiles)
+    ).collect()
+    # rank is exactly the 1..n position under (v, tid) per key
+    by_key: dict[str, list] = {}
+    for k, v, tid in data:
+        by_key.setdefault(k, []).append((v, tid))
+    pos = {
+        (k, tid): i + 1
+        for k, vs in by_key.items()
+        for i, (v, tid) in enumerate(sorted(vs))
+    }
+    for r in out:
+        assert r["_grank"] == pos[(r["k"], r["tid"])], r
+        n, t, i = r["_gcnt"], tiles, r["_grank"]
+        q, rem = divmod(n, t)
+        expect_tile = (
+            -(-i // (q + 1)) if i <= (q + 1) * rem else rem + -(-(i - (q + 1) * rem) // q)
+        )
+        assert r["tile"] == expect_tile, r
