@@ -573,3 +573,46 @@ def unigram_logprob_score(
             "mean_neg_logprob"
         ),
     )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1024,
+) -> DataFrame:
+    """fasttext-style LINEAR quality-classifier INFERENCE over hashed
+    unigram features — the model-based filtering stage (LLaMA/CCNet
+    style "does this look like reference text?" classifier) applied at
+    corpus scale.
+
+    The WEIGHTS here are a deterministic md5-derived stand-in for
+    trained parameters (clearly marked, same precedent as the
+    multimodal decode stubs standing in for codec libraries): the
+    deliverable is the distributable inference plumbing — hash
+    featurization (md5 bucket, engine-portable), per-feature weight
+    lookup, count-weighted integer accumulation — which is identical
+    whatever numbers the weights hold. A real trained model would
+    broadcast its D-row weight table and join on the feature bucket
+    (decontamination's broadcast shape); with expression-derived
+    weights even that join disappears and scoring is PURE MAP WORK:
+    one explode, per-token codegen projections, one doc groupBy.
+
+    Integer weights in [-8, 8] summed count-weighted give an exact
+    integer log-odds (no float accumulation, engine-exact); emitted as
+    the raw sum, the per-token mean, and the keep flag (sum >= 0).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(TH.words(F.col(text_col))).alias("_w")
+    )
+    h = TH.md5_bucket(F.col("_w"), n_features, salt="feat|")
+    wt = TH.md5_bucket(h, 17, salt="wt|") - F.lit(8)
+    scored = words.select(id_col, wt.alias("_wt"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_wt").cast("long").alias("logodds_q"),
+        F.round(F.sum("_wt").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_logodds"
+        ),
+        (F.sum("_wt") >= 0).alias("kept"),
+    )

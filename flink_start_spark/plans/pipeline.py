@@ -603,6 +603,41 @@ def q_repeated_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quality_classifier_score",
+    f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+               FROM documents),
+    f AS (SELECT doc_id, {_bucket_sql("'feat|' || w", 1024)} AS h FROM t),
+    s AS (SELECT doc_id,
+                 ({_bucket_sql("'wt|' || h::VARCHAR", 17)}) - 8 AS wt
+          FROM f)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           sum(wt)::BIGINT AS logodds_q,
+           round(sum(wt)::DOUBLE / count(*), 6) AS mean_logodds,
+           sum(wt) >= 0 AS kept
+    FROM s GROUP BY doc_id
+    """,
+    description=(
+        "fasttext-style linear quality-classifier INFERENCE (the "
+        "model-based 'does this look like reference text?' filter of "
+        "LLaMA/CCNet pipelines) over md5-hashed unigram features. "
+        "Weights are a deterministic md5-derived stand-in for trained "
+        "parameters (multimodal-stub precedent; the distributable "
+        "plumbing is the deliverable) - and being expression-derived, "
+        "even the weight-table broadcast join disappears: scoring is "
+        "pure map work, one explode + codegen projections + one doc "
+        "groupBy. Integer weights in [-8,8] accumulate to an exact "
+        "integer log-odds, engine-exact with no float summation."
+    ),
+    tags=("text", "extension", "pipeline", "classifier"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.quality_classifier_score(docs, "text", "doc_id", n_features=1024)
+
+
+@_register(
     "bpe_merges",
     None,  # iterative list-building folds have no DuckDB twin; the
     # EXACT check is the pure-python BPE mirror in tests/test_tokenize.py
