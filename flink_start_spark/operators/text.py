@@ -616,3 +616,121 @@ def quality_classifier_score(
         ),
         (F.sum("_wt") >= 0).alias("kept"),
     )
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    alpha_sqrt: bool = True,
+) -> DataFrame:
+    """Training-mixture reweighting (the domain-proportions knob every
+    multi-source pretraining run sets; temperature-scaled sampling a la
+    public data recipes): per source, document/token counts, the raw
+    token share, and the alpha=0.5 temperature-scaled sampling
+    proportion p_i = sqrt(n_i) / sum_j sqrt(n_j) that upweights small
+    sources.
+
+    Engine-exactness: sqrt is IEEE correctly-rounded (identical in
+    every engine, unlike exp/ln/pow), and the normalizing sum runs
+    over INTEGER-QUANTIZED floor(sqrt(n)*2^20) weights — integer
+    addition commutes, so the result is independent of partitioning
+    and summation order. One scan + one tiny groupBy; the total rides
+    a 1-row broadcast.
+    """
+    ws = TH.words(F.col(text_col))
+    toks = F.aggregate(
+        ws,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+    per = df.select(F.col(source_col), toks.alias("_t")).groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").cast("long").alias("n_tokens"),
+    )
+    wq = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1048576).cast("long")
+    per = per.withColumn("_wq", wq)
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot_tokens"), F.sum("_wq").alias("_tot_wq")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("_tot_tokens").cast("double"), 6
+            ).alias("token_share"),
+            F.round(F.col("_wq") / F.col("_tot_wq").cast("double"), 6).alias(
+                "sample_prop_sqrt"
+            ),
+        )
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word n-grams they share, normalized by each side's
+    distinct-gram count — the audit that catches one source being a
+    near-copy of another (mirror sites, re-crawls) before both are
+    sampled as if independent.
+
+    Topology: one explode to DISTINCT (source, gram-md5) pairs
+    (map-side dedup), one gram-keyed groupBy collecting the <=|sources|
+    distinct sources per gram into a sorted array, one explode of the
+    array's ordered pairs (bounded by |sources|^2 per gram, with
+    |sources| ~ 5), one pair groupBy; per-source totals broadcast back.
+    Never a gram self-join, never corpus x corpus.
+    """
+    sg = (
+        df.select(
+            F.col(source_col).alias("_s"),
+            F.explode(TH.shingles(F.col(text_col), n)).alias("_g"),
+        )
+        .select("_s", F.md5("_g").alias("_gh"))
+        .distinct()
+    )
+    sg = C.track(sg)
+    totals = sg.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    per_gram = sg.groupBy("_gh").agg(
+        F.array_sort(F.collect_set("_s")).alias("_ss")
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ss"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("_ss"), i + 2, F.size("_ss")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select(F.col("_p.a").alias("source_a"), F.col("_p.b").alias("source_b"))
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_grams")
+    )
+    ta = totals.select(F.col("_s").alias("source_a"), F.col("_n").alias("_na"))
+    tb = totals.select(F.col("_s").alias("source_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_grams",
+            F.round(F.col("n_shared_grams") / F.col("_na").cast("double"), 6).alias(
+                "frac_of_a"
+            ),
+            F.round(F.col("n_shared_grams") / F.col("_nb").cast("double"), 6).alias(
+                "frac_of_b"
+            ),
+        )
+    )

@@ -603,6 +603,80 @@ def q_repeated_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "source_mixture_weights",
+    """
+    WITH t AS (
+      SELECT source,
+             list_sum(list_transform(string_split(trim(text), ' '),
+                                     x -> ceil(len(x) / 4.0)::INT)) AS toks
+      FROM documents),
+    per AS (SELECT source, count(*) AS n_docs, sum(toks)::BIGINT AS n_tokens
+            FROM t GROUP BY source),
+    w AS (SELECT *, floor(sqrt(n_tokens::DOUBLE) * 1048576)::BIGINT AS wq
+          FROM per),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS tt, sum(wq)::BIGINT AS tw FROM w)
+    SELECT source, n_docs::BIGINT AS n_docs, n_tokens,
+           round(n_tokens::DOUBLE / tt, 6) AS token_share,
+           round(wq::DOUBLE / tw, 6) AS sample_prop_sqrt
+    FROM w CROSS JOIN tot
+    """,
+    description=(
+        "Training-mixture reweighting (the multi-source domain-"
+        "proportions knob): per-source doc/token counts, raw token "
+        "share, and the alpha=0.5 temperature-scaled sampling "
+        "proportion sqrt(n_i)/sum(sqrt(n_j)) that upweights small "
+        "sources. sqrt is IEEE correctly-rounded (engine-identical, "
+        "unlike exp/ln/pow) and the normalizer sums INTEGER-quantized "
+        "floor(sqrt(n)*2^20) weights - commutative, so the result is "
+        "partitioning-independent. One scan, one tiny groupBy, 1-row "
+        "broadcast total."
+    ),
+    tags=("text", "extension", "pipeline"),
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.source_mixture_weights(docs, "text", "source")
+
+
+@_register(
+    "cross_source_overlap",
+    f"""
+    WITH d AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
+    g AS (SELECT source, unnest({_shingle_sql(5)}) AS g FROM d),
+    s AS (SELECT DISTINCT source AS s, md5(g) AS gh FROM g),
+    tot AS (SELECT s, count(*) AS n FROM s GROUP BY s),
+    pg AS (SELECT gh, list_sort(list(DISTINCT s)) AS ss FROM s GROUP BY gh),
+    pp AS (SELECT gh, flatten([[struct_pack(source_a := ss[i], source_b := ss[j])
+                                FOR j IN range(i + 1, len(ss) + 1)]
+                               FOR i IN range(1, len(ss) + 1)]) AS ps
+           FROM pg),
+    pr AS (SELECT unnest(ps, recursive := true) FROM pp),
+    sh AS (SELECT source_a, source_b, count(*) AS n_shared_grams
+           FROM pr GROUP BY 1, 2)
+    SELECT sh.source_a, sh.source_b, sh.n_shared_grams::BIGINT AS n_shared_grams,
+           round(sh.n_shared_grams::DOUBLE / ta.n, 6) AS frac_of_a,
+           round(sh.n_shared_grams::DOUBLE / tb.n, 6) AS frac_of_b
+    FROM sh JOIN tot ta ON sh.source_a = ta.s
+            JOIN tot tb ON sh.source_b = tb.s
+    """,
+    description=(
+        "Cross-source contamination matrix: distinct shared 5-gram "
+        "counts per source pair, normalized by each side's distinct-"
+        "gram total - the audit that catches one source being a "
+        "near-copy of another (mirrors, re-crawls) before both are "
+        "sampled as independent. Distinct (source, gram) pairs "
+        "map-side, one gram-keyed groupBy collecting the <=|sources| "
+        "source set, ordered-pair explode bounded by |sources|^2, one "
+        "pair groupBy - never a gram self-join."
+    ),
+    tags=("text", "extension", "pipeline", "dedup"),
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.cross_source_overlap(docs, "text", "source", n=5)
+
+
+@_register(
     "quality_classifier_score",
     f"""
     WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w

@@ -36,6 +36,8 @@ _ALLOWED_NESTED_LOOP = {
     # 1-row broadcasts
     "count_trigger_cumulative",
     "count_trigger_buckets",
+    # 1-row mixture-normalizer broadcast (crossJoin of the totals row)
+    "source_mixture_weights",
 }
 
 # Shuffle budget per query, counted as DISTINCT EXCHANGE SHAPES
