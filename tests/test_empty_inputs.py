@@ -52,6 +52,9 @@ _REPRESENTATIVE = [
     "count_trigger_cumulative",
     "sequence_packing",
     "repeated_ngram_flags",
+    "quality_classifier_score",
+    "source_mixture_weights",
+    "cross_source_overlap",
     "cluster_cap_sample",
     "customer_order_distribution",
     "large_volume_orders",
