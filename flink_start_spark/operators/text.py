@@ -601,20 +601,28 @@ def quality_classifier_score(
     Integer weights in [-8, 8] summed count-weighted give an exact
     integer log-odds (no float accumulation, engine-exact); emitted as
     the raw sum, the per-token mean, and the keep flag (sum >= 0).
+
+    ZERO-SHUFFLE: the accumulation is a fold over the per-row word
+    array, not an explode + doc groupBy — each document's score is one
+    codegen'd projection, so the operator is also stateless-streaming
+    compatible as-is (no aggregation, no watermark needed).
     """
-    words = df.select(
-        F.col(id_col), F.explode(TH.words(F.col(text_col))).alias("_w")
+
+    def _wt(w: Column) -> Column:
+        h = TH.md5_bucket(w, n_features, salt="feat|")
+        return TH.md5_bucket(h, 17, salt="wt|") - F.lit(8)
+
+    worded = df.select(id_col, TH.words(F.col(text_col)).alias("_ws"))
+    z = F.aggregate(
+        F.col("_ws"), F.lit(0).cast("long"), lambda acc, w: acc + _wt(w)
     )
-    h = TH.md5_bucket(F.col("_w"), n_features, salt="feat|")
-    wt = TH.md5_bucket(h, 17, salt="wt|") - F.lit(8)
-    scored = words.select(id_col, wt.alias("_wt"))
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("_wt").cast("long").alias("logodds_q"),
-        F.round(F.sum("_wt").cast("double") / F.count(F.lit(1)), 6).alias(
-            "mean_logodds"
-        ),
-        (F.sum("_wt") >= 0).alias("kept"),
+    n = F.size("_ws")
+    return worded.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        z.alias("logodds_q"),
+        F.round(z.cast("double") / n, 6).alias("mean_logodds"),
+        (z >= 0).alias("kept"),
     )
 
 

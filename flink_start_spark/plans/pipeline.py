@@ -700,8 +700,9 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parameters (multimodal-stub precedent; the distributable "
         "plumbing is the deliverable) - and being expression-derived, "
         "even the weight-table broadcast join disappears: scoring is "
-        "pure map work, one explode + codegen projections + one doc "
-        "groupBy. Integer weights in [-8,8] accumulate to an exact "
+        "ZERO-SHUFFLE pure map work, a fold over each row's word "
+        "array (no explode, no groupBy - stateless-streaming "
+        "compatible as-is). Integer weights in [-8,8] accumulate to an exact "
         "integer log-odds, engine-exact with no float summation."
     ),
     tags=("text", "extension", "pipeline", "classifier"),
