@@ -91,3 +91,42 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     if len(by_n) > 1:
         first = by_n[min(by_n)]
         assert first["n_seen"] == 3 and first["q_lo"] <= 2.0 < first["q_hi"]
+
+
+def test_classifier_is_stateless_streaming_compatible(spark, tmp_path):
+    """quality_classifier_score is a pure projection (zero-shuffle
+    fold), so the SAME operator function runs on a streaming DataFrame
+    with no aggregation mode or watermark — the docstring's claim,
+    pinned."""
+    import json as _json
+    import os
+    import time
+
+    from flink_start_spark.operators.text import quality_classifier_score
+
+    d = tmp_path / "clsdocs"
+    d.mkdir()
+    p = d / "b0.json"
+    p.write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": t})
+            for i, t in enumerate(["the cat sat on the mat", "xyzzy plugh"])
+        )
+    )
+    os.utime(p, (time.time() - 5, time.time() - 5))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    scored = quality_classifier_score(stream, "text", "doc_id")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logodds_q"], r["kept"])
+        for r in run_to_memory(scored, "cls_sink", "append").collect()
+    }
+    # batch twin on identical rows must agree exactly
+    batch = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    expect = {
+        r["doc_id"]: (r["n_tokens"], r["logodds_q"], r["kept"])
+        for r in quality_classifier_score(batch, "text", "doc_id").collect()
+    }
+    assert got == expect and set(got) == {0, 1}
