@@ -180,15 +180,25 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_parts_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, "part", sf_dir)
-    p.createOrReplaceTempView("_part_corr")
-    return spark.sql(
-        """
-        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice
-        FROM _part_corr p
-        WHERE p_retailprice > 1.05 * (
-          SELECT avg(p2.p_retailprice) FROM _part_corr p2 WHERE p2.p_brand = p.p_brand)
-        """
-    )
+    # Correlated scalar subqueries need SQL text, which needs a view
+    # name. Analysis is eager (the relation binds at spark.sql()), so
+    # the view is dropped immediately — no fixed name lingers in the
+    # shared session catalog for a concurrent plan build to trip on
+    # (round-3 ADVICE class; the name is still unique per sf_dir as a
+    # belt-and-braces guard for the window where it exists).
+    view = f"_part_corr_{abs(hash(sf_dir)) % 10**8}"
+    p.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice
+            FROM {view} p
+            WHERE p_retailprice > 1.05 * (
+              SELECT avg(p2.p_retailprice) FROM {view} p2 WHERE p2.p_brand = p.p_brand)
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # ---------------------------------------------------------------------

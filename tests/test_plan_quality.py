@@ -38,6 +38,9 @@ _ALLOWED_NESTED_LOOP = {
     "count_trigger_buckets",
     # 1-row mixture-normalizer broadcast (crossJoin of the totals row)
     "source_mixture_weights",
+    # 1-row (total, count) broadcast for the cross-multiplied
+    # above-average filter (TPC-H Q22 shape)
+    "dormant_customer_balance",
 }
 
 # Shuffle budget per query, counted as DISTINCT EXCHANGE SHAPES
