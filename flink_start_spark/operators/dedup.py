@@ -768,3 +768,77 @@ def incremental_dedup_flags(
             ),
         )
     )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    source_col: str = "source",
+    passage_words: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-source boilerplate-passage removal (the CCNet/jusText
+    template-stripping stage): a passage appearing in >= ``min_docs``
+    DISTINCT documents of the same source is template text (headers,
+    footers, nav chrome) and EVERY occurrence is removed — unlike
+    :func:`passage_dedup`, which keeps one global first occurrence.
+    The two stages compose: boilerplate strip first (template text has
+    no first-occurrence value), then cross-source passage dedup.
+
+    Output per document: passage counts, boilerplate fraction, and the
+    md5 of the reassembled stripped text (byte-exact contract with the
+    DuckDB oracle, same convention as passage_dedup's dedup_md5).
+
+    Scale: documents chunk map-side (split materialized as a real
+    column; slice-shifted lambda discipline); the document-frequency
+    relation groups on the high-cardinality (source, passage-hash)
+    composite — never on the ~20-value source alone — with map-side
+    partial distinct, and the flag joins back on the same composite
+    key, so one corpus shuffle serves both. Nothing broadcasts the
+    boilerplate set: per-source template counts grow with the corpus.
+    """
+    w = passage_words
+    worded = df.select(
+        F.col(id_col), F.col(source_col), TH.words(F.col(content_col)).alias("_ws")
+    )
+    ws = F.col("_ws")
+    n_chunks = F.greatest(
+        F.ceil(F.size(ws) / F.lit(float(w))), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "),
+    )
+    hashed = C.track(
+        worded.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.posexplode(chunks).alias("pos", "passage"),
+        ).withColumn("ph", F.md5("passage"))
+    )
+    boiler = (
+        hashed.groupBy(source_col, "ph")
+        .agg(F.countDistinct(id_col).alias("_dc"))
+        .filter(F.col("_dc") >= min_docs)
+        .select(source_col, "ph", F.lit(True).alias("_boiler"))
+    )
+    flagged = hashed.join(boiler, [source_col, "ph"], "left").withColumn(
+        "kept", F.col("_boiler").isNull()
+    )
+    kept_passages = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("pos", "passage")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.first(source_col).alias(source_col),
+        F.count("*").alias("n_passages"),
+        F.sum((~F.col("kept")).cast("int")).cast("long").alias("n_boiler"),
+        F.round(F.sum((~F.col("kept")).cast("int")) / F.count("*"), 6).alias(
+            "boiler_frac"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(kept_passages, lambda s: s["passage"]), " "
+            )
+        ).alias("stripped_md5"),
+    )

@@ -742,3 +742,53 @@ def cross_source_overlap(
             ),
         )
     )
+
+
+def doc_chunks(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style overlapping chunking: split every document into
+    ``chunk_words``-word windows advancing by ``stride`` words
+    (overlap = chunk_words - stride), emitting one typed row per chunk
+    with its provenance offsets — the retrieval-index ingestion stage
+    (chunk → embed → ANN) that sits between the documents table and the
+    similarity operators.
+
+    One chunk row: (doc_id, chunk_idx, start_word, n_words, chunk_md5).
+    The md5 pins every chunk's bytes for the oracle while keeping the
+    result compact (same convention as passage_dedup's reassembly
+    hash); a production pipeline would carry the chunk text itself to
+    the embedder.
+
+    Scale: pure map work — one split per document (materialized as a
+    real column first; slice-shifted lambda discipline per
+    texthash.shingles), one posexplode, no shuffle at all. Short
+    documents (< chunk_words words) yield exactly one chunk.
+    """
+    w, s = chunk_words, stride
+    worded = df.select(F.col(id_col), TH.words(F.col(content_col)).alias("_ws"))
+    ws = F.col("_ws")
+    n_chunks = (
+        F.greatest(F.ceil((F.size(ws) - w) / F.lit(float(s))), F.lit(0)) + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * s).cast("long").alias("start_word"),
+            F.slice(ws, i * s + 1, w).alias("cw"),
+        ),
+    )
+    ex = worded.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    )
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_c.start_word").alias("start_word"),
+        F.size("_c.cw").cast("long").alias("n_words"),
+        F.md5(F.array_join("_c.cw", " ")).alias("chunk_md5"),
+    )

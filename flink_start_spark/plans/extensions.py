@@ -1577,3 +1577,57 @@ def q_ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return D.incremental_dedup_flags(docs, "text", "doc_id", delta_pct=20)
+
+
+_COS_AB = _COS.replace("qv", "a.embedding").replace("cv", "b.embedding")
+
+
+@_register(
+    "knn_label_purity",
+    f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+             embedding AS center
+      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id, embedding, label, cell FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQDIST('e.embedding', 'c.center')}, c.cell) AS rk
+        FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+    pairs AS (
+      SELECT a.vec_id AS a_id, a.label AS a_label,
+             b.vec_id AS b_id, b.label AS b_label,
+             {_COS_AB} AS cos
+      FROM assigned a JOIN assigned b USING (cell)
+      WHERE a.vec_id <> b.vec_id),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+                                     ORDER BY cos DESC, b_id) AS rk
+        FROM pairs) WHERE rk <= 5),
+    purity AS (
+      SELECT a_id, a_label, count(*) AS n_neighbors,
+             round(avg(CASE WHEN b_label = a_label
+                       THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS same_label_frac
+      FROM top GROUP BY 1, 2)
+    SELECT l.vec_id, l.label,
+           coalesce(p.n_neighbors, 0)::BIGINT AS n_neighbors,
+           p.same_label_frac
+    FROM assigned l LEFT JOIN purity p ON p.a_id = l.vec_id
+    """,
+    description=(
+        "k-NN label-purity audit: per vector, the fraction of its 5 "
+        "nearest cell-mates (cosine) sharing its label — the embedding-"
+        "quality probe run before trusting a model for clustering/"
+        "dedup/curation. Candidates come from the vector's IVF cell "
+        "(the same neighborhoods SemDeDup/IVF search operate on), so "
+        "the pairwise stage is cell-bounded and linear as cells scale "
+        "with the corpus. Oracle mirrors quantizer, assignment, and "
+        "the 6-dp cosine total order CTE-for-CTE."
+    ),
+    tags=("similarity", "extension", "audit"),
+)
+def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.knn_label_purity(emb, k=5, n_cells=16)

@@ -1180,3 +1180,78 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pmi_q") / float(Q), 6).alias("pmi"),
         "rank",
     )
+
+
+@_register(
+    "doc_chunking",
+    """
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    c AS (SELECT doc_id,
+            [struct_pack(idx := i, start_word := i*24,
+                         cw := w[(i*24+1):(i*24+32)])
+             FOR i IN range(0, greatest(cast(ceil((len(w)-32)/24.0) AS BIGINT), 0) + 1)] AS cl
+          FROM d),
+    e AS (SELECT doc_id, unnest(cl, recursive := true) FROM c)
+    SELECT doc_id, idx AS chunk_idx, start_word,
+           len(cw)::BIGINT AS n_words,
+           md5(array_to_string(cw, ' ')) AS chunk_md5
+    FROM e
+    """,
+    description=(
+        "RAG chunking: 32-word windows, stride 24 (8-word overlap), one "
+        "typed row per chunk with provenance offsets and a byte-pinning "
+        "md5 — the retrieval-index ingestion stage feeding the embed + "
+        "ANN operators. Pure map work (split, sequence-transform, "
+        "posexplode): zero shuffles at any corpus size."
+    ),
+    tags=("text", "extension", "pipeline", "rag"),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.doc_chunks(docs, "text", "doc_id", chunk_words=32, stride=24)
+
+
+@_register(
+    "boilerplate_removal",
+    """
+    WITH d AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+    c AS (SELECT doc_id, source,
+            [struct_pack(pos := i,
+                         passage := array_to_string(w[(i*5+1):((i+1)*5)], ' '))
+             FOR i IN range(0, greatest(cast(ceil(len(w)/5.0) AS BIGINT), 1))] AS cl
+          FROM d),
+    e AS (SELECT doc_id, source, unnest(cl, recursive := true) FROM c),
+    h AS (SELECT doc_id, source, pos, passage, md5(passage) AS ph FROM e),
+    b AS (SELECT source, ph FROM h GROUP BY source, ph
+          HAVING count(DISTINCT doc_id) >= 2),
+    k AS (SELECT h.doc_id, h.source, h.pos, h.passage,
+                 (b.ph IS NULL) AS kept
+          FROM h LEFT JOIN b ON b.source = h.source AND b.ph = h.ph)
+    SELECT doc_id,
+           any_value(source) AS source,
+           count(*)::BIGINT AS n_passages,
+           count_if(NOT kept)::BIGINT AS n_boiler,
+           round(count_if(NOT kept) / count(*)::DOUBLE, 6) AS boiler_frac,
+           md5(coalesce(string_agg(CASE WHEN kept THEN passage END, ' ' ORDER BY pos), ''))
+             AS stripped_md5
+    FROM k GROUP BY doc_id
+    """,
+    description=(
+        "Per-source boilerplate stripping (CCNet/jusText template "
+        "stage): 5-word passages appearing in >=2 distinct documents "
+        "of the same source are template text and ALL occurrences are "
+        "removed (passage_dedup's complement, which keeps one global "
+        "first occurrence). Document-frequency groups on the "
+        "high-cardinality (source, passage-hash) composite, never the "
+        "~20-value source alone; stripped_md5 pins the reassembled "
+        "text byte-exactly."
+    ),
+    tags=("text", "extension", "pipeline", "dedup"),
+)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.operators import dedup as D
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return D.boilerplate_removal(
+        docs, "text", "doc_id", source_col="source", passage_words=5, min_docs=2
+    )

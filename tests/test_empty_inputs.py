@@ -70,6 +70,16 @@ _REPRESENTATIVE = [
     "monthly_revenue_trend",
     "last_touch_attribution",
     "three_step_funnel",
+    # round 4 additions: TPC-H completion family (semi+anti chain,
+    # 1-row-broadcast scalar shapes) + chunking / boilerplate /
+    # purity-audit pipeline stages
+    "nation_market_share",
+    "top_supplier_revenue",
+    "suppliers_kept_orders_waiting",
+    "dormant_customer_balance",
+    "doc_chunking",
+    "boilerplate_removal",
+    "knn_label_purity",
 ]
 
 

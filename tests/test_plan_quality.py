@@ -28,6 +28,7 @@ _ALLOWED_NESTED_LOOP = {
     "ann_topk_ivf",
     "semdedup_flags",
     "kmeans_clusters",
+    "knn_label_purity",
     # 1-row corpus-total broadcasts (crossJoin of global count rows)
     "unigram_logprob_score",
     "pmi_collocations",
