@@ -113,9 +113,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
 
 
-@_register(
-    "dedup_clusters",
-    f"""
+#: recursive-CTE transitive closure over the MinHash-LSH pairs, ending
+#: in a `comp(doc_id, cluster_id)` relation — shared by dedup_clusters
+#: and the cluster-granular split (leakage_safe_split).
+_COMPONENT_CTES = f"""
     WITH RECURSIVE {_SHINGLE_CTE},
     sig AS (SELECT doc_id,
               [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
@@ -138,8 +139,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     r(src, dst) AS (
       SELECT src, src FROM (SELECT DISTINCT src FROM sym)
       UNION
-      SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src)
-    SELECT src AS doc_id, min(dst) AS cluster_id FROM r GROUP BY src
+      SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src),
+    comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM r GROUP BY src)
+"""
+
+
+@_register(
+    "dedup_clusters",
+    _COMPONENT_CTES
+    + """
+    SELECT doc_id, cluster_id FROM comp
     """,
     description=(
         "Dedup clustering: connected components over the MinHash-LSH "
@@ -1631,3 +1640,59 @@ _COS_AB = _COS.replace("qv", "a.embedding").replace("cv", "b.embedding")
 def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return S.knn_label_purity(emb, k=5, n_cells=16)
+
+
+@_register(
+    "leakage_safe_split",
+    _COMPONENT_CTES
+    + f"""
+    , alldocs AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    b AS (SELECT doc_id, cluster_id,
+                 {_pipeline_bucket_sql("cluster_id::VARCHAR")} AS bucket
+          FROM alldocs)
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 95 THEN 'train'
+                WHEN bucket < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    description=(
+        "Leakage-safe train/val/test split: the deterministic md5 "
+        "bucket is drawn from the doc's near-dup CLUSTER id (connected "
+        "components over the MinHash-LSH pairs; singletons use their "
+        "own id), so near-duplicate documents can never straddle the "
+        "train/eval boundary — the contamination hole a doc-id-level "
+        "split (train_val_split) leaves open. Same component machinery "
+        "as dedup_clusters (O(log diameter) propagation + pointer "
+        "jumping); the split itself stays a projection, so there is no "
+        "split manifest to join at read time."
+    ),
+    tags=("dedup", "extension", "pipeline", "iterative"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    lsh_pairs = D.minhash_near_dups(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comps = D.connected_components(lsh_pairs).select(
+        F.col("node").cast("long").alias("_n"),
+        F.col("cluster").cast("long").alias("_c"),
+    )
+    clustered = (
+        docs.select("doc_id")
+        .join(comps, F.col("doc_id") == F.col("_n"), "left")
+        .select(
+            "doc_id", F.coalesce("_c", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    bucket = TH.md5_bucket(F.col("cluster_id"), 100)
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 95, "train")
+        .when(bucket < 99, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

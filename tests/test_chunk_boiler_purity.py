@@ -119,3 +119,25 @@ def test_knn_label_purity_singleton_cell_null_purity(spark):
     rows = knn_label_purity(df, k=3, n_cells=1).collect()
     assert len(rows) == 1
     assert rows[0].n_neighbors == 0 and rows[0].same_label_frac is None
+
+
+def test_leakage_safe_split_cluster_invariant(spark):
+    """Every near-dup cluster lands wholly on one side of the split —
+    the invariant that makes the split leakage-safe."""
+    from pyspark.sql import functions as F
+
+    from flink_start_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    out = QUERIES["leakage_safe_split"].spark(spark, SF_SMOKE)
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count("*").alias("n_docs"),
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    # the smoke corpus has real near-dup clusters, so the invariant is
+    # exercised on multi-doc clusters, not vacuously on singletons
+    assert per_cluster.filter(F.col("n_docs") > 1).count() > 0
+    # and every document appears exactly once
+    total = out.count()
+    assert total == out.select("doc_id").distinct().count()

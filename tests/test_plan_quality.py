@@ -56,7 +56,12 @@ _MAX_EXCHANGES = 8
 # quantity (one join + one agg for components, one assignment + one
 # quantized-mean recompute for Lloyd's — asserted by the operators'
 # design), so the single-plan exchange budget doesn't apply.
-_ITERATIVE = {"dedup_clusters", "kmeans_clusters", "cluster_cap_sample"}
+_ITERATIVE = {
+    "dedup_clusters",
+    "kmeans_clusters",
+    "cluster_cap_sample",
+    "leakage_safe_split",
+}
 
 
 # Columns whose domain is O(10) values at ANY corpus size: a Window
