@@ -742,6 +742,33 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_token_stats",
+    None,  # encode applies the learned (non-SQL-expressible) merge
+    # table; the EXACT check is the pure-python encode mirror in
+    # tests/test_tokenize.py (same merges, same greedy-left application)
+    description=(
+        "BPE tokenizer APPLICATION — the other half of the tokenizer "
+        "lifecycle (bpe_merges learns the table; this encodes the "
+        "corpus with it): per-document token count and mean token "
+        "length under a 6-merge learned vocab, the compression curve a "
+        "tokenizer evaluation reads. The 6 merges apply as 6 CHAINED "
+        "single-merge folds fed by 1-row broadcasts (linear expression "
+        "tree; nesting the fold would blow up the optimizer "
+        "exponentially — measured, see operators/tokenize.py). Encoding "
+        "is pure map work over the word relation + one groupBy(doc_id); "
+        "training cost is bounded by the vocabulary relation."
+    ),
+    tags=("text", "extension", "pipeline", "tokenizer", "iterative"),
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.operators import tokenize as TK
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    merges = TK.bpe_train(docs, "text", n_merges=6)
+    return TK.bpe_encode(docs, merges, 6, "text", "doc_id")
+
+
+@_register(
     "vocab_oov_stats",
     """
     WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

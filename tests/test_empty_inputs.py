@@ -80,6 +80,13 @@ _REPRESENTATIVE = [
     "doc_chunking",
     "boilerplate_removal",
     "knn_label_purity",
+    # round 4 CDC/graph/tokenizer-apply families: change-interval
+    # windows, full-outer snapshot diff, iterative pagerank rounds, and
+    # the 6-fold encode chain must all degrade to zero rows
+    "scd2_order_status_history",
+    "snapshot_diff_changeset",
+    "pagerank_copurchase",
+    "bpe_token_stats",
 ]
 
 

@@ -42,6 +42,9 @@ _ALLOWED_NESTED_LOOP = {
     # 1-row (total, count) broadcast for the cross-multiplied
     # above-average filter (TPC-H Q22 shape)
     "dormant_customer_balance",
+    # BPE encode: 6 chained 1-row merge-pair broadcasts (one per
+    # learned merge — the same bounded class as the totals rows above)
+    "bpe_token_stats",
 }
 
 # Shuffle budget per query, counted as DISTINCT EXCHANGE SHAPES
@@ -61,6 +64,12 @@ _ITERATIVE = {
     "kmeans_clusters",
     "cluster_cap_sample",
     "leakage_safe_split",
+    # K driver-controlled rounds, each one edge⋈rank join + one agg;
+    # the printed plan is the last round's (checkpoint leaves), but the
+    # budget is per-ROUND by design (operators/graph.py)
+    "pagerank_copurchase",
+    # 6 training rounds + 6 chained encode folds over checkpoint leaves
+    "bpe_token_stats",
 }
 
 
