@@ -188,20 +188,33 @@ def bpe_encode(
     the accumulator subtree — measured as a multi-minute analysis
     hang at K=6). ``n_merges`` must match the merge table's row count
     (an empty step's crossJoin would annihilate the relation).
+
+    The folds run over the DISTINCT-WORD vocabulary, not word
+    instances — BPE encoding is a pure function of the word, and the
+    higher-order-function fold is interpreted (no codegen), so folding
+    per instance pays the interpreter Zipf-many times for the same
+    answer (measured at sf0.1: 270k instances / 31 distinct words →
+    ~40x wall-clock). The per-word (token count, char count) relation
+    is vocabulary-sized (Zipf-bounded even at 100 TB) and broadcasts
+    back onto the single instance scan; per-document totals then
+    collapse map-side in one groupBy.
     """
-    out = df.select(
+    inst = df.select(
         F.col(id_col), F.explode(TH.words(F.col(text_col))).alias("word")
-    ).select(id_col, _initial_symbols(F.col("word")).alias("toks"))
+    )
+    enc = inst.select("word").distinct().select(
+        "word", _initial_symbols(F.col("word")).alias("toks")
+    )
     for k in range(1, n_merges + 1):
         mk = merges.filter(F.col("step") == k).select("left", "right")
-        out = out.crossJoin(F.broadcast(mk)).select(
-            id_col,
+        enc = enc.crossJoin(F.broadcast(mk)).select(
+            "word",
             bpe_apply_merge(F.col("toks"), F.col("left"), F.col("right")).alias(
                 "toks"
             ),
         )
-    toks = out.select(
-        id_col,
+    per_word = enc.select(
+        "word",
         F.size("toks").alias("n"),
         F.aggregate(
             F.transform("toks", lambda t: F.length(t)),
@@ -209,7 +222,8 @@ def bpe_encode(
             lambda a, x: a + x,
         ).alias("chars"),
     )
-    return toks.groupBy(id_col).agg(
+    joined = inst.join(F.broadcast(per_word), "word")
+    return joined.groupBy(id_col).agg(
         F.sum("n").cast("long").alias("n_bpe_tokens"),
         F.round(
             F.sum("chars").cast("double") / F.sum("n"), 6

@@ -207,7 +207,9 @@ def _pagerank_oracle(n_iter: int) -> str:
 )
 def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    ranks = pagerank(copurchase_edges(li), n_iter=5)
+    # co-purchase edges are symmetric → every node receives; the
+    # per-round node left-join is skippable (operators/graph.py)
+    ranks = pagerank(copurchase_edges(li), n_iter=5, all_nodes_receive=True)
     return ranks.select(
         F.col("id").alias("part_id"), F.col("rank").alias("rank_scaled")
     )
