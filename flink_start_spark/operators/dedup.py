@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_start_spark import cache as C
@@ -550,6 +550,99 @@ def passage_dedup(
                 F.transform(kept_passages, lambda s: s["passage"]), " "
             )
         ).alias("dedup_md5"),
+    )
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    bucket_target: int = 16,
+) -> DataFrame:
+    """(anchor, positive, negative) triplet mining — the training-set
+    construction step for contrastive/embedding models (the in-batch-
+    negatives recipe of DPR, Karpukhin '20, built offline): positives
+    are near-duplicate pairs; negatives are corpus documents that are
+    NOT near-dups of the anchor, picked deterministically.
+
+    - Positives: the MinHash+LSH near-dup pairs (:func:`minhash_near_dups`
+      — banded bucket join, linear candidate generation).
+    - Negatives: a hash-bucket sample. Documents are bucketed by
+      ``md5(doc_id)`` into ``ceil(N / bucket_target)`` buckets (bucket
+      size ≈ ``bucket_target`` at ANY corpus size — the bucket COUNT
+      scales, not the bucket, so the anchor×bucket join stays linear);
+      each anchor probes the bucket addressed by ``md5('n|'||anchor)``,
+      drops itself and its confirmed positives (two anti joins), and
+      keeps the candidate with the smallest ``md5(anchor||'|'||cand)``
+      — a deterministic, engine-portable stand-in for uniform sampling.
+      An anchor whose probed bucket is exhausted (only itself/positives)
+      yields no triplet; with bucket_target=16 that needs a ~16-way
+      near-dup coincidence inside one hash bucket.
+
+    Output: (anchor_id, positive_id, jaccard, negative_id) — one row
+    per positive pair, anchor side = the smaller id.
+    """
+    pos = C.track(
+        minhash_near_dups(df, content_col, id_col, threshold=threshold)
+    )
+    n_buckets = df.select(
+        F.ceil(F.count(F.lit(1)) / F.lit(float(bucket_target)))
+        .cast("long")
+        .alias("_nb")
+    )
+
+    def _h32(col: Column) -> Column:
+        # first 8 md5 nibbles as a 32-bit int: portable to DuckDB via a
+        # strpos chain; 2^32 bucket addresses cover ~69G docs at
+        # bucket_target=16 before widening is needed
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    docs_b = (
+        df.select(F.col(id_col).alias("neg"))
+        .crossJoin(F.broadcast(n_buckets))
+        .select("neg", (_h32(F.col("neg").cast("string")) % F.col("_nb")).alias("bkt"))
+    )
+    anchors = (
+        pos.select(F.col("id_a").alias("anchor"))
+        .distinct()
+        .crossJoin(F.broadcast(n_buckets))
+        .select(
+            "anchor",
+            (
+                _h32(F.concat(F.lit("n|"), F.col("anchor").cast("string")))
+                % F.col("_nb")
+            ).alias("bkt"),
+        )
+    )
+    cand = anchors.join(docs_b, "bkt").filter(F.col("neg") != F.col("anchor"))
+    pp = pos.select("id_a", "id_b")
+    cand = cand.join(
+        pp,
+        (cand["anchor"] == pp["id_a"]) & (cand["neg"] == pp["id_b"]),
+        "left_anti",
+    )
+    cand = cand.join(
+        pp,
+        (cand["anchor"] == pp["id_b"]) & (cand["neg"] == pp["id_a"]),
+        "left_anti",
+    )
+    pick = F.min(
+        F.struct(
+            F.md5(
+                F.concat_ws("|", F.col("anchor").cast("string"), F.col("neg").cast("string"))
+            ).alias("k"),
+            F.col("neg").alias("v"),
+        )
+    )
+    neg = cand.groupBy("anchor").agg(pick.alias("_m")).select(
+        "anchor", F.col("_m.v").alias("negative_id")
+    )
+    return pos.join(neg, pos["id_a"] == neg["anchor"]).select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        "jaccard",
+        "negative_id",
     )
 
 

@@ -61,6 +61,12 @@ from flink_start_spark.sources.catalog import load_table
     tags=("sql", "cdc", "window-frame"),
 )
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scd2_history(spark, sf_dir)
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SCD2 build (used by the history query and the time-travel
+    snapshot below)."""
     o = load_table(spark, "orders", sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     chg = o.withColumn("prev", F.lag("o_orderstatus").over(w)).filter(
@@ -73,6 +79,59 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("long").alias("valid_from"),
         nxt.cast("long").alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+#: time-travel point for scd2_snapshot_at (mid-range of the 1995-2001
+#: order span; epoch seconds for 1998-01-01T00:00:00Z)
+_ASOF_EPOCH = 883612800
+
+
+@_register(
+    "scd2_snapshot_at",
+    f"""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    chg AS (
+      SELECT * FROM ordered WHERE prev IS NULL OR o_orderstatus <> prev),
+    hist AS (
+      SELECT o_custkey,
+             o_orderstatus AS status,
+             floor(epoch(o_orderdate))::BIGINT AS valid_from,
+             floor(epoch(lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))::BIGINT
+               AS valid_to
+      FROM chg)
+    SELECT status, count(*) AS n_customers
+    FROM hist
+    WHERE valid_from <= {_ASOF_EPOCH}
+      AND (valid_to IS NULL OR valid_to > {_ASOF_EPOCH})
+    GROUP BY status
+    """,
+    description=(
+        "Time travel over the SCD2 dimension: reconstruct the customer-"
+        "status directory AS OF 1998-01-01 by slicing the change "
+        "intervals ([valid_from, valid_to) containing the instant — the "
+        "query a lakehouse answers from a snapshot, answered here from "
+        "the history table. Per customer exactly one interval can "
+        "contain the instant (intervals partition the timeline), so the "
+        "rollup is a plain filter + groupBy on top of the history "
+        "build's single shuffle."
+    ),
+    tags=("sql", "cdc", "window-frame"),
+)
+def q_scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = _scd2_history(spark, sf_dir)
+    return (
+        hist.filter(
+            (F.col("valid_from") <= F.lit(_ASOF_EPOCH))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(_ASOF_EPOCH)))
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
     )
 
 

@@ -24,15 +24,7 @@ from flink_start_spark.sources.catalog import fan_out, load_table
 
 # Shared oracle CTE fragments ------------------------------------------------
 
-_SHINGLE_CTE = """
-docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 3
-       THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
-       ELSE [array_to_string(w, ' ')] END AS shingles
-  FROM docs),
-shd AS (SELECT doc_id, list_distinct(shingles) AS sh, shingles FROM sh)
-"""
+from flink_start_spark.plans.pipeline import _MINHASH_POS_CTE, _SHINGLE_CTE  # noqa: E402  (shared oracle CTE text lives at the import root)
 
 # ---------------------------------------------------------------------
 # Deduplication
@@ -82,22 +74,8 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_minhash_lsh",
     f"""
-    WITH {_SHINGLE_CTE},
-    sig AS (SELECT doc_id,
-              [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
-                         FOR s IN shingles]) FOR k IN range(16)] AS sig
-            FROM shd),
-    bands AS (SELECT doc_id, b,
-                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
-              FROM sig, range(4) t(b)),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
-    SELECT id_a, id_b,
-           round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE,
-                 6) AS jaccard
-    FROM cand JOIN shd x ON x.doc_id = id_a JOIN shd y ON y.doc_id = id_b
-    WHERE jaccard >= 0.5
+    WITH {_MINHASH_POS_CTE}
+    SELECT id_a, id_b, jaccard FROM pos
     """,
     description=(
         "MinHash+LSH near-dup detection: 3-word shingles → 16 salted-md5 "

@@ -33,6 +33,42 @@ def _bucket_sql(expr: str, mod: int = 100) -> str:
     return f"(({terms}) % {mod})"
 
 
+#: 3-word shingle CTE over the documents table — DuckDB twin of
+#: texthash.shingles (defined here, the import root of the plans
+#: modules, so both extensions.py and this module can share it without
+#: a cycle; extensions.py re-exports it under the same name).
+_SHINGLE_CTE = """
+docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 3
+       THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+       ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM docs),
+shd AS (SELECT doc_id, list_distinct(shingles) AS sh, shingles FROM sh)
+"""
+
+#: MinHash LSH pipeline as reusable CTE text (shared by the near-dup
+#: query in extensions.py and the contrastive-triplet miner below):
+#: shingles → 16 salted minhashes → 4 bands → candidate pairs →
+#: Jaccard-confirmed positives at threshold 0.5.
+_MINHASH_POS_CTE = f"""{_SHINGLE_CTE},
+    sig AS (SELECT doc_id,
+              [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
+                         FOR s IN shingles]) FOR k IN range(16)] AS sig
+            FROM shd),
+    bands AS (SELECT doc_id, b,
+                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
+              FROM sig, range(4) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+    pos AS (SELECT id_a, id_b,
+              round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE,
+                    6) AS jaccard
+            FROM cand JOIN shd x ON x.doc_id = id_a JOIN shd y ON y.doc_id = id_b
+            WHERE jaccard >= 0.5)"""
+
+
 #: word-shingle list comprehension (n consecutive words, space-joined;
 #: whole text when shorter) — DuckDB twin of texthash.shingles.
 def _shingle_sql(n: int) -> str:
@@ -1282,3 +1318,61 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.boilerplate_removal(
         docs, "text", "doc_id", source_col="source", passage_words=5, min_docs=2
     )
+
+
+def _nib8_sql(expr: str) -> str:
+    """DuckDB twin of the 8-nibble md5→int32 used by the triplet miner
+    (first 8 hex chars of md5 as base-16 — same widening as
+    plans/pipeline.py's idsum; 2^32 bucket addresses)."""
+    nib = "strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1"
+    terms = " + ".join(
+        f"({nib.format(e=expr, i=i + 1)}) * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"({terms})"
+
+
+def _contrastive_oracle() -> str:
+    return f"""
+    WITH {_MINHASH_POS_CTE},
+    nb AS (SELECT ceil(count(*) / 16.0)::BIGINT AS b FROM documents),
+    db AS (SELECT doc_id AS neg, {_nib8_sql("doc_id::VARCHAR")} % nb.b AS bkt
+           FROM documents, nb),
+    an AS (SELECT DISTINCT id_a AS anchor FROM pos),
+    ab AS (SELECT anchor, {_nib8_sql("'n|' || anchor::VARCHAR")} % nb.b AS bkt
+           FROM an, nb),
+    cn AS (SELECT ab.anchor, db.neg FROM ab JOIN db USING (bkt)
+           WHERE db.neg <> ab.anchor
+             AND NOT EXISTS (SELECT 1 FROM pos p
+                             WHERE (p.id_a = ab.anchor AND p.id_b = db.neg)
+                                OR (p.id_b = ab.anchor AND p.id_a = db.neg))),
+    ng AS (SELECT anchor,
+                  min_by(neg, md5(anchor::VARCHAR || '|' || neg::VARCHAR)) AS negative_id
+           FROM cn GROUP BY anchor)
+    SELECT pos.id_a AS anchor_id, pos.id_b AS positive_id, pos.jaccard,
+           ng.negative_id
+    FROM pos JOIN ng ON ng.anchor = pos.id_a
+    """
+
+
+@_register(
+    "contrastive_triplets",
+    _contrastive_oracle(),
+    description=(
+        "Contrastive training-set mining (DPR-style, built offline): "
+        "(anchor, positive, negative) triplets where positives are the "
+        "MinHash-LSH near-dup pairs and negatives are deterministic "
+        "hash-bucket picks — documents bucketed by md5(id) into "
+        "ceil(N/16) buckets, each anchor probes one salted bucket, "
+        "drops itself and its positives (two anti joins), and keeps "
+        "the candidate with the smallest pair-md5. Bucket COUNT scales "
+        "with the corpus while bucket SIZE stays ~16, so the negative "
+        "join is linear at any scale; every pick is md5-determined, so "
+        "the oracle hash-matches exactly."
+    ),
+    tags=("text", "extension", "pipeline", "dedup", "training"),
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.operators import dedup as D
+
+    docs = load_table(spark, "documents", sf_dir)
+    return D.contrastive_triplets(docs, "text", "doc_id", threshold=0.5)

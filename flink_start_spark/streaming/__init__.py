@@ -12,6 +12,7 @@ from flink_start_spark.streaming.pipelines import (
     tumbling_signup_counts_stream,
 )
 from flink_start_spark.streaming.count_trigger import count_trigger_stream
+from flink_start_spark.streaming.upsert import latest_per_key, upsert_parquet_sink
 
 __all__ = [
     "stream_events",
@@ -22,5 +23,7 @@ __all__ = [
     "session_window_stream",
     "stream_dedup",
     "count_trigger_stream",
+    "latest_per_key",
+    "upsert_parquet_sink",
     "run_to_memory",
 ]

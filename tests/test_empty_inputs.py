@@ -84,9 +84,11 @@ _REPRESENTATIVE = [
     # windows, full-outer snapshot diff, iterative pagerank rounds, and
     # the 6-fold encode chain must all degrade to zero rows
     "scd2_order_status_history",
+    "scd2_snapshot_at",
     "snapshot_diff_changeset",
     "pagerank_copurchase",
     "bpe_token_stats",
+    "contrastive_triplets",
 ]
 
 

@@ -45,6 +45,9 @@ _ALLOWED_NESTED_LOOP = {
     # BPE encode: 6 chained 1-row merge-pair broadcasts (one per
     # learned merge — the same bounded class as the totals rows above)
     "bpe_token_stats",
+    # 1-row bucket-count broadcast (ceil(N/16)) for the negative-
+    # sampling bucket address arithmetic
+    "contrastive_triplets",
 }
 
 # Shuffle budget per query, counted as DISTINCT EXCHANGE SHAPES
