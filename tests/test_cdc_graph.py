@@ -66,6 +66,44 @@ def test_copurchase_edges_symmetric_and_deduped(spark):
     assert got == {(1, 2), (2, 1), (1, 3), (3, 1)}
 
 
+def test_pagerank_is_partitioning_invariant(spark):
+    """The fixed-point-integer claim in operators/graph.py: identical
+    ranks no matter how the edge relation is partitioned (float
+    PageRank fails this in the last ulp; integer PageRank cannot)."""
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randint(1, 40), rng.randint(1, 40)) for _ in range(200)})
+    edges = [(s, d) for s, d in edges if s != d]
+    a = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    b = spark.createDataFrame(edges, "src long, dst long").repartition(13, "dst")
+    ra = sorted(map(tuple, pagerank(a, 4).collect()))
+    rb = sorted(map(tuple, pagerank(b, 4).collect()))
+    assert ra == rb
+    assert ra == sorted(py_pagerank(edges, 4).items())
+
+
+def test_contrastive_triplets_invariants(spark):
+    """Negative picks: never the anchor, never a confirmed positive of
+    that anchor, deterministic across partitionings."""
+    from flink_start_spark import cache
+    from flink_start_spark.operators.dedup import contrastive_triplets
+    from flink_start_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    t1 = contrastive_triplets(docs, "text", "doc_id").collect()
+    cache.release()
+    t2 = contrastive_triplets(docs.repartition(11), "text", "doc_id").collect()
+    cache.release()
+    assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))
+    assert len(t1) > 0
+    pos = {(r["anchor_id"], r["positive_id"]) for r in t1}
+    for r in t1:
+        assert r["negative_id"] != r["anchor_id"]
+        assert (r["anchor_id"], r["negative_id"]) not in pos
+        assert (r["negative_id"], r["anchor_id"]) not in pos
+
+
 # ---------------------------------------------------------------------
 # SCD2: change-collapse, interval chaining, is_current, tie-break
 # ---------------------------------------------------------------------
@@ -75,7 +113,7 @@ def _ts(day: int) -> datetime:
     return datetime(1995, 1, day)
 
 
-def test_scd2_collapses_runs_and_chains_intervals(spark):
+def test_scd2_collapses_runs_and_chains_intervals(spark, tmp_path):
     rows = [
         # custkey 1: O O F F O  -> intervals O[d1,d3) F[d3,d5) O[d5,∞)
         (1, 1, "O", _ts(1)),
@@ -88,11 +126,11 @@ def test_scd2_collapses_runs_and_chains_intervals(spark):
     ]
     spark.createDataFrame(
         rows, "o_orderkey long, o_custkey long, o_orderstatus string, o_orderdate timestamp"
-    ).write.mode("overwrite").parquet("/tmp/_scd2_fix/orders.parquet")
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     out = {
         (r["custkey"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
         for r in QUERIES["scd2_order_status_history"].spark(
-            spark, "/tmp/_scd2_fix"
+            spark, str(tmp_path)
         ).collect()
     }
 
@@ -107,18 +145,18 @@ def test_scd2_collapses_runs_and_chains_intervals(spark):
     }
 
 
-def test_scd2_same_day_ties_break_on_orderkey(spark):
+def test_scd2_same_day_ties_break_on_orderkey(spark, tmp_path):
     rows = [
         (2, 1, "F", _ts(1)),  # higher orderkey, same day
         (1, 1, "O", _ts(1)),
     ]
     spark.createDataFrame(
         rows, "o_orderkey long, o_custkey long, o_orderstatus string, o_orderdate timestamp"
-    ).write.mode("overwrite").parquet("/tmp/_scd2_tie/orders.parquet")
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     out = sorted(
         (r["status"], r["is_current"])
         for r in QUERIES["scd2_order_status_history"].spark(
-            spark, "/tmp/_scd2_tie"
+            spark, str(tmp_path)
         ).collect()
     )
     # orderkey 1 (O) precedes orderkey 2 (F): O closes, F stays current
@@ -130,7 +168,7 @@ def test_scd2_same_day_ties_break_on_orderkey(spark):
 # ---------------------------------------------------------------------
 
 
-def test_snapshot_diff_emits_all_four_actions(spark):
+def test_snapshot_diff_emits_all_four_actions(spark, tmp_path):
     j = lambda day, hour=0: datetime(2024, 1, day, hour)  # noqa: E731
     rows = [
         # user 1: both windows, same profile (1 event, value 5.0) -> unchanged
@@ -148,11 +186,11 @@ def test_snapshot_diff_emits_all_four_actions(spark):
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
-    ).write.mode("overwrite").parquet("/tmp/_snapdiff/events.parquet")
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     out = {
         r["user_id"]: r["action"]
         for r in QUERIES["snapshot_diff_changeset"].spark(
-            spark, "/tmp/_snapdiff"
+            spark, str(tmp_path)
         ).collect()
     }
     assert out == {1: "unchanged", 2: "update", 3: "delete", 4: "insert"}
