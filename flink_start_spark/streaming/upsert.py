@@ -68,6 +68,12 @@ def upsert_parquet_sink(
     spark = stream_df.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        old = path.rstrip("/") + "._upsert_old"
+        # crash recovery: a failure between the two swap renames leaves
+        # the store only under ._upsert_old — restore it BEFORE reading,
+        # or the merge would silently restart from an empty store
+        if not _os.path.exists(path) and _os.path.exists(old):
+            _os.rename(old, path)
         upd = latest_per_key(batch, key_cols, order_cols)
         if _os.path.exists(path) and _glob.glob(_os.path.join(path, "part-*")):
             cur = spark.read.parquet(path).select(*upd.columns)
@@ -77,7 +83,6 @@ def upsert_parquet_sink(
         else:
             merged = upd
         tmp = path.rstrip("/") + "._upsert_tmp"
-        old = path.rstrip("/") + "._upsert_old"
         for stale in (tmp, old):
             if _os.path.exists(stale):
                 _shutil.rmtree(stale)

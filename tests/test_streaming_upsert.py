@@ -87,6 +87,24 @@ def test_merge_is_idempotent_under_batch_replay(spark, tmp_path):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_crashed_swap_recovers_from_old_dir(spark, tmp_path):
+    """A crash between the two swap renames leaves the store only at
+    ._upsert_old; the next merge must restore it, not restart empty."""
+    import os as _os
+
+    src = tmp_path / "src3"
+    src.mkdir()
+    out = str(tmp_path / "store3")
+    _write_file(src, 0, [("bob", "register", "2025-08-03T13:00:02Z")])
+    _run(spark, src, out, str(tmp_path / "ckpt3a"))
+    # simulate the crash window: path renamed away, tmp never promoted
+    _os.rename(out, out + "._upsert_old")
+    _write_file(src, 1, [("kim", "register", "2025-08-03T13:00:04Z")])
+    _run(spark, src, out, str(tmp_path / "ckpt3b"))  # fresh ckpt replays all
+    got = {r["user_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {"bob", "kim"}
+
+
 def test_out_of_order_batch_does_not_regress_state(spark, tmp_path):
     """A replayed/late batch with OLDER timestamps must lose the merge:
     state is ordered by event time, not arrival."""
