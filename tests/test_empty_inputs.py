@@ -89,6 +89,10 @@ _REPRESENTATIVE = [
     "pagerank_copurchase",
     "bpe_token_stats",
     "contrastive_triplets",
+    # monitoring family (ab_test_zscore is excluded: a global aggregate
+    # emits one all-null row on empty input by SQL semantics)
+    "feature_drift_psi",
+    "revenue_anomaly_days",
 ]
 
 

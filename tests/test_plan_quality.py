@@ -102,6 +102,7 @@ _ALLOWED_BOUNDED_WINDOW = {
     # calendar-spine windows: O(days-in-range) rows, set by the date
     # span, not the corpus
     "daily_revenue_gapfill": "LOCF over generated calendar spine",
+    "revenue_anomaly_days": "7-day rolling z over daily rollup spine",
     "daily_revenue_moving_avg": "7-day window over daily rollup spine",
     "monthly_revenue_trend": "regression over monthly rollup spine",
     "forecast_revenue_change": "delta over monthly rollup spine",
