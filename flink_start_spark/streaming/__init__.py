@@ -13,6 +13,7 @@ from flink_start_spark.streaming.pipelines import (
 )
 from flink_start_spark.streaming.count_trigger import count_trigger_stream
 from flink_start_spark.streaming.upsert import latest_per_key, upsert_parquet_sink
+from flink_start_spark.streaming.drift import drift_stream, psi_from_counts
 
 __all__ = [
     "stream_events",
@@ -23,6 +24,8 @@ __all__ = [
     "session_window_stream",
     "stream_dedup",
     "count_trigger_stream",
+    "drift_stream",
+    "psi_from_counts",
     "latest_per_key",
     "upsert_parquet_sink",
     "run_to_memory",

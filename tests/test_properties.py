@@ -511,3 +511,59 @@ def test_with_global_rank_is_a_permutation_free_rank(spark, rows, tiles):
             -(-i // (q + 1)) if i <= (q + 1) * rem else rem + -(-(i - (q + 1) * rem) // q)
         )
         assert r["tile"] == expect_tile, r
+
+
+_scd2_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # custkey (force collisions)
+        st.integers(min_value=0, max_value=20),     # day offset (force ties)
+        st.sampled_from(["O", "F", "P"]),           # status
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_scd2_orders)
+def test_scd2_history_matches_reference_interval_builder(spark, tmp_path_factory, orders):
+    """SCD2 build vs an independent pure-python interval builder on
+    randomized order streams (duplicate days, repeated statuses, single-
+    order customers)."""
+    from flink_start_spark.plans import QUERIES
+
+    rows = [
+        (i + 1, ck, status, BASE + timedelta(days=day))
+        for i, (ck, day, status) in enumerate(orders)
+    ]
+    d = tmp_path_factory.mktemp("scd2prop")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    got = {
+        (r["custkey"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in QUERIES["scd2_order_status_history"].spark(spark, str(d)).collect()
+    }
+
+    # reference: sort per customer by (date, orderkey); collapse runs;
+    # chain valid_to from the next retained row
+    expect = set()
+    by_ck: dict[int, list] = {}
+    for ok, ck, status, dt in rows:
+        by_ck.setdefault(ck, []).append((dt, ok, status))
+    for ck, evs in by_ck.items():
+        evs.sort()
+        kept = [e for i, e in enumerate(evs) if i == 0 or e[2] != evs[i - 1][2]]
+        for i, (dt, ok, status) in enumerate(kept):
+            nxt = kept[i + 1][0] if i + 1 < len(kept) else None
+            expect.add(
+                (
+                    ck,
+                    status,
+                    int(dt.timestamp()),
+                    int(nxt.timestamp()) if nxt else None,
+                    nxt is None,
+                )
+            )
+    assert got == expect
