@@ -56,15 +56,21 @@ _CHUNK_HEX = 8
 _CHUNKS_PER_MD5 = 32 // _CHUNK_HEX
 
 
-def md5_bucket(col: Column, mod: int = 100, salt: str = "") -> Column:
-    """Deterministic integer bucket: first two md5 bytes of the (salted)
-    stringified value, mod ``mod``. Engine-portable (the DuckDB twin is
-    four hex-nibble strpos lookups — see plans/extensions.py
-    train_val_split oracle); a non-empty ``salt`` decorrelates buckets
-    drawn for different purposes (split vs sample) from the same id.
+def md5_bucket(
+    col: Column, mod: int | None = 100, salt: str = "", width: int = 4
+) -> Column:
+    """Deterministic integer bucket: first ``width`` md5 hex nibbles of
+    the (salted) stringified value, mod ``mod``. Engine-portable (the
+    DuckDB twin is the strpos nibble chain built by
+    plans/pipeline.py::_bucket_sql with the same width); a non-empty
+    ``salt`` decorrelates buckets drawn for different purposes (split
+    vs sample) from the same id. ``mod=None`` returns the raw integer
+    (``width=8`` gives a 2^32 address space); pass a Column for a
+    data-dependent modulus via the ``%`` operator on the raw form.
     """
     salted = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
-    return F.conv(F.md5(salted).substr(1, 4), 16, 10).cast("long") % mod
+    raw = F.conv(F.md5(salted).substr(1, width), 16, 10).cast("long")
+    return raw if mod is None else raw % mod
 
 
 def salted_digest_fn(seed: int):

@@ -592,16 +592,19 @@ def contrastive_triplets(
         .alias("_nb")
     )
 
-    def _h32(col: Column) -> Column:
-        # first 8 md5 nibbles as a 32-bit int: portable to DuckDB via a
-        # strpos chain; 2^32 bucket addresses cover ~69G docs at
-        # bucket_target=16 before widening is needed
-        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-
+    # 8-nibble md5 buckets (TH.md5_bucket width=8): 2^32 addresses
+    # cover ~69G docs at bucket_target=16 before widening is needed;
+    # the modulus is the data-dependent _nb column, applied on the raw
+    # integer form
     docs_b = (
         df.select(F.col(id_col).alias("neg"))
         .crossJoin(F.broadcast(n_buckets))
-        .select("neg", (_h32(F.col("neg").cast("string")) % F.col("_nb")).alias("bkt"))
+        .select(
+            "neg",
+            (TH.md5_bucket(F.col("neg"), mod=None, width=8) % F.col("_nb")).alias(
+                "bkt"
+            ),
+        )
     )
     anchors = (
         pos.select(F.col("id_a").alias("anchor"))
@@ -610,7 +613,7 @@ def contrastive_triplets(
         .select(
             "anchor",
             (
-                _h32(F.concat(F.lit("n|"), F.col("anchor").cast("string")))
+                TH.md5_bucket(F.col("anchor"), mod=None, salt="n|", width=8)
                 % F.col("_nb")
             ).alias("bkt"),
         )

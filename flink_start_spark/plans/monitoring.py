@@ -25,7 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_start_spark.functions.texthash import md5_bucket
 from flink_start_spark.plans.catalog import _register
+from flink_start_spark.plans.pipeline import _bucket_sql
 from flink_start_spark.sources.catalog import load_table
 
 _QUANT = 1 << 20
@@ -46,7 +48,7 @@ _N_BINS, _BIN_W = 8, 75.0
     f"""
     WITH e AS (
       SELECT event_type,
-             least({_N_BINS - 1}, floor(value / {_BIN_W}))::BIGINT AS bin,
+             least({_N_BINS - 1}, greatest(0, floor(value / {_BIN_W})))::BIGINT AS bin,
              (ts >= TIMESTAMP '{_REF[0]}' AND ts < TIMESTAMP '{_REF[1]}') AS in_ref,
              (ts >= TIMESTAMP '{_CUR[0]}' AND ts < TIMESTAMP '{_CUR[1]}') AS in_cur
       FROM events WHERE value IS NOT NULL),
@@ -100,8 +102,13 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = ev.select(
         "event_type",
+        # clamp BOTH edges (out-of-range mass lands in the edge bins,
+        # matching the streaming twin's np.clip — a one-sided clamp
+        # would count negatives in the totals yet drop them from the
+        # 0..N-1 spine, deflating every probability)
         F.least(
-            F.lit(_N_BINS - 1), F.floor(F.col("value") / _BIN_W)
+            F.lit(_N_BINS - 1),
+            F.greatest(F.lit(0), F.floor(F.col("value") / _BIN_W)),
         ).cast("long").alias("bin"),
         in_w(*_REF).alias("in_ref"),
         in_w(*_CUR).alias("in_cur"),
@@ -145,13 +152,10 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ab_test_zscore",
-    """
+    f"""
     WITH arms AS (
       SELECT user_id,
-             ((strpos('0123456789abcdef', substr(md5(user_id::VARCHAR), 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substr(md5(user_id::VARCHAR), 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substr(md5(user_id::VARCHAR), 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(md5(user_id::VARCHAR), 4, 1)) - 1)) % 2 AS arm,
+             {_bucket_sql("user_id::VARCHAR", 2)} AS arm,
              CASE WHEN count_if(event_type = 'purchase') >= 12 THEN 1 ELSE 0 END AS converted
       FROM events GROUP BY 1),
     s AS (
@@ -193,11 +197,7 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    arm = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % 2
-    )
+    arm = md5_bucket(F.col("user_id"), 2)
     arms = ev.groupBy("user_id").agg(
         F.when(
             F.count_if(F.col("event_type") == "purchase") >= 12, 1

@@ -22,15 +22,19 @@ from flink_start_spark.plans.catalog import _register
 from flink_start_spark.sources.catalog import fan_out, load_table
 
 
-def _bucket_sql(expr: str, mod: int = 100) -> str:
-    """DuckDB twin of texthash.md5_bucket: first 4 hex nibbles of the
-    md5 as a base-16 integer, mod ``mod`` (same construction as the
-    train_val_split oracle)."""
+def _bucket_sql(expr: str, mod: int | None = 100, width: int = 4) -> str:
+    """DuckDB twin of texthash.md5_bucket: first ``width`` hex nibbles
+    of the md5 as a base-16 integer, mod ``mod`` (same construction as
+    the train_val_split oracle). ``mod=None`` returns the raw integer
+    (the 8-nibble form is the triplet miner's 2^32 bucket-address
+    space); this is the ONE strpos-chain builder — every md5-bucket
+    oracle derives from it."""
     nib = "strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1"
     terms = " + ".join(
-        f"({nib.format(e=expr, i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+        f"({nib.format(e=expr, i=i + 1)}) * {16 ** (width - 1 - i)}"
+        for i in range(width)
     )
-    return f"(({terms}) % {mod})"
+    return f"({terms})" if mod is None else f"(({terms}) % {mod})"
 
 
 #: 3-word shingle CTE over the documents table — DuckDB twin of
@@ -801,7 +805,13 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, "documents", sf_dir))
     merges = TK.bpe_train(docs, "text", n_merges=6)
-    return TK.bpe_encode(docs, merges, 6, "text", "doc_id")
+    # a small/degenerate corpus can exhaust its pair vocabulary before
+    # 6 merges (the learned steps are then a prefix 1..n); encode with
+    # the ACTUAL row count — bpe_encode's per-step crossJoin would
+    # annihilate the relation on an empty step (docstring contract).
+    # count() is a driver action over 6 one-row checkpoint leaves.
+    n_learned = merges.count()
+    return TK.bpe_encode(docs, merges, n_learned, "text", "doc_id")
 
 
 @_register(
@@ -1321,14 +1331,9 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nib8_sql(expr: str) -> str:
-    """DuckDB twin of the 8-nibble md5→int32 used by the triplet miner
-    (first 8 hex chars of md5 as base-16 — same widening as
-    plans/pipeline.py's idsum; 2^32 bucket addresses)."""
-    nib = "strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1"
-    terms = " + ".join(
-        f"({nib.format(e=expr, i=i + 1)}) * {16 ** (7 - i)}" for i in range(8)
-    )
-    return f"({terms})"
+    """8-nibble md5→int32 (2^32 bucket addresses) for the triplet
+    miner — the width-8, mod-free form of :func:`_bucket_sql`."""
+    return _bucket_sql(expr, mod=None, width=8)
 
 
 def _contrastive_oracle() -> str:

@@ -89,6 +89,11 @@ def drift_stream(
         counts = np.asarray(counts, dtype="int64")
         for pdf in batches:
             v = pdf[value_col].to_numpy(dtype="float64")
+            # drop nulls BEFORE binning (NaN survives clip, casts to
+            # INT64_MIN, and bincount raises — killing the whole
+            # long-running query); mirrors the batch query's
+            # `value IS NOT NULL` filter
+            v = v[~np.isnan(v)]
             b = np.clip(
                 np.floor((v - lo) / (hi - lo) * n_bins), 0, n_bins - 1
             ).astype("int64")

@@ -76,3 +76,22 @@ def test_ab_split_is_deterministic_and_counts_all_users(spark, tmp_path):
     assert r1["n_a"] + r1["n_b"] == 40
     assert r1["conv_a"] + r1["conv_b"] == 20
     assert r1["z_score"] is not None
+
+
+def test_psi_clamps_negative_values_into_bottom_bin(spark, tmp_path):
+    """Regression: a one-sided clamp dropped negative values from the
+    bin spine while counting them in the totals, deflating every
+    probability (and diverging from the streaming twin's np.clip)."""
+    j = lambda day: datetime(2024, 1, day)  # noqa: E731
+    rows = []
+    eid = 0
+    for day in (3, 20):  # identical distribution in both halves
+        for i in range(20):
+            eid += 1
+            rows.append((eid, j(day), i, "view", -5.0 if i % 2 else 700.0, "{}"))
+    sf = _events(spark, tmp_path, rows)
+    out = {r["event_type"]: (r["psi"], r["n_ref"], r["n_cur"]) for r in
+           QUERIES["feature_drift_psi"].spark(spark, sf).collect()}
+    psi, n_ref, n_cur = out["view"]
+    assert n_ref == 20 and n_cur == 20  # negatives counted, not dropped
+    assert abs(psi) < 1e-6  # identical halves -> zero drift, exactly

@@ -93,3 +93,26 @@ def test_unknown_key_falls_back_to_uniform_reference():
     psi = psi_from_counts([0] * 8, cur)
     assert psi > 1.0  # concentrated vs uniform = severe drift
     assert psi_from_counts(cur, cur) == 0.0
+
+
+def test_null_values_do_not_crash_the_stream(spark, tmp_path):
+    """Regression: NaN survived np.clip, cast to INT64_MIN, and
+    bincount raised — killing the long-running query. Nulls must be
+    skipped like the batch query's IS NOT NULL filter."""
+    rows = [
+        (1, "2024-01-20 00:00:00", 1, "view", 10.0, "{}"),
+        (2, "2024-01-20 00:00:01", 1, "view", None, "{}"),
+    ]
+    d = tmp_path / "nulls"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(str(d / "events.parquet"))
+    stream = stream_events(spark, str(d / "events.parquet"))
+    out = drift_stream(stream, "event_type", "value", {}, LO, HI, BINS)
+    rows_out = run_to_memory(out, "drift_null_sink", "update").collect()
+    assert len(rows_out) == 1 and rows_out[0]["n_seen"] == 1
