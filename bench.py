@@ -96,6 +96,20 @@ def _run_streaming_quantiles(spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _run_streaming_drift(spark, sf_dir: str) -> float:
+    """Bounded-state PSI drift monitor (streaming twin of
+    feature_drift_psi): per-event_type running PSI against a uniform
+    reference over the same file stream."""
+    from flink_start_spark.streaming import run_to_memory, stream_events
+    from flink_start_spark.streaming.drift import drift_stream
+
+    stream = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    d = drift_stream(stream, "event_type", "value", {}, lo=0.0, hi=600.0)
+    t0 = time.perf_counter()
+    run_to_memory(d, f"bench_sdrift_{int(t0 * 1000)}", "update")
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -167,6 +181,10 @@ def main() -> None:
         _record(
             "streaming_quantiles",
             [_run_streaming_quantiles(spark, args.sf_dir) for _ in range(args.runs)],
+        )
+        _record(
+            "streaming_drift",
+            [_run_streaming_drift(spark, args.sf_dir) for _ in range(args.runs)],
         )
 
     total = round(sum(timings.values()), 3)
