@@ -306,3 +306,120 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(z, 6)).alias("z_score"),
         (ok & (F.abs(z) > 2.0)).alias("is_anomaly"),
     )
+
+
+@_register(
+    "similar_revenue_weeks",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             (round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) * 100)::BIGINT AS cents
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT d, list(cents) OVER win AS arr, count(*) OVER win AS n
+      FROM daily
+      WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT d, arr,
+             list_sum(arr)::DOUBLE / 7 AS m,
+             list_sum(list_transform(arr, x -> (x - list_sum(arr)::DOUBLE / 7)
+                                             * (x - list_sum(arr)::DOUBLE / 7)))::DOUBLE / 7 AS var
+      FROM w WHERE n = 7),
+    zn AS (
+      SELECT d, list_transform(arr, x -> (x - m) / sqrt(var)) AS zv
+      FROM z WHERE var > 0),
+    pat AS (SELECT d AS pd, zv AS pzv FROM zn ORDER BY d DESC LIMIT 1),
+    dist AS (
+      SELECT zn.d,
+             round(list_sum(list_transform(range(1, 8),
+                     i -> (zn.zv[i] - pat.pzv[i]) * (zn.zv[i] - pat.pzv[i]))), 6) AS zdist
+      FROM zn, pat
+      WHERE zn.d <= pat.pd - INTERVAL 7 DAY)
+    SELECT floor(epoch(d))::BIGINT AS window_end_epoch, zdist,
+           row_number() OVER (ORDER BY zdist, d) AS rank
+    FROM dist
+    ORDER BY zdist, d
+    LIMIT 10
+    """,
+    description=(
+        "Time-series subsequence similarity search (the matrix-profile/"
+        "MASS family; streaming time-series similarity is EDBT'19 in "
+        "PAPERS.md): the 10 historical 7-day revenue windows whose "
+        "Z-NORMALIZED shape best matches the latest full week — 'when "
+        "did revenue look like this week?'. Windows ride the daily "
+        "rollup spine (calendar-bounded); the query pattern is a 1-row "
+        "broadcast; z-normalization and the squared distance are fixed "
+        "formulas over exact integer cents, and the distance fold is "
+        "fixed-order (zip_with + aggregate == list_sum), so ranking is "
+        "engine-exact after rounded-before-rank. Trivial self-matches "
+        "are excluded by the standard overlap guard (window must end "
+        ">= 7 days before the pattern). Flat windows (zero variance) "
+        "have no z-shape and are skipped."
+    ),
+    tags=("monitoring", "extension", "window-frame", "similarity"),
+)
+def q_similar_revenue_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    win = Window.orderBy("d").rowsBetween(-6, 0)
+    w = daily.select(
+        "d",
+        F.collect_list("cents").over(win).alias("arr"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    ).filter(F.col("n") == 7)
+    m = F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x).cast(
+        "double"
+    ) / 7
+    z = w.select("d", "arr", m.alias("m")).select(
+        "d",
+        "arr",
+        "m",
+        (
+            F.aggregate(
+                F.transform(
+                    "arr", lambda x: (x - F.col("m")) * (x - F.col("m"))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / 7
+        ).alias("var"),
+    )
+    zn = z.filter(F.col("var") > 0).select(
+        "d",
+        F.transform(
+            "arr", lambda x: (x - F.col("m")) / F.sqrt(F.col("var"))
+        ).alias("zv"),
+    )
+    pat = (
+        zn.orderBy(F.col("d").desc())
+        .limit(1)
+        .select(F.col("d").alias("pd"), F.col("zv").alias("pzv"))
+    )
+    dist = (
+        zn.crossJoin(F.broadcast(pat))
+        .filter(F.col("d") <= F.date_sub(F.col("pd"), 7))
+        .select(
+            "d",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "zv", "pzv", lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("zdist"),
+        )
+    )
+    top = dist.orderBy("zdist", "d").limit(10)
+    return top.select(
+        F.col("d").cast("long").alias("window_end_epoch"),
+        "zdist",
+        F.row_number().over(Window.orderBy("zdist", "d")).alias("rank"),
+    )

@@ -93,6 +93,7 @@ _REPRESENTATIVE = [
     # emits one all-null row on empty input by SQL semantics)
     "feature_drift_psi",
     "revenue_anomaly_days",
+    "similar_revenue_weeks",
 ]
 
 

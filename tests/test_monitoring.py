@@ -95,3 +95,45 @@ def test_psi_clamps_negative_values_into_bottom_bin(spark, tmp_path):
     psi, n_ref, n_cur = out["view"]
     assert n_ref == 20 and n_cur == 20  # negatives counted, not dropped
     assert abs(psi) < 1e-6  # identical halves -> zero drift, exactly
+
+
+def test_similar_weeks_finds_exact_shape_repeat(spark, tmp_path):
+    """A historical week with the exact same (z-normalized) shape as
+    the latest week ranks first with distance 0; windows overlapping
+    the pattern are excluded."""
+    shape = [10.0, 20.0, 80.0, 40.0, 50.0, 30.0, 70.0]
+    rows = []
+    ok = 0
+    # days 1-7: the shape; days 8-14: flat filler; days 15-21: the
+    # shape again scaled 3x (z-normalization makes it identical);
+    # days 22-28: the query week = the shape scaled 2x
+    for day, v in enumerate(shape, start=1):
+        ok += 1
+        rows.append((ok, 1, "O", v, datetime(1995, 1, day), "P"))
+    for day in range(8, 15):
+        ok += 1
+        rows.append((ok, 1, "O", 100.0 + (day % 3), datetime(1995, 1, day), "P"))
+    for day, v in enumerate(shape, start=15):
+        ok += 1
+        rows.append((ok, 1, "O", v * 3, datetime(1995, 1, day), "P"))
+    for day, v in enumerate(shape, start=22):
+        ok += 1
+        rows.append((ok, 1, "O", v * 2, datetime(1995, 1, day), "P"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = QUERIES["similar_revenue_weeks"].spark(spark, str(tmp_path)).collect()
+    by_rank = {r["rank"]: r for r in out}
+    # both shape repeats are exact z-matches (distance 0); the tie
+    # breaks on the earlier day, so day 7 ranks 1 and day 21 ranks 2
+    assert by_rank[1]["window_end_epoch"] == int(datetime(1995, 1, 7).timestamp())
+    assert by_rank[1]["zdist"] == 0.0
+    assert by_rank[2]["window_end_epoch"] == int(datetime(1995, 1, 21).timestamp())
+    assert by_rank[2]["zdist"] == 0.0
+    # no returned window may overlap the pattern (ends after day 21)
+    assert all(
+        r["window_end_epoch"] <= int(datetime(1995, 1, 21).timestamp())
+        for r in out
+    )

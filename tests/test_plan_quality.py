@@ -48,6 +48,8 @@ _ALLOWED_NESTED_LOOP = {
     # 1-row bucket-count broadcast (ceil(N/16)) for the negative-
     # sampling bucket address arithmetic
     "contrastive_triplets",
+    # 1-row query-pattern broadcast (the latest week's z-vector)
+    "similar_revenue_weeks",
 }
 
 # Shuffle budget per query, counted as DISTINCT EXCHANGE SHAPES
@@ -103,6 +105,7 @@ _ALLOWED_BOUNDED_WINDOW = {
     # span, not the corpus
     "daily_revenue_gapfill": "LOCF over generated calendar spine",
     "revenue_anomaly_days": "7-day rolling z over daily rollup spine",
+    "similar_revenue_weeks": "7-day windows over daily rollup spine",
     "daily_revenue_moving_avg": "7-day window over daily rollup spine",
     "monthly_revenue_trend": "regression over monthly rollup spine",
     "forecast_revenue_change": "delta over monthly rollup spine",
