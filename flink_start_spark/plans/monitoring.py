@@ -238,13 +238,29 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "revenue_anomaly_days",
-    """
-    WITH daily AS (
+#: daily revenue in exact integer cents — the shared rollup both
+#: monitoring time-series queries build on. The cents quantization is a
+#: correctness contract (integer window sums are the engine-exactness
+#: mechanism), so it lives in ONE place, Spark and SQL alike.
+_DAILY_CENTS_CTE = """daily AS (
       SELECT o_orderdate AS d,
              (round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) * 100)::BIGINT AS cents
-      FROM orders GROUP BY 1),
+      FROM orders GROUP BY 1)"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+
+
+@_register(
+    "revenue_anomaly_days",
+    f"""
+    WITH {_DAILY_CENTS_CTE},
     w AS (
       SELECT d, cents,
              count(*) OVER win AS n,
@@ -279,12 +295,7 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("monitoring", "extension", "window-frame"),
 )
 def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, "orders", sf_dir)
-    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        (F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2) * 100)
-        .cast("long")
-        .alias("cents")
-    )
+    daily = _daily_cents(spark, sf_dir)
     win = Window.orderBy("d").rowsBetween(-6, 0)
     w = daily.select(
         "d",
@@ -310,31 +321,28 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "similar_revenue_weeks",
-    """
-    WITH daily AS (
-      SELECT o_orderdate AS d,
-             (round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) * 100)::BIGINT AS cents
-      FROM orders GROUP BY 1),
+    f"""
+    WITH {_DAILY_CENTS_CTE},
     w AS (
       SELECT d, list(cents) OVER win AS arr, count(*) OVER win AS n
       FROM daily
       WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
     z AS (
-      SELECT d, arr,
+      SELECT d, row_number() OVER (ORDER BY d) AS idx, arr,
              list_sum(arr)::DOUBLE / 7 AS m,
              list_sum(list_transform(arr, x -> (x - list_sum(arr)::DOUBLE / 7)
                                              * (x - list_sum(arr)::DOUBLE / 7)))::DOUBLE / 7 AS var
       FROM w WHERE n = 7),
     zn AS (
-      SELECT d, list_transform(arr, x -> (x - m) / sqrt(var)) AS zv
+      SELECT d, idx, list_transform(arr, x -> (x - m) / sqrt(var)) AS zv
       FROM z WHERE var > 0),
-    pat AS (SELECT d AS pd, zv AS pzv FROM zn ORDER BY d DESC LIMIT 1),
+    pat AS (SELECT idx AS pidx, zv AS pzv FROM zn ORDER BY d DESC LIMIT 1),
     dist AS (
       SELECT zn.d,
              round(list_sum(list_transform(range(1, 8),
                      i -> (zn.zv[i] - pat.pzv[i]) * (zn.zv[i] - pat.pzv[i]))), 6) AS zdist
       FROM zn, pat
-      WHERE zn.d <= pat.pd - INTERVAL 7 DAY)
+      WHERE zn.idx <= pat.pidx - 7)
     SELECT floor(epoch(d))::BIGINT AS window_end_epoch, zdist,
            row_number() OVER (ORDER BY zdist, d) AS rank
     FROM dist
@@ -352,30 +360,30 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "formulas over exact integer cents, and the distance fold is "
         "fixed-order (zip_with + aggregate == list_sum), so ranking is "
         "engine-exact after rounded-before-rank. Trivial self-matches "
-        "are excluded by the standard overlap guard (window must end "
-        ">= 7 days before the pattern). Flat windows (zero variance) "
-        "have no z-shape and are skipped."
+        "are excluded by a ROW-based overlap guard (the candidate must "
+        "end at least 7 spine rows before the pattern — calendar gaps "
+        "cannot smuggle row-overlapping windows past a day-based "
+        "guard). Flat windows (zero variance) have no z-shape and are "
+        "skipped."
     ),
     tags=("monitoring", "extension", "window-frame", "similarity"),
 )
 def q_similar_revenue_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, "orders", sf_dir)
-    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        (F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2) * 100)
-        .cast("long")
-        .alias("cents")
-    )
+    daily = _daily_cents(spark, sf_dir)
     win = Window.orderBy("d").rowsBetween(-6, 0)
     w = daily.select(
         "d",
         F.collect_list("cents").over(win).alias("arr"),
         F.count(F.lit(1)).over(win).alias("n"),
-    ).filter(F.col("n") == 7)
+    ).filter(F.col("n") == 7).withColumn(
+        "idx", F.row_number().over(Window.orderBy("d"))
+    )
     m = F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x).cast(
         "double"
     ) / 7
-    z = w.select("d", "arr", m.alias("m")).select(
+    z = w.select("d", "idx", "arr", m.alias("m")).select(
         "d",
+        "idx",
         "arr",
         "m",
         (
@@ -391,6 +399,7 @@ def q_similar_revenue_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zn = z.filter(F.col("var") > 0).select(
         "d",
+        "idx",
         F.transform(
             "arr", lambda x: (x - F.col("m")) / F.sqrt(F.col("var"))
         ).alias("zv"),
@@ -398,11 +407,17 @@ def q_similar_revenue_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pat = (
         zn.orderBy(F.col("d").desc())
         .limit(1)
-        .select(F.col("d").alias("pd"), F.col("zv").alias("pzv"))
+        .select(F.col("idx").alias("pidx"), F.col("zv").alias("pzv"))
     )
+    # overlap guard is ROW-based on the spine index, not calendar days:
+    # with a sparse spine a 7-ROW window spans arbitrarily many calendar
+    # days, and a calendar guard would admit windows sharing up to 6 of
+    # 7 rows with the pattern (trivial self-matches); idx <= pidx - 7
+    # guarantees zero shared rows on ANY spine, and avoids timestamp
+    # arithmetic entirely (no date-truncation / timezone edge)
     dist = (
         zn.crossJoin(F.broadcast(pat))
-        .filter(F.col("d") <= F.date_sub(F.col("pd"), 7))
+        .filter(F.col("idx") <= F.col("pidx") - 7)
         .select(
             "d",
             F.round(
