@@ -166,11 +166,12 @@ def band_key(signature: Column, band: int, rows: int) -> Column:
     on all ``rows`` positions of it — the standard AND/OR construction:
     P(candidate) = 1 - (1 - J^rows)^bands for Jaccard J.
 
-    One scalar per band on purpose: band rows are produced by a UNION of
-    per-band projections, never by building an array and exploding it —
-    InferFiltersFromGenerate + predicate pushdown inline the full
-    upstream expression tree into a synthesized size()>0 filter under an
-    explode (measured >10x blowup; see operators/dedup.py).
+    One scalar per band on purpose: callers project all band keys in
+    one pass off the materialized signature and unpivot with stack(),
+    never by building an array and exploding it — InferFiltersFromGenerate
+    + predicate pushdown inline the full upstream expression tree into a
+    synthesized size()>0 filter under an explode (measured >10x blowup;
+    see operators/dedup.py::minhash_band_rows rule 2).
     """
     return F.md5(
         F.concat_ws(

@@ -78,12 +78,14 @@ def minhash_band_rows(
     #    tree recomputes the shingle array per signature component.
     #    CollapseProject keeps the stages separate because the
     #    intermediates are non-trivial and multiply referenced.
-    # 2. Produce band rows with a UNION of per-band projections, not
-    #    array+explode: InferFiltersFromGenerate synthesizes a
-    #    size(input)>0 filter from explode, and predicate pushdown
-    #    inlines the whole upstream expression tree into that filter
-    #    below the projections — re-running the full minhash pipeline
-    #    once more per row.
+    # 2. Unpivot band rows with stack() off the materialized signature
+    #    column. NOT array+explode (InferFiltersFromGenerate synthesizes
+    #    a size(input)>0 filter from explode, and predicate pushdown
+    #    inlines the whole upstream expression tree into that filter —
+    #    re-running the full minhash pipeline once more per row) and
+    #    NOT a union of per-band projections (each union branch
+    #    re-evaluates the whole signature pipeline; subtrees are not
+    #    shared across branches).
     n_seeds = (num_hashes + 3) // 4
     sig = (
         df.select(F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh"))
@@ -101,11 +103,9 @@ def minhash_band_rows(
             ).alias("_sig"),
         )
     )
-    # stack(), not explode (rule 2 above) and not a union of per-band
-    # projections (each union branch re-evaluates the whole signature
-    # pipeline — subtrees are not shared across branches): one projection
-    # computes the band keys off the materialized signature, stack
-    # unpivots them, and the upstream runs exactly once.
+    # rule 2 above: one projection computes the band keys off the
+    # materialized signature, stack() unpivots them, and the upstream
+    # runs exactly once.
     keys = sig.select(
         F.col(id_col),
         *[TH.band_key(F.col("_sig"), b, rows).alias(f"_k{b}") for b in range(bands)],
@@ -680,7 +680,7 @@ def repeated_ngram_flags(
     containing, not occurrences) → one groupBy(doc). No self-join,
     no window over the gram partition.
     """
-    grams = df.select(
+    grams = fan_out(df).select(
         F.col(id_col),
         F.explode(TH.shingles(F.col(content_col), n)).alias("_g"),
     ).select(id_col, F.md5("_g").alias("_gh"))

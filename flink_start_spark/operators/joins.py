@@ -61,6 +61,16 @@ def as_of_join(
         raise ValueError(
             f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
         )
+    clash = [c for c in payload_cols if c in left.columns]
+    if clash:
+        # the output would carry two columns per clashed name (left's
+        # own + the matched payload) — unusable by name downstream and
+        # unwritable to parquet; fail with guidance instead
+        raise ValueError(
+            f"payload columns {clash} also exist in the left frame; "
+            "alias one side before the as-of join (pd.merge_asof solves "
+            "this with suffixes — here the rename is explicit)"
+        )
 
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     rt = (

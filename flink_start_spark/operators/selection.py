@@ -226,9 +226,12 @@ def exact_rank_value(
             "_vh"
         )
     )
+    # accumulator 'val' typed from the ACTUAL value column — a
+    # hard-coded double would silently coerce long/decimal inputs
+    # (wrong output type for the oracle contract, and lossy past 2^53)
     zero = F.struct(
         F.lit(0).cast("long").alias("cum"),
-        F.lit(None).cast("double").alias("val"),
+        F.lit(None).cast(dict(df.dtypes)[value_col]).alias("val"),
     )
     pick = lambda acc, y: F.when(acc["val"].isNotNull(), acc).otherwise(  # noqa: E731
         F.when(
@@ -359,9 +362,10 @@ def exact_quantile_values(
         vh.withColumnRenamed("_bkt", "_tbkt"),
         [*keys, "_tbkt"],
     )
+    # typed like exact_rank_value's accumulator — see comment there
     zero_v = F.struct(
         F.lit(0).cast("long").alias("cum"),
-        F.lit(None).cast("double").alias("val"),
+        F.lit(None).cast(dict(df.dtypes)[value_col]).alias("val"),
     )
     pick = lambda acc, y: F.when(acc["val"].isNotNull(), acc).otherwise(  # noqa: E731
         F.when(

@@ -155,6 +155,15 @@ def bpe_train(
             )
             .localCheckpoint(eager=True)
         )
+        if best.isEmpty():
+            # pair vocabulary exhausted before n_merges rounds: stop and
+            # return the learned prefix — continuing would crossJoin wc
+            # with an EMPTY relation, silently annihilating the vocab
+            # (and every later round). Callers encode with the table's
+            # actual row count (bpe_encode validates it).
+            if merges is None:
+                merges = best  # 0-row table with the right schema
+            break
         merges = best if merges is None else merges.unionByName(best)
         wc = (
             wc.crossJoin(F.broadcast(best.select("left", "right")))
@@ -199,6 +208,16 @@ def bpe_encode(
     back onto the single instance scan; per-document totals then
     collapse map-side in one groupBy.
     """
+    n_actual = merges.count()
+    if n_actual != n_merges:
+        # an empty step's crossJoin would annihilate the encode relation
+        # and silently return 0 rows for the whole corpus — fail loudly
+        # instead (count() is a cheap job over 1-row checkpoint leaves)
+        raise ValueError(
+            f"merge table has {n_actual} steps but n_merges={n_merges}; "
+            "pass the table's actual row count (bpe_train may learn "
+            "fewer merges than requested on a small vocabulary)"
+        )
     inst = df.select(
         F.col(id_col), F.explode(TH.words(F.col(text_col))).alias("word")
     )

@@ -14,6 +14,8 @@ from flink_start_spark.streaming.pipelines import (
 from flink_start_spark.streaming.count_trigger import count_trigger_stream
 from flink_start_spark.streaming.upsert import latest_per_key, upsert_parquet_sink
 from flink_start_spark.streaming.drift import drift_stream, psi_from_counts
+from flink_start_spark.streaming.heavy_hitters import heavy_hitters_stream
+from flink_start_spark.streaming.quantiles import quantile_stream
 
 __all__ = [
     "stream_events",
@@ -26,6 +28,8 @@ __all__ = [
     "count_trigger_stream",
     "drift_stream",
     "psi_from_counts",
+    "heavy_hitters_stream",
+    "quantile_stream",
     "latest_per_key",
     "upsert_parquet_sink",
     "run_to_memory",

@@ -95,8 +95,11 @@ def count_trigger_stream(
                 )
         state.update((n_seen, n_hits))
 
+    # key cast to string: OUTPUT_SCHEMA declares a string key
     keyed = events.selectExpr(
-        f"{key_expr} AS key", f"{order_col} AS {order_col}", f"{pred_col} AS {pred_col}"
+        f"CAST({key_expr} AS STRING) AS key",
+        f"{order_col} AS {order_col}",
+        f"{pred_col} AS {pred_col}",
     )
     return keyed.groupBy("key").applyInPandasWithState(
         fn,

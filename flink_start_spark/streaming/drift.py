@@ -74,6 +74,14 @@ def drift_stream(
     categories still monitor rather than crash."""
     width = (hi - lo) / n_bins
     assert width > 0
+    bad = {k: len(v) for k, v in ref_counts_by_key.items() if len(v) != n_bins}
+    if bad:
+        # a mismatched reference would silently zip-truncate against the
+        # n_bins current histogram and emit a plausible-but-wrong PSI
+        # for the lifetime of the stream — fail the misconfiguration now
+        raise ValueError(
+            f"reference histograms must have n_bins={n_bins} bins; got {bad}"
+        )
     state_schema = T.StructType(
         [T.StructField("counts", T.ArrayType(T.LongType()), False)]
     )
@@ -110,7 +118,11 @@ def drift_stream(
             ]
         )
 
-    keyed = events.selectExpr(f"{key_col} AS key", f"{value_col} AS {value_col}")
+    # key cast to string: OUTPUT_SCHEMA declares a string key (and the
+    # reference dict is keyed by strings) — stringify any key type here
+    keyed = events.selectExpr(
+        f"CAST({key_col} AS STRING) AS key", f"{value_col} AS {value_col}"
+    )
     return keyed.groupBy("key").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,

@@ -120,7 +120,10 @@ def heavy_hitters_stream(
             ]
         )
 
-    keyed = events.selectExpr(f"{key_col} AS key", f"{item_col} AS {item_col}")
+    # key cast to string: OUTPUT_SCHEMA declares a string key
+    keyed = events.selectExpr(
+        f"CAST({key_col} AS STRING) AS key", f"{item_col} AS {item_col}"
+    )
     return keyed.groupBy("key").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,

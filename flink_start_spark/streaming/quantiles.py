@@ -72,6 +72,10 @@ def quantile_stream(
         counts = np.asarray(counts, dtype="int64")
         for pdf in batches:
             v = pdf[value_col].to_numpy(dtype="float64")
+            # drop nulls BEFORE binning: NaN survives clip, casts to
+            # INT64_MIN, and bincount raises — killing the whole
+            # long-running query (same guard as streaming/drift.py)
+            v = v[~np.isnan(v)]
             b = np.clip(
                 np.floor((v - lo) / (hi - lo) * n_buckets), 0, n_buckets - 1
             ).astype("int64")
@@ -97,7 +101,12 @@ def quantile_stream(
             )
         yield pd.DataFrame(rows)
 
-    keyed = events.selectExpr(f"{key_col} AS key", f"{value_col} AS {value_col}")
+    # key cast to string: OUTPUT_SCHEMA declares a string key, so a
+    # bigint/other key column must be stringified here or the first
+    # micro-batch dies at Arrow conversion
+    keyed = events.selectExpr(
+        f"CAST({key_col} AS STRING) AS key", f"{value_col} AS {value_col}"
+    )
     return keyed.groupBy("key").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,

@@ -100,3 +100,14 @@ def test_range_join_boundary_semantics(spark):
     )
     out = range_join(points, ranges, "key", "ts", "start", "end", bucket="1 hour")
     assert [str(r["ts"]) for r in out.collect()] == ["2024-01-01 00:00:00"]
+
+
+def test_asof_join_rejects_clashing_payload_column(spark):
+    """Regression: a payload column sharing a left column's name
+    produced duplicate output columns (unusable downstream)."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 5.0)], "k long, t long, value double")
+    right = spark.createDataFrame([(1, 9, 7.0)], "k long, rt long, value double")
+    with pytest.raises(ValueError, match="payload columns .* also exist"):
+        as_of_join(left, right, "k", "t", "rt", ["value"])

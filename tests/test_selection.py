@@ -236,3 +236,18 @@ def test_skewed_plan_has_no_hot_key_window(spark, skewed):
                 cols,
                 has_order,
             )
+
+
+def test_exact_rank_value_preserves_integral_type(spark):
+    """Regression: a hard-coded double accumulator coerced long value
+    columns (wrong output type, lossy past 2^53)."""
+    from flink_start_spark import cache
+    from flink_start_spark.operators.selection import exact_rank_value
+
+    big = 2**60  # not representable as a double
+    rows = [("a", big + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = exact_rank_value(df, ["k"], "v", out_col="med")
+    assert dict(out.dtypes)["med"] == "bigint"
+    assert out.collect()[0]["med"] == big + 2  # exact median, no rounding
+    cache.release()

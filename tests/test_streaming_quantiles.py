@@ -130,3 +130,29 @@ def test_classifier_is_stateless_streaming_compatible(spark, tmp_path):
         for r in quality_classifier_score(batch, "text", "doc_id").collect()
     }
     assert got == expect and set(got) == {0, 1}
+
+
+def test_null_values_and_bigint_key_do_not_crash(spark, tmp_path):
+    """Regression pair: (a) NaN survived np.clip and killed bincount;
+    (b) a non-string key column died at Arrow conversion because
+    OUTPUT_SCHEMA declares a string key."""
+    rows = [
+        (1, "2024-01-20 00:00:00", 7, "view", 10.0, "{}"),
+        (2, "2024-01-20 00:00:01", 7, "view", None, "{}"),
+        (3, "2024-01-20 00:00:02", 9, "view", 20.0, "{}"),
+    ]
+    d = tmp_path / "nk"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(str(d / "events.parquet"))
+    stream = stream_events(spark, str(d / "events.parquet"))
+    # key on the BIGINT user_id column
+    q = quantile_stream(stream, "user_id", "value", probs=(0.5,), lo=LO, hi=HI)
+    got = {r["key"]: r for r in run_to_memory(q, "sq_nk", "update").collect()}
+    assert got["7"]["n_seen"] == 1  # null dropped, key stringified
+    assert got["9"]["n_seen"] == 1

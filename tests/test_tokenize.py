@@ -132,3 +132,19 @@ def test_bpe_encode_mirrors_pure_python(spark, docs):
     # compression sanity: BPE tokens are fewer than characters
     n_chars = sum(len(w) + 1 for t in TEXTS for w in t.split())
     assert sum(n for n, _ in got.values()) < n_chars
+
+
+def test_bpe_train_stops_when_pair_vocab_exhausts(spark):
+    """Regression: an empty round's crossJoin silently annihilated the
+    vocab; now training stops with the learned prefix and bpe_encode
+    validates the count."""
+    import pytest
+
+    docs = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
+    merges = TK.bpe_train(docs, "text", n_merges=5)
+    n = merges.count()
+    assert 1 <= n < 5  # vocabulary 'a' exhausts after the first merges
+    out = TK.bpe_encode(docs, merges, n, "text", "doc_id").collect()
+    assert len(out) == 1 and out[0]["n_bpe_tokens"] >= 1
+    with pytest.raises(ValueError, match="merge table has"):
+        TK.bpe_encode(docs, merges, 5, "text", "doc_id")
