@@ -24,8 +24,16 @@ HEX_DIGITS = "0123456789abcdef"
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokenization (the canonical first-stage tokenizer)."""
-    return F.split(F.trim(text), r"\s+")
+    """Single-space tokenization — the corpus contract's first-stage
+    tokenizer, and the EXACT twin of every oracle's
+    ``string_split(trim(text), ' ')``. A literal-space split (not
+    ``\\s+``): on text with runs of spaces or tabs the two rules
+    diverge (``'a  b'`` → 3 tokens incl. an empty vs 2; ``'x\\ty'`` →
+    1 token vs 2), and the oracle pairing must hold on ARBITRARY input,
+    not just the single-spaced generated corpus. A production pipeline
+    whitespace-normalizes upstream of tokenization (both engines would
+    see the normalized text), so the simple rule loses nothing."""
+    return F.split(F.trim(text), " ")
 
 
 def distinct_words(text: Column) -> Column:

@@ -696,8 +696,6 @@ def q_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytic", "timeseries", "gapfill"),
 )
 def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_start_spark.plans.catalog import money_sum
-
     orders = load_table(spark, "orders", sf_dir)
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.count("*").alias("n_orders"),

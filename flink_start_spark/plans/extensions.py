@@ -247,7 +247,7 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         F.array_distinct(
-            F.filter(_char_grams(F.col("text"), 8), lambda g: F.length(g) == 8)
+            F.filter(TH.char_grams(F.col("text"), 8), lambda g: F.length(g) == 8)
         ).alias("_g"),
     )
     grams = C.track(grams)
@@ -368,16 +368,6 @@ def q_winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnowing_shared_pairs(docs, "text", "doc_id", min_overlap=0.5)
 
 
-def _char_grams(text, n: int):
-    """Character n-grams via transform over a sequence. Referencing the
-    scalar ``text`` column inside the lambda is safe — re-evaluating a
-    column reference is O(1) per element; the O(n^2) lambda hazard
-    (functions/texthash.py::shingles) applies to re-evaluated *computed
-    arrays* like split(), not to plain column refs."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
-        lambda i: text.substr(i, F.lit(n)),
-    )
 
 
 # ---------------------------------------------------------------------

@@ -517,8 +517,9 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH gaps AS (
       SELECT user_id, ts,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 24 HOURS
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                       > 86400000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -539,11 +540,15 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # MICROsecond gap (unix_micros / epoch_us on both engines): a
+    # whole-second cast would floor the gap and miss breaks in
+    # (24h, 24h+1s) that the full-precision oracle counts — the ts
+    # column carries microsecond fractions
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     return (
         ev.withColumn(
             "new_session",
-            F.when(gap.isNull() | (gap > 24 * 3600), 1).otherwise(0),
+            F.when(gap.isNull() | (gap > 24 * 3600 * 1_000_000), 1).otherwise(0),
         )
         .groupBy("user_id")
         .agg(

@@ -47,8 +47,15 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config(
+            # parenthesized on purpose: the un-parenthesized form parses
+            # as `(shuffle_partitions or int(cpus)) if ... else 32`,
+            # silently discarding an explicit shuffle_partitions whenever
+            # SPARK_GRAFT_CPUS is non-numeric (e.g. '*')
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
+            str(
+                shuffle_partitions
+                or (int(cpus) if str(cpus).isdigit() else 32)
+            ),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

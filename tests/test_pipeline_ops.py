@@ -407,10 +407,10 @@ def test_dq_audit_empty_table(spark, tmp_path):
 # ---------------------------------------------------------------------
 
 def _shingle_set(t: str) -> set:
-    w = t.strip().split()
+    w = t.strip(" ").split(" ")  # literal-space twin of texthash.words
     if len(w) >= 3:
         return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
-    return {t.strip()}
+    return {" ".join(w)}
 
 
 def test_ppjoin_finds_all_pairs_exactly(spark):

@@ -147,11 +147,13 @@ def test_shingles_match_python_reference(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r["s"] for r in df.select(shingles(F.col("text")).alias("s")).collect()]
     for t, s in zip(texts, got):
-        words = t.strip().split()
+        # twin of texthash.words: literal single-space split (runs of
+        # spaces yield empty tokens, matching the oracle string_split)
+        words = t.strip(" ").split(" ")
         if len(words) >= 3:
             expected = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
         else:
-            expected = [t.strip()]
+            expected = [" ".join(words)]
         assert s == expected, repr(t)
 
 
@@ -206,12 +208,12 @@ def test_ngram_novelty_matches_python_reference(spark, texts):
     }
 
     def sh(t):
-        # \s+ split like texthash.words (runs collapse); empty text
-        # falls through to the whole-trimmed-text shingle
-        w = [x for x in t.strip().split()] or [""]
+        # literal single-space split like texthash.words (runs of
+        # spaces yield empty tokens — the oracle string_split rule)
+        w = t.strip(" ").split(" ")
         if len(w) >= 3:
             return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
-        return {t.strip()}
+        return {" ".join(w)}
 
     all_sh = [sh(t) for t in texts]
     from collections import Counter
@@ -263,8 +265,9 @@ def _passage_dedup_ref(docs: dict[int, str], w: int) -> dict[int, tuple[int, int
 
     chunks = {}
     for did in sorted(docs):
-        # mirror split(trim, \s+): empty text -> ['']
-        ws = docs[did].strip().split() or [""]
+        # mirror split(trim, ' '): literal single-space rule, empty
+        # text -> ['']
+        ws = docs[did].strip(" ").split(" ")
         n = max(1, math.ceil(len(ws) / w))
         chunks[did] = [" ".join(ws[i * w : (i + 1) * w]) for i in range(n)]
     seen = {}

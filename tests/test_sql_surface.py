@@ -260,3 +260,49 @@ def test_three_step_funnel_ordering_constraint(spark, tmp_path):
         for r in QUERIES["three_step_funnel"].spark(spark, sf).collect()
     }
     assert got == {"purchased": 1, "signup_only": 1, "viewed": 1}
+
+
+def test_session_gap_compares_at_microsecond_precision(spark, tmp_path):
+    """Regression: a whole-second gap cast floored sub-second fractions,
+    so a 24h+0.4s gap (a new session at full precision) was missed."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0, 500000)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        # 24h + 0.4s later: strictly more than 24h -> new session
+        (2, t0 + timedelta(hours=24, microseconds=400000), 1, "view", 1.0, "{}"),
+        # 24h - 0.4s after THAT: same session
+        (3, t0 + timedelta(hours=48), 1, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["user_session_stats"].spark(spark, str(tmp_path)).collect()
+    assert out[0]["n_sessions"] == 2 and out[0]["n_events"] == 3
+
+
+def test_words_tokenizer_matches_oracle_split_on_messy_whitespace(spark):
+    """Regression class: Spark's \\s+ split diverged from every oracle's
+    literal string_split(trim(text), ' ') on tabs / double spaces —
+    the pairing must hold on arbitrary input, not just the single-
+    spaced generated corpus."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from flink_start_spark.functions import texthash as TH
+
+    texts = ["a  b", "x\ty", " lead trail ", "a b  c\t d", "solo", ""]
+    got = [
+        r["w"]
+        for r in spark.createDataFrame([(t,) for t in texts], "t string")
+        .select(TH.words(F.col("t")).alias("w"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    for t, w in zip(texts, got):
+        exp = con.execute("SELECT string_split(trim(?), ' ')", [t]).fetchone()[0]
+        assert w == exp, (t, w, exp)
