@@ -70,7 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stalest entries. Ties keep registration order (deterministic)."""
     qm = query_map()
     last = _last_verified_round()
-    names = sorted(qm, key=lambda n: (last.get(n, -1), list(qm).index(n)))
+    order = {n: i for i, n in enumerate(qm)}  # registration-order tie-break
+    names = sorted(qm, key=lambda n: (last.get(n, -1), order[n]))
     return {n: qm[n] for n in names}
 
 

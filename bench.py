@@ -47,6 +47,15 @@ def _run_once(spark, name: str, sf_dir: str) -> float:
     return dt
 
 
+def _drop_view(spark, name: str) -> None:
+    """Memory-sink tables hold full result sets in driver memory; drop
+    them after timing or 3 runs x 4 streaming benches accumulate."""
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:  # noqa: BLE001  (best-effort cleanup)
+        pass
+
+
 def _run_streaming(spark, sf_dir: str) -> float:
     """End-to-end Structured Streaming run: watermarked tumbling signup
     count over the events table via the file stream source → noop-like
@@ -62,8 +71,11 @@ def _run_streaming(spark, sf_dir: str) -> float:
         .agg(F.count(F.when(F.col("event_type") == "signup", 1)).alias("cnt"))
     )
     t0 = time.perf_counter()
-    run_to_memory(agg, f"bench_stream_{int(t0 * 1000)}", "update")
-    return time.perf_counter() - t0
+    sink = f"bench_stream_{int(t0 * 1000)}"
+    run_to_memory(agg, sink, "update")
+    dt = time.perf_counter() - t0
+    _drop_view(spark, sink)
+    return dt
 
 
 def _run_streaming_sessions(spark, sf_dir: str) -> float:
@@ -76,8 +88,11 @@ def _run_streaming_sessions(spark, sf_dir: str) -> float:
     stream = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
     sessions = session_window_stream(stream, gap="1 hour", watermark="1 hour")
     t0 = time.perf_counter()
-    run_to_memory(sessions, f"bench_sessions_{int(t0 * 1000)}", "append")
-    return time.perf_counter() - t0
+    sink = f"bench_sessions_{int(t0 * 1000)}"
+    run_to_memory(sessions, sink, "append")
+    dt = time.perf_counter() - t0
+    _drop_view(spark, sink)
+    return dt
 
 
 def _run_streaming_quantiles(spark, sf_dir: str) -> float:
@@ -92,8 +107,11 @@ def _run_streaming_quantiles(spark, sf_dir: str) -> float:
         stream, "event_type", "value", probs=(0.5, 0.9), lo=0.0, hi=1100.0
     )
     t0 = time.perf_counter()
-    run_to_memory(q, f"bench_squant_{int(t0 * 1000)}", "update")
-    return time.perf_counter() - t0
+    sink = f"bench_squant_{int(t0 * 1000)}"
+    run_to_memory(q, sink, "update")
+    dt = time.perf_counter() - t0
+    _drop_view(spark, sink)
+    return dt
 
 
 def _run_streaming_drift(spark, sf_dir: str) -> float:
@@ -106,8 +124,11 @@ def _run_streaming_drift(spark, sf_dir: str) -> float:
     stream = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
     d = drift_stream(stream, "event_type", "value", {}, lo=0.0, hi=600.0)
     t0 = time.perf_counter()
-    run_to_memory(d, f"bench_sdrift_{int(t0 * 1000)}", "update")
-    return time.perf_counter() - t0
+    sink = f"bench_sdrift_{int(t0 * 1000)}"
+    run_to_memory(d, sink, "update")
+    dt = time.perf_counter() - t0
+    _drop_view(spark, sink)
+    return dt
 
 
 def main() -> None:
@@ -117,7 +138,8 @@ def main() -> None:
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
 
-    sf_label = os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "")
+    base = os.path.basename(args.sf_dir.rstrip("/"))
+    sf_label = base[2:] if base.startswith("sf") else base
     spark = get_spark("flink_start_spark_bench")
 
     names = args.queries or list(QUERIES)
@@ -189,9 +211,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     load_end = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
-    sf = float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label
+    try:
+        # label like 'sf0.1' -> 0.1; anything unparseable (multi-dot,
+        # odd basename) stays a string instead of raising AFTER all the
+        # timed work completed
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
     full = {
-        "metric": "catalog_wall_clock_total",
+        "metric": (
+            "catalog_wall_clock_total"
+            if args.queries is None
+            # a subset run must not masquerade as (or clobber) the full
+            # catalog artifact
+            else "query_subset_wall_clock_total"
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -205,20 +239,21 @@ def main() -> None:
     # The driver records only the last ~2000 chars of stdout; the full
     # per-query line exceeds that, so it goes FIRST (and to a file),
     # and the final line is a compact totals JSON guaranteed to fit.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+    out_name = "BENCH_FULL.json" if args.queries is None else "BENCH_SUBSET.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         json.dump(full, f)
     print(json.dumps(full))
     print(
         json.dumps(
             {
-                "metric": "catalog_wall_clock_total",
+                "metric": full["metric"],
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
                 "median_total": full["median_total"],
                 "load_avg_start": load_start,
-                "queries_file": "BENCH_FULL.json",
+                "queries_file": out_name,
             }
         )
     )

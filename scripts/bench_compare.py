@@ -25,6 +25,10 @@ import json
 
 
 def classify(old_min, new_min, old_med, new_med, threshold):
+    if not new_min:
+        # a sub-0.5ms min rounds to 0.0; guard the symmetric direction
+        # too (1/ratio below would raise ZeroDivisionError)
+        return ("improved" if old_min else "noise"), 0.0
     ratio = new_min / old_min if old_min else float("inf")
     spread = 1.0
     if old_med and old_min:

@@ -76,13 +76,19 @@ def main() -> int:
         else:
             try:
                 int_cols = [c for c in s.columns if s[c].dtype.kind in "iu"]
-                if int_cols and not s[int_cols].equals(o[int_cols].astype("int64")):
+                # round-then-cast, and catch EVERY comparison exception:
+                # an oracle NULL in a Spark-int column raises ValueError
+                # from astype ("cannot convert non-finite"), which must
+                # report as this query's FAIL, not abort the whole sweep
+                if int_cols and not s[int_cols].equals(
+                    o[int_cols].round().astype("int64")
+                ):
                     raise AssertionError(f"integer columns differ: {int_cols}")
                 pd.testing.assert_frame_equal(
                     s, o, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
                 )
                 print(f"OK   {name}: {len(s)} rows")
-            except AssertionError as e:
+            except Exception as e:  # noqa: BLE001
                 print(f"FAIL {name}: values differ: {str(e)[:400]}")
                 failures += 1
     print(f"\n{len(names) - failures}/{len(names)} passed")

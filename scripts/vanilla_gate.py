@@ -38,6 +38,12 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     only = set(sys.argv[2:])
+    unknown = only - set(QUERIES)
+    if unknown:
+        # a typo'd name silently filtered out would print "0/0 passed"
+        # and exit 0 — the strictest gate must not vacuously pass
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
     queries = {n: q for n, q in QUERIES.items() if not only or n in only}
     fails = 0
     for name, q in queries.items():
