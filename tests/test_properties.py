@@ -570,3 +570,62 @@ def test_scd2_history_matches_reference_interval_builder(spark, tmp_path_factory
                 )
             )
     assert got == expect
+
+
+_snapshot_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),     # user (force collisions)
+        st.integers(min_value=0, max_value=29),    # day offset in January
+        st.integers(min_value=0, max_value=400),   # value in tenths (exact)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_snapshot_events)
+def test_snapshot_diff_matches_reference_classifier(spark, tmp_path_factory, events):
+    """Changeset classification vs an independent pure-python build of
+    both snapshot profiles on randomized event streams (users straddling
+    the window cut, value drift, single-window users)."""
+    from datetime import datetime, timedelta
+    from decimal import Decimal
+
+    from flink_start_spark.plans import QUERIES
+
+    rows = [
+        (i + 1, datetime(2024, 1, 1) + timedelta(days=day, hours=1), u, "view",
+         v / 10.0, "{}")
+        for i, (u, day, v) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("snapprop")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {
+        r["user_id"]: r["action"]
+        for r in QUERIES["snapshot_diff_changeset"].spark(spark, str(d)).collect()
+    }
+
+    cut = datetime(2024, 1, 16)
+    a: dict[int, tuple[int, Decimal]] = {}
+    b: dict[int, tuple[int, Decimal]] = {}
+    for _, ts, u, _t, v, _p in rows:
+        side = a if ts < cut else b
+        n, s = side.get(u, (0, Decimal(0)))
+        # exact decimal accumulation mirrors the DECIMAL(20,6) sums
+        side[u] = (n + 1, s + Decimal(str(v)))
+    expect = {}
+    for u in set(a) | set(b):
+        if u not in a:
+            expect[u] = "insert"
+        elif u not in b:
+            expect[u] = "delete"
+        elif a[u][0] != b[u][0] or a[u][1] != b[u][1]:
+            expect[u] = "update"
+        else:
+            expect[u] = "unchanged"
+    assert got == expect
