@@ -629,3 +629,36 @@ def test_snapshot_diff_matches_reference_classifier(spark, tmp_path_factory, eve
         else:
             expect[u] = "unchanged"
     assert got == expect
+
+
+_upsert_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),   # key
+        st.integers(min_value=0, max_value=9),   # order value (force ties)
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_upsert_rows)
+def test_latest_per_key_matches_python_max(spark, rows):
+    """The MERGE reduce (max of struct) vs python max over the same
+    tuple order — including order-column ties, where the payload struct
+    itself breaks the tie deterministically."""
+    from flink_start_spark.streaming.upsert import latest_per_key
+
+    df = spark.createDataFrame(rows, "k long, ts long, p long")
+    got = {
+        r["k"]: (r["ts"], r["p"])
+        for r in latest_per_key(df, ["k"], ["ts"]).collect()
+    }
+    expect = {}
+    for k, ts, p in rows:
+        # mirror max(struct(ts, struct(ts, p))): compare (ts, (ts, p))
+        cand = (ts, (ts, p))
+        if k not in expect or cand > expect[k]:
+            expect[k] = cand
+    assert got == {k: (v[1][0], v[1][1]) for k, v in expect.items()}
