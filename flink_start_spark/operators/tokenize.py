@@ -48,9 +48,15 @@ EOW = "</w>"
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``(word, count)`` over whitespace-split words — the ONE corpus
-    scan of BPE training; everything else runs on this relation."""
+    scan of BPE training; everything else runs on this relation.
+
+    Empty words (the literal-space ``words()`` split emits them on runs
+    of spaces) are dropped: the declared tokenization is "non-empty
+    literal-space tokens", mirrored by the pure-python reference's
+    filtered split and the oracle's ``list_filter(..., w -> w <> '')``."""
     return (
         df.select(F.explode(TH.words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -59,10 +65,19 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _initial_symbols(word: Column) -> Column:
     """Characters of the word plus the end-of-word marker. substring in
     the lambda references a plain attribute (cheap), not a computed
-    expression — the O(n^2) re-evaluation hazard does not apply."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(word)),
-        lambda i: word.substr(i, F.lit(1)),
+    expression — the O(n^2) re-evaluation hazard does not apply.
+
+    The empty word (reachable via the literal-space ``words()`` split on
+    runs of whitespace) must yield exactly ``[EOW]`` like the pure-python
+    mirror ``[*w, EOW]``; unguarded, ``sequence(1, 0)`` would yield the
+    DESCENDING ``[1, 0]`` and fabricate two phantom '' symbols."""
+    chars = F.when(
+        F.length(word) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        )
     )
     return F.concat(chars, F.array(F.lit(EOW)))
 
@@ -220,7 +235,7 @@ def bpe_encode(
         )
     inst = df.select(
         F.col(id_col), F.explode(TH.words(F.col(text_col))).alias("word")
-    )
+    ).where(F.col("word") != "")
     enc = inst.select("word").distinct().select(
         "word", _initial_symbols(F.col("word")).alias("toks")
     )

@@ -73,7 +73,11 @@ def drift_stream(
     uniform reference (all-zero counts = pure smoothing), so new
     categories still monitor rather than crash."""
     width = (hi - lo) / n_bins
-    assert width > 0
+    if width <= 0:
+        # an assert would be stripped under `python -O` and the stream
+        # would divide by a non-positive width for its whole lifetime —
+        # fail the misconfiguration loudly, like the bin-count check
+        raise ValueError(f"hi must exceed lo: got lo={lo}, hi={hi}")
     bad = {k: len(v) for k, v in ref_counts_by_key.items() if len(v) != n_bins}
     if bad:
         # a mismatched reference would silently zip-truncate against the

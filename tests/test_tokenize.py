@@ -16,10 +16,17 @@ from flink_start_spark.operators import tokenize as TK
 
 
 # ---------------------------------------------------------------- mirror
+def py_words(t: str) -> list[str]:
+    # the declared tokenization: literal-space split, empties dropped
+    # (mirrors TH.words + the word != '' filter; python's bare split()
+    # would ALSO split tabs, which the engine deliberately does not)
+    return [w for w in t.strip().split(" ") if w]
+
+
 def py_bpe_train(texts: list[str], n_merges: int):
     wc = Counter()
     for t in texts:
-        for w in t.strip().split():
+        for w in py_words(t):
             wc[w] += 1
     syms = {w: [*w, TK.EOW] for w in wc}
     merges = []
@@ -53,7 +60,7 @@ def py_bpe_encode(texts_by_id, merges):
     out = {}
     for doc_id, t in texts_by_id.items():
         n, chars = 0, 0
-        for w in t.strip().split():
+        for w in py_words(t):
             s = [*w, TK.EOW]
             for _, left, right, _, _ in merges:
                 i, ns = 0, []
@@ -132,6 +139,39 @@ def test_bpe_encode_mirrors_pure_python(spark, docs):
     # compression sanity: BPE tokens are fewer than characters
     n_chars = sum(len(w) + 1 for t in TEXTS for w in t.split())
     assert sum(n for n, _ in got.values()) < n_chars
+
+
+def test_bpe_handles_whitespace_runs(spark):
+    """Round-4 ADVICE regression: consecutive spaces make the literal-
+    space split emit empty words; unguarded, sequence(1,0) fabricated
+    two phantom '' symbols per empty word and train/encode diverged
+    from the python mirror. Declared fix: empty words are dropped
+    everywhere (and _initial_symbols is total: '' -> [EOW])."""
+    texts = ["a  b  ab", "ab ab  a   b"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges_df = TK.bpe_train(docs, "text", n_merges=1)
+    merges, _, _ = py_bpe_train(texts, 1)
+    got_m = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    assert got_m == merges
+    expect = py_bpe_encode({i: t for i, t in enumerate(texts)}, merges)
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["mean_token_len"])
+        for r in TK.bpe_encode(docs, merges_df, 1, "text", "doc_id").collect()
+    }
+    C.release()
+    assert got == expect
+    # the degenerate guard itself: '' -> exactly [EOW], like [*w, EOW]
+    one = (
+        spark.range(1)
+        .select(TK._initial_symbols(F.lit("")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert one == [TK.EOW]
 
 
 def test_bpe_train_stops_when_pair_vocab_exhausts(spark):
