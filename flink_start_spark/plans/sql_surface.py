@@ -918,6 +918,97 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_sorted_leads(
+    df: DataFrame,
+    name_col: str,
+    key_col: str,
+    w: int = 3,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """``lead(1..w-1)`` over the GLOBAL ``(name, key)`` order without a
+    single-task sort — the scale-safe sorted-neighborhood pass.
+
+    A bare ``Window.orderBy(...)`` plans Exchange SinglePartition +
+    Sort: the whole corpus funnels through one task, the exact
+    single-reducer hazard the plan-quality sweep bans. This helper gets
+    identical output from three bounded pieces:
+
+    1. ``repartitionByRange`` on the sort key (the scalable total-sort
+       topology Spark's own ``orderBy`` uses) + ONE per-range window
+       pass computing leads, row_number and range size. The pass is
+       ``localCheckpoint``-ed: that pins the sampled range boundaries
+       and ``spark_partition_id`` values so every downstream branch
+       sees the SAME partitioning (re-execution would re-sample — the
+       same determinism discipline as operators/graph.py's lineage
+       cuts).
+    2. A heads table: the first w-1 rows of every range, collected into
+       ONE sorted array of (pid, name, key) structs — bounded by
+       (w-1) x shuffle-partitions (cluster config, NOT corpus size;
+       ~400 KB even at 100k partitions), the same bounded class as the
+       allowlisted 1-row totals broadcasts.
+    3. Tail patch: only the last w-1 rows of each range have incomplete
+       in-range leads; they cross-join the 1-row heads array and fill
+       the missing leads from ``slice(filter(heads, h -> h.pid > pid),
+       1, w-1)`` — pure JVM array functions. Range partitioning
+       guarantees every key in pid p+1 sorts after every key in pid p,
+       and short/empty ranges are handled for free because the array
+       holds ALL ranges' heads in global order.
+
+    Returns one row per input row with ``k1/n1 .. k{w-1}/n{w-1}`` lead
+    columns; trailing leads at the very end of the table are NULL,
+    exactly like the single-task formulation.
+    """
+    nm, ky = F.col(name_col), F.col(key_col)
+    if n_partitions is None:
+        ranged = df.repartitionByRange(nm.asc(), ky.asc())
+    else:  # explicit count: tests force 1-row/empty boundary ranges
+        ranged = df.repartitionByRange(n_partitions, nm.asc(), ky.asc())
+    base = ranged.withColumn("pid", F.spark_partition_id())
+    pw = Window.partitionBy("pid").orderBy(nm.asc(), ky.asc())
+    cols = [key_col, name_col, "pid"]
+    for i in range(1, w):
+        cols.append(F.lead(ky, i).over(pw).alias(f"k{i}"))
+        cols.append(F.lead(nm, i).over(pw).alias(f"n{i}"))
+    r = base.select(
+        *cols,
+        F.row_number().over(pw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("cnt"),
+    ).localCheckpoint(eager=False)
+
+    heads_arr = (
+        r.where(F.col("rn") <= w - 1)
+        .select(F.struct(F.col("pid"), nm, ky).alias("h"))
+        .agg(F.sort_array(F.collect_list("h")).alias("heads"))
+    )
+    from_end = F.col("cnt") - F.col("rn")  # 0 = last row of its range
+    out_cols = [key_col, name_col, "pid"] + [
+        f"{p}{i}" for i in range(1, w) for p in ("k", "n")
+    ]
+    mains = r.where(from_end >= w - 1).select(*out_cols)
+    patched = [F.col(key_col), F.col(name_col), F.col("pid")]
+    for i in range(1, w):
+        # lead i is intact in-range iff i <= from_end (that many rows
+        # follow within the range); the missing TRAILING leads continue
+        # into the heads array at 0-based offset i - 1 - from_end
+        take = F.get(F.col("succ"), F.lit(i - 1) - from_end)
+        patched.append(F.coalesce(F.col(f"k{i}"), take[key_col]).alias(f"k{i}"))
+        patched.append(F.coalesce(F.col(f"n{i}"), take[name_col]).alias(f"n{i}"))
+    tails = (
+        r.where(from_end < w - 1)
+        .crossJoin(F.broadcast(heads_arr))
+        .withColumn(
+            "succ",
+            F.slice(
+                F.filter(F.col("heads"), lambda h: h["pid"] > F.col("pid")),
+                1,
+                w - 1,
+            ),
+        )
+        .select(*patched)
+    )
+    return mains.unionByName(tails)
+
+
 @_register(
     "sorted_neighborhood_pairs",
     """
@@ -941,26 +1032,18 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Sorted-neighborhood record linkage (Hernandez '95) - the "
         "second classic blocking discipline next to fuzzy_customer_"
         "pairs' prefix blocking: sort by the match key, compare each "
-        "row only to its w-1 successors (lead() windows, w=3), "
-        "Levenshtein confirm. O(n*w) comparisons regardless of block "
-        "sizes - robust where prefix blocks skew. The total sort is "
-        "a range-partition + local sort at scale; lead() at partition "
-        "edges needs a w-row boundary overlap, noted as the "
-        "production refinement."
+        "row only to its w-1 successors (w=3), Levenshtein confirm. "
+        "O(n*w) comparisons regardless of block sizes - robust where "
+        "prefix blocks skew. The sort is range-partitioned with "
+        "per-range lead() and a bounded heads-array boundary patch "
+        "(global_sorted_leads) - NO single-task total sort; the oracle "
+        "states the same semantics as one global window."
     ),
     tags=("sql", "join", "entity-resolution", "analytic"),
 )
 def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
-    w = Window.orderBy("c_name", "c_custkey")
-    r = cust.select(
-        "c_custkey",
-        "c_name",
-        F.lead("c_custkey", 1).over(w).alias("k1"),
-        F.lead("c_name", 1).over(w).alias("n1"),
-        F.lead("c_custkey", 2).over(w).alias("k2"),
-        F.lead("c_name", 2).over(w).alias("n2"),
-    )
+    r = global_sorted_leads(cust, "c_name", "c_custkey", w=3)
     p1 = r.where(F.col("k1").isNotNull()).select(
         F.col("c_custkey").alias("custkey_a"),
         F.col("k1").alias("custkey_b"),

@@ -50,6 +50,10 @@ _ALLOWED_NESTED_LOOP = {
     "contrastive_triplets",
     # 1-row query-pattern broadcast (the latest week's z-vector)
     "similar_revenue_weeks",
+    # 1-row heads-array broadcast ((w-1) x shuffle-partitions structs,
+    # bounded by cluster config) patching range-boundary leads in the
+    # scale-safe sorted-neighborhood pass (global_sorted_leads)
+    "sorted_neighborhood_pairs",
 }
 
 # Shuffle budget per query, counted as DISTINCT EXCHANGE SHAPES
@@ -114,10 +118,6 @@ _ALLOWED_BOUNDED_WINDOW = {
     "ann_topk_ivf": "kmeans seeding over k*oversample sample rows",
     "kmeans_clusters": "kmeans seeding over k*oversample sample rows",
     "semdedup_flags": "kmeans seeding over k*oversample sample rows",
-    # disclosed single-task sorted-neighborhood pass (blocking variant
-    # exists as fuzzy_customer_pairs; this entry demonstrates the
-    # classic total-order formulation and says so in its description)
-    "sorted_neighborhood_pairs": "disclosed single-task neighborhood sort",
 }
 
 
