@@ -752,12 +752,87 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_classifier_score(docs, "text", "doc_id", n_features=1024)
 
 
+def _bpe_cte(n_merges: int) -> str:
+    """Unrolled-CTE BPE training — the PageRank precedent (plans/cdc.py)
+    applied to the tokenizer: bounded driver-controlled rounds become
+    one CTE chain, giving the iterative operator a FULL hash oracle.
+
+    Per round k: pair counts via ``unnest(range(1, len(syms)))`` +
+    group-by, winner via the same (count DESC, left, right) total-order
+    tie-break, then greedy-left merge application. The application
+    trick: wrap every symbol as ``chr(1)||sym||chr(2)``, join, and
+    ``replace()`` the wrapped pair with the wrapped merged symbol —
+    SQL ``replace`` substitutes left-to-right and non-overlapping,
+    which IS BPE's greedy rule ('aaaa' + (a,a) -> [aa, aa], 'aaa' ->
+    [aa, a]); the per-symbol open/close markers stop prefix false
+    matches ('a','b' never matches inside 'ab') and make consecutive
+    merges independent. chr(1)/chr(2) cannot occur in symbols (the
+    corpus contract's text is printable; the python mirror and Spark
+    fold are marker-free and define semantics for arbitrary text).
+    Empty words are dropped, mirroring operators/tokenize.py.
+    """
+    steps = []
+    for k in range(1, n_merges + 1):
+        p = f"v{k-1}"
+        steps.append(
+            f"""pc{k} AS (
+      SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS pair_count
+      FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM {p})
+      GROUP BY 1, 2),
+    b{k} AS (SELECT l, r, pair_count FROM pc{k}
+             ORDER BY pair_count DESC, l, r LIMIT 1),
+    m{k} AS (SELECT {k}::INT AS step, l, r, l || r AS merged, pair_count
+             FROM b{k}),
+    v{k} AS (
+      SELECT word, cnt,
+             string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1)) AS syms
+      FROM (SELECT word, cnt,
+                   replace(chr(1) || array_to_string(syms, chr(2) || chr(1)) || chr(2),
+                           chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+                           chr(1) || b.l || b.r || chr(2)) AS w
+            FROM {p}, b{k} b))"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH inst AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents),
+    wc AS (SELECT word, count(*)::BIGINT AS cnt FROM inst
+           WHERE word <> '' GROUP BY word),
+    v0 AS (SELECT word, cnt,
+                  list_concat(string_split(word, ''), ['</w>']) AS syms
+           FROM wc),
+    {chain}"""
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    union = " UNION ALL ".join(
+        f'SELECT step, l AS "left", r AS "right", merged, pair_count FROM m{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_cte(n_merges) + f"\n    SELECT * FROM ({union})"
+
+
+def _bpe_token_stats_oracle(n_merges: int) -> str:
+    # encode == the final training vocab state: applying merges 1..n in
+    # order to a fresh word replays exactly the training application
+    return (
+        _bpe_cte(n_merges)
+        + f""",
+    pw AS (SELECT word, len(syms)::BIGINT AS n,
+                  list_aggregate(
+                    list_transform(syms, x -> length(x)), 'sum')::BIGINT AS chars
+           FROM v{n_merges}),
+    j AS (SELECT doc_id, n, chars FROM inst JOIN pw USING (word))
+    SELECT doc_id, sum(n)::BIGINT AS n_bpe_tokens,
+           round(sum(chars)::DOUBLE / sum(n), 6) AS mean_token_len
+    FROM j GROUP BY doc_id"""
+    )
+
+
 @_register(
     "bpe_merges",
-    None,  # iterative list-building folds have no DuckDB twin; the
-    # EXACT check is the pure-python BPE mirror in tests/test_tokenize.py
-    # (same integer pair counts, same (count desc, left, right)
-    # tie-break, same greedy-left application)
+    _bpe_merges_oracle(8),
     description=(
         "BPE tokenizer induction (Sennrich '16): learn the first 8 "
         "character-level merges over the corpus - the merge table a "
@@ -770,7 +845,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "which both bounds re-execution and stops CollapseProject "
         "from inlining round r-1's fold into round r (an exponential "
         "expression blow-up, measured as an optimizer hang). No "
-        "collect(); deterministic end to end."
+        "collect(); deterministic end to end. FULL hash oracle via "
+        "unrolled CTEs (the PageRank precedent) with a greedy-left "
+        "replace() merge; the pure-python mirror in tests/"
+        "test_tokenize.py is a second independent check."
     ),
     tags=("text", "extension", "pipeline", "tokenizer", "iterative"),
 )
@@ -783,9 +861,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "bpe_token_stats",
-    None,  # encode applies the learned (non-SQL-expressible) merge
-    # table; the EXACT check is the pure-python encode mirror in
-    # tests/test_tokenize.py (same merges, same greedy-left application)
+    _bpe_token_stats_oracle(6),
     description=(
         "BPE tokenizer APPLICATION — the other half of the tokenizer "
         "lifecycle (bpe_merges learns the table; this encodes the "
