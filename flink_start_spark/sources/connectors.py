@@ -4,13 +4,16 @@ JDBC/Postgres dependencies with docker-compose environments, but no call
 site in the code ever uses them).
 
 We mirror that surface honestly: fully-formed reader/writer builders for
-each connector, gated behind availability checks, exercised in tests only
-at the configuration level (no broker/DB exists in the test container —
-exactly as none exists in the reference's CI).
-
-Kafka and JDBC are Spark built-ins; Cassandra needs the external
+each connector. Kafka and JDBC are exercised END-TO-END in-process —
+Kafka via a byte-exact frame encode/decode round trip
+(tests/test_kafka_roundtrip.py), JDBC via a live write->partitioned-read
+round trip against embedded Derby (bundled with Spark's distribution;
+tests/test_connectors.py asserts multiset equality plus filter/projection
+pushdown into the JDBC scan). Cassandra needs the external
 spark-cassandra-connector package, so it raises with installation
-guidance when absent.
+guidance when absent and stays config-gated (recorded decision: no
+package installs in this container; the reference itself has zero call
+sites, build.sbt:21).
 """
 
 from __future__ import annotations
