@@ -131,12 +131,117 @@ def _run_streaming_drift(spark, sf_dir: str) -> float:
     return dt
 
 
+#: superlinear-flag rule for --sf-pair: a query is flagged when its
+#: time grows more than data_ratio * SLACK between the two SFs AND the
+#: larger-SF time clears the noise floor (below it, fixed plan/launch
+#: overhead dominates both measurements and the ratio is meaningless).
+PAIR_SLACK = 1.5
+PAIR_FLOOR_SEC = 1.0
+
+
+def _sf_of(dir_path: str):
+    base = os.path.basename(dir_path.rstrip("/"))
+    label = base[2:] if base.startswith("sf") else base
+    try:
+        return label, float(label)
+    except ValueError:
+        return label, None
+
+
+def _pair_mode(spark, args) -> None:
+    """Two-SF scaling check: time every entry at BOTH scale factors and
+    flag superlinear growth — the local proxy for the 100x question.
+    Writes BENCH_SFPAIR.json; the next full bench run embeds its
+    summary into the driver artifact."""
+    a_dir, b_dir = (p.strip() for p in args.sf_pair.split(","))
+    (label_a, sf_a), (label_b, sf_b) = _sf_of(a_dir), _sf_of(b_dir)
+    data_ratio = (sf_b / sf_a) if (sf_a and sf_b) else None
+    names = args.queries or list(QUERIES)
+    load_start = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
+    # warm up JVM/codegen + python worker pool once per SF dir
+    for d in (a_dir, b_dir):
+        _run_once(spark, names[0], d)
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    per_q: dict[str, dict] = {}
+
+    def _mins(fn) -> float:
+        return round(min(fn() for _ in range(args.runs)), 3)
+
+    for name in names:
+        t_a = _mins(lambda: _run_once(spark, name, a_dir))
+        t_b = _mins(lambda: _run_once(spark, name, b_dir))
+        per_q[name] = {"t_a": t_a, "t_b": t_b, "ratio": round(t_b / max(t_a, 1e-6), 2)}
+    if args.queries is None:
+        for sname, fn in (
+            ("streaming_tumbling_events", _run_streaming),
+            ("streaming_session_windows", _run_streaming_sessions),
+            ("streaming_quantiles", _run_streaming_quantiles),
+            ("streaming_drift", _run_streaming_drift),
+        ):
+            t_a = _mins(lambda: fn(spark, a_dir))
+            t_b = _mins(lambda: fn(spark, b_dir))
+            per_q[sname] = {
+                "t_a": t_a, "t_b": t_b, "ratio": round(t_b / max(t_a, 1e-6), 2)
+            }
+
+    threshold = (data_ratio or 10.0) * PAIR_SLACK
+    flagged = sorted(
+        n for n, v in per_q.items()
+        if v["t_b"] > PAIR_FLOOR_SEC and v["ratio"] > threshold
+    )
+    load_end = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
+    out = {
+        "metric": "sf_pair_scaling",
+        "sf_a": label_a,
+        "sf_b": label_b,
+        "data_ratio": data_ratio,
+        "flag_rule": f"ratio > {threshold:g} and t_b > {PAIR_FLOOR_SEC}s",
+        "runs": args.runs,
+        "n_queries": len(per_q),
+        "flagged": flagged,
+        "load_avg_start": load_start,
+        "load_avg_end": load_end,
+        "queries": per_q,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SFPAIR.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+    print(
+        json.dumps(
+            {
+                "metric": "sf_pair_scaling",
+                "sf_pair": f"{label_a}->{label_b}",
+                "n_queries": len(per_q),
+                "flagged": flagged,
+                "max_ratio": max(v["ratio"] for v in per_q.values()),
+                "queries_file": "BENCH_SFPAIR.json",
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument(
+        "--sf-pair",
+        default=None,
+        help="dirA,dirB — time every entry at both SFs and flag "
+        "superlinear growth (writes BENCH_SFPAIR.json)",
+    )
     args = ap.parse_args()
+    if args.sf_pair:
+        spark = get_spark("flink_start_spark_bench")
+        _pair_mode(spark, args)
+        return
 
     base = os.path.basename(args.sf_dir.rstrip("/"))
     sf_label = base[2:] if base.startswith("sf") else base
@@ -236,6 +341,26 @@ def main() -> None:
         "cpus_host": n_cpus,
         "sf": sf,
     }
+    # attach the latest two-SF scaling artifact (produced by a separate
+    # quiet-host `--sf-pair` run — re-measuring both SFs per driver
+    # round would double bench time) so the recorded artifact carries
+    # the superlinear flag list alongside the timings
+    pair_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SFPAIR.json"
+    )
+    if args.queries is None and os.path.exists(pair_path):
+        try:
+            with open(pair_path) as f:
+                pair = json.load(f)
+            full["sf_pair"] = {
+                k: pair.get(k)
+                for k in (
+                    "sf_a", "sf_b", "data_ratio", "flag_rule", "flagged",
+                    "n_queries", "load_avg_start",
+                )
+            }
+        except Exception:  # noqa: BLE001 — a corrupt artifact must not sink the bench
+            pass
     # The driver records only the last ~2000 chars of stdout; the full
     # per-query line exceeds that, so it goes FIRST (and to a file),
     # and the final line is a compact totals JSON guaranteed to fit.
@@ -243,20 +368,20 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         json.dump(full, f)
     print(json.dumps(full))
-    print(
-        json.dumps(
-            {
-                "metric": full["metric"],
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "median_total": full["median_total"],
-                "load_avg_start": load_start,
-                "queries_file": out_name,
-            }
-        )
-    )
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "median_total": full["median_total"],
+        "load_avg_start": load_start,
+        "queries_file": out_name,
+    }
+    if "sf_pair" in full:
+        compact["sf_pair"] = f"{full['sf_pair']['sf_a']}->{full['sf_pair']['sf_b']}"
+        compact["sf_pair_flagged"] = full["sf_pair"]["flagged"]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -51,6 +51,12 @@ def _register(
     tags: tuple[str, ...] = (),
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        if name in QUERIES:
+            # a silent overwrite once shadowed a whole query behind an
+            # unrelated same-named registration (round 5) — the winner
+            # depended on module import order and the loser's oracle
+            # vanished without any test noticing
+            raise ValueError(f"duplicate catalog query name: {name!r}")
         QUERIES[name] = Query(name, fn, oracle, description, tags)
         return fn
 

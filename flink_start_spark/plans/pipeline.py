@@ -1457,3 +1457,57 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return D.contrastive_triplets(docs, "text", "doc_id", threshold=0.5)
+
+
+@_register(
+    "pack_layout",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(trim(text), ' '),
+                             w -> w <> ''))::BIGINT AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS start_offset
+      FROM t)
+    SELECT doc_id, n_tokens, start_offset,
+           (start_offset // 512)::BIGINT AS pack_id,
+           (start_offset % 512)::BIGINT AS offset_in_pack,
+           (CASE WHEN n_tokens > 0
+                 THEN (start_offset + n_tokens - 1) // 512
+                 ELSE start_offset // 512 END)::BIGINT AS end_pack_id
+    FROM s
+    """,
+    description=(
+        "Per-DOCUMENT pack layout (operators/packing.py) - the "
+        "complement of sequence_packing's per-pack occupancy summary: "
+        "documents laid out in id order as ONE concatenated token "
+        "stream sliced into 512-token contexts, emitting each "
+        "document's stream offset, first/last pack id, and in-pack "
+        "offset (end_pack_id > pack_id when the document straddles a "
+        "boundary - the standard pretraining semantics where documents "
+        "may span contexts). This is the table a dataloader shards by "
+        "pack_id. The exclusive prefix sum rides the two-phase "
+        "bucket-offset rank (operators/selection.py) - per-bucket "
+        "partials + bounded histogram prefix fold + in-bucket window, "
+        "NO global sort task; pack arithmetic is integral `div` "
+        "(offsets at 100 TB exceed double's exact range). The oracle "
+        "states the same semantics as one global running-sum window."
+    ),
+    tags=("text", "extension", "pipeline", "training", "layout"),
+)
+def q_pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.functions import texthash as TH
+    from flink_start_spark.operators import packing as P
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    lens = docs.select(
+        "doc_id",
+        F.size(F.filter(TH.words(F.col("text")), lambda w: w != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return P.sequence_pack(lens, "doc_id", "n_tokens", window=512)

@@ -37,6 +37,7 @@ _ALLOWED_NESTED_LOOP = {
     # 1-row broadcasts
     "count_trigger_cumulative",
     "count_trigger_buckets",
+    "pack_layout",
     # 1-row mixture-normalizer broadcast (crossJoin of the totals row)
     "source_mixture_weights",
     # 1-row (total, count) broadcast for the cross-multiplied
