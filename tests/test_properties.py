@@ -662,3 +662,72 @@ def test_latest_per_key_matches_python_max(spark, rows):
         if k not in expect or cand > expect[k]:
             expect[k] = cand
     assert got == {k: (v[1][0], v[1][1]) for k, v in expect.items()}
+
+
+_pack_lens = st.lists(
+    st.integers(min_value=0, max_value=300), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_pack_lens)
+def test_sequence_pack_matches_python_prefix_layout(spark, lens):
+    """Randomized token lengths (zeros, window-straddlers, window-sized
+    exact fits) vs the pure-python concatenated-stream layout."""
+    from flink_start_spark.operators.packing import sequence_pack
+
+    window = 100
+    df = spark.createDataFrame(list(enumerate(lens)), "doc_id long, n long")
+    got = {
+        r["doc_id"]: (
+            r["start_offset"], r["pack_id"], r["offset_in_pack"], r["end_pack_id"]
+        )
+        for r in sequence_pack(df, "doc_id", "n", window).collect()
+    }
+    start, expect = 0, {}
+    for i, n in enumerate(lens):
+        pack = start // window
+        end_pack = (start + n - 1) // window if n > 0 else pack
+        expect[i] = (start, pack, start % window, end_pack)
+        start += n
+    assert got == expect
+
+
+_lead_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["aa", "ab", "ba", "zz"]),  # heavy name ties
+        st.integers(min_value=0, max_value=60),
+    ),
+    min_size=0,
+    max_size=30,
+    unique_by=lambda t: t[1],  # unique keys, names collide freely
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_lead_rows, st.integers(min_value=1, max_value=8))
+def test_global_sorted_leads_matches_python_total_order(spark, rows, nparts):
+    """Randomized (duplicate-heavy names, random partition counts
+    including far-more-ranges-than-rows) vs leads over the python-sorted
+    total order — the boundary-patch correctness under every range
+    shape hypothesis can produce."""
+    from flink_start_spark.plans.sql_surface import global_sorted_leads
+
+    df = spark.createDataFrame(rows, "name string, key long")
+    out = global_sorted_leads(df, "name", "key", w=3, n_partitions=nparts)
+    got = {
+        (r["name"], r["key"]): (r["k1"], r["n1"], r["k2"], r["n2"])
+        for r in out.collect()
+    }
+    srt = sorted(rows)
+    expect = {}
+    for i, (nm, k) in enumerate(srt):
+        vals = []
+        for d in (1, 2):
+            if i + d < len(srt):
+                nn, kk = srt[i + d]
+                vals += [kk, nn]
+            else:
+                vals += [None, None]
+        expect[(nm, k)] = tuple(vals)
+    assert got == expect
