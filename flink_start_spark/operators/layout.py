@@ -110,6 +110,53 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_files_per_partition: int = 1,
+) -> None:
+    """Persist ``df`` hive-partitioned by ``partition_cols`` — the
+    coarse-pruning layout every 100 TB fact table uses (typically a
+    date/region column of O(10^2..10^4) values; NEVER a high-cardinality
+    key, which would explode the file count).
+
+    What it buys at scale, both enforced by tests/test_layout.py:
+
+    - **static pruning**: a literal predicate on a partition column
+      becomes a directory listing cut — the scan's PartitionFilters,
+      zero data read outside matching directories;
+    - **dynamic partition pruning (DPP)**: a JOIN to a filtered
+      dimension prunes fact partitions at RUNTIME — Spark plans a
+      ``dynamicpruning`` subquery on the broadcast side and skips fact
+      partitions whose keys the dimension filter eliminated. This is
+      the single biggest scan lever for star-schema joins on
+      partitioned facts (TPC-DS-style plans routinely skip >90 % of
+      partitions).
+
+    The pre-write ``repartition(partition_cols [, salt])`` co-locates
+    each partition's rows so every partition directory gets
+    ``max_files_per_partition`` file(s) instead of one file per
+    (task x partition) — the small-files hazard of naive partitionBy
+    writes. ``max_files_per_partition > 1`` adds a hash salt so a huge
+    partition still writes in parallel.
+    """
+    cols: list = [F.col(c) for c in partition_cols]
+    if max_files_per_partition > 1:
+        cols.append(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(max_files_per_partition),
+            )
+        )
+    (
+        df.repartition(*cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def compact_small_files(
     spark,
     path: str,

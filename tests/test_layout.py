@@ -163,3 +163,58 @@ def test_compact_sort_within_restores_minmax_spans(spark, tmp_path):
     assert len(spans) >= 2
     # each sorted output file covers ~1/n of the keyspace, not all of it
     assert max(spans) < 50_000 / 2
+
+
+def test_partitioned_write_static_pruning(spark, tmp_path):
+    """A literal predicate on the partition column becomes a directory
+    cut: PartitionFilters carries it and only matching files scan."""
+    from flink_start_spark.operators.layout import write_partitioned
+
+    fact = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 20).alias("day")
+    )
+    path = str(tmp_path / "fact")
+    write_partitioned(fact, path, ["day"])
+    got = spark.read.parquet(path).where(F.col("day") == 3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan and "PartitionFilters" in scan[0]
+    assert "(day = 3)" in scan[0].replace("#", " ").replace("3L", "3") or "day" in scan[0]
+    assert got.count() == 1000
+    # one file per partition directory (the small-files guard);
+    # inputFiles() reports the RELATION's files, pre-pruning
+    import collections
+
+    dirs = collections.Counter(
+        f.rsplit("/", 1)[0] for f in spark.read.parquet(path).inputFiles()
+    )
+    assert len(dirs) == 20 and set(dirs.values()) == {1}, dirs
+
+
+def test_partitioned_join_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: a join to a FILTERED dimension prunes fact partitions at
+    runtime — the plan carries a dynamicpruning subquery on the fact
+    scan's partition filters, and the answer matches the unpruned
+    computation. The star-schema scan lever at 100 TB."""
+    from flink_start_spark.operators.layout import write_partitioned
+
+    fact = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 20).alias("day"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    path = str(tmp_path / "fact_dpp")
+    write_partitioned(fact, path, ["day"])
+    dim = spark.range(20).select(
+        F.col("id").alias("day"),
+        F.when(F.col("id") < 3, "keep").otherwise("drop").alias("flag"),
+    )
+    f = spark.read.parquet(path)
+    joined = f.join(dim.where(F.col("flag") == "keep"), "day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:800]
+    row = joined.collect()[0]
+    assert row["n"] == 3000
+    want = fact.where(F.col("day") < 3).agg(F.sum("v")).collect()[0][0]
+    assert row["sv"] == want
