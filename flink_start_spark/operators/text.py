@@ -792,3 +792,126 @@ def doc_chunks(
         F.size("_c.cw").cast("long").alias("n_words"),
         F.md5(F.array_join("_c.cw", " ")).alias("chunk_md5"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Bigram language-model scoring — the conditional-probability
+    upgrade of :func:`unigram_logprob_score`: mean negative
+    ``ln P(w_i | w_{i-1})`` per document under the corpus's own bigram
+    distribution with add-one smoothing,
+    ``P(cur | prev) = (C(prev,cur) + 1) / (C(prev,.) + V)``.
+    A unigram score can't see scrambled word order or stitched-together
+    boilerplate (every token is individually common); the bigram score
+    can — the standard next rung of the CCNet-style perplexity filter.
+
+    Engine-exactness: per-pair logs integer-quantized
+    (``floor(ln(p) * 2^20)``) before summing, like every LM/PMI/PSI
+    term in this repo. Documents with fewer than 2 tokens have no
+    bigrams and are absent from the output (mirrored by the oracle).
+
+    Scale shape: pair extraction is IN-ROW (``arrays_zip`` of the
+    shifted word array — no position self-join), then one
+    (prev,cur)-keyed count, one prev-keyed count, a 1-row vocabulary
+    broadcast, and one doc groupBy. All join keys are
+    unbounded-cardinality token pairs/tokens.
+    """
+    w = TH.words(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(w, 1, F.size(w) - 1), F.slice(w, 2, F.size(w) - 1)
+    )
+    inst = df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        F.col(id_col),
+        F.col("_p")["0"].alias("prev"),
+        F.col("_p")["1"].alias("cur"),
+    )
+    inst = C.track(inst)
+    bc = inst.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_cb"))
+    cc = inst.groupBy("prev").agg(F.count(F.lit(1)).alias("_cp"))
+    vocab = df.select(
+        F.explode(TH.words(F.col(text_col))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("_v"))
+    scored = (
+        inst.join(bc, ["prev", "cur"])
+        .join(cc, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.log(
+                    (F.col("_cb") + 1).cast("double")
+                    / (F.col("_cp") + F.col("_v"))
+                )
+                * quant
+            ).alias("_q"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.sum("_q") / (F.count(F.lit(1)) * float(quant)), 6).alias(
+            "mean_neg_logprob"
+        ),
+    )
+
+
+def source_token_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Per-source KL divergence of the source's token distribution from
+    the whole-corpus distribution — the mixture-design audit: a source
+    with near-zero KL duplicates what the rest of the corpus already
+    provides; a high-KL source contributes distinct text (or is an
+    outlier to inspect). Complements ``source_mixture_weights`` (which
+    sets rates by SIZE) with a CONTENT-divergence signal.
+
+    ``KL(source || corpus) = sum_tok p_s(tok) * (ln p_s(tok) - ln p(tok))``
+    over the source's own tokens (p_s > 0 everywhere it is evaluated;
+    the corpus marginal contains every source token, so no smoothing is
+    needed). Each log is integer-quantized separately and the weighted
+    sum ``sum(c_st * (q_s - q))`` is exact integer arithmetic — the
+    division by ``n_s * 2^20`` happens once at the end.
+
+    Scale shape: ONE explode scan -> (source, tok) counts; the token
+    marginal and per-source totals derive from that relation (map-side
+    collapse); the only non-broadcast join key is ``tok``
+    (unbounded-cardinality).
+    """
+    st = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(TH.words(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("_cst"))
+    )
+    st = C.track(st)
+    tot_tok = st.groupBy("tok").agg(F.sum("_cst").alias("_ct"))
+    tot_src = st.groupBy("source").agg(F.sum("_cst").alias("_ns"))
+    tot_all = st.agg(F.sum("_cst").alias("_n"))
+    q_s = F.floor(
+        F.log(F.col("_cst").cast("double") / F.col("_ns")) * quant
+    )
+    q_c = F.floor(F.log(F.col("_ct").cast("double") / F.col("_n")) * quant)
+    terms = (
+        st.join(tot_tok, "tok")
+        .join(F.broadcast(tot_src), "source")
+        .crossJoin(F.broadcast(tot_all))
+        .select(
+            "source",
+            F.col("_ns"),
+            (F.col("_cst") * (q_s - q_c)).cast("long").alias("_t"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.first("_ns").alias("n_tokens"),
+        F.round(F.sum("_t") / (F.first("_ns") * float(quant)), 6).alias(
+            "kl_to_corpus"
+        ),
+    )

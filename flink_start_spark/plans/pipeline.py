@@ -1511,3 +1511,80 @@ def q_pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
     )
     return P.sequence_pack(lens, "doc_id", "n_tokens", window=512)
+
+
+@_register(
+    "bigram_logprob_score",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    i AS (SELECT doc_id, w[x] AS prev, w[x+1] AS cur
+          FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS x FROM w)),
+    bc AS (SELECT prev, cur, count(*) AS cb FROM i GROUP BY prev, cur),
+    cc AS (SELECT prev, count(*) AS cp FROM i GROUP BY prev),
+    v AS (SELECT count(DISTINCT tok) AS vv
+          FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+                FROM documents)),
+    s AS (SELECT doc_id, floor(ln((cb + 1)::DOUBLE / (cp + vv)) * 1048576) AS q
+          FROM i JOIN bc USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v)
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(-sum(q) / (count(*) * 1048576.0), 6) AS mean_neg_logprob
+    FROM s GROUP BY doc_id
+    """,
+    description=(
+        "Bigram LM scoring (operators/text.py::bigram_logprob_score): "
+        "mean negative ln P(cur|prev) per document under the corpus's "
+        "own add-one-smoothed bigram distribution - the conditional-"
+        "probability rung above unigram_logprob_score (word-order "
+        "scrambles and stitched boilerplate score high here while "
+        "every token is individually common). Pair extraction is "
+        "IN-ROW (arrays_zip of the shifted word array - no position "
+        "self-join); per-pair logs integer-quantized (floor(ln*2^20)) "
+        "for cross-engine bit-exactness; vocabulary size rides a "
+        "1-row broadcast. Docs with <2 tokens have no bigrams and are "
+        "absent on both engines."
+    ),
+    tags=("text", "extension", "pipeline", "lm"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.bigram_logprob_score(docs, "text", "doc_id")
+
+
+@_register(
+    "source_token_kl",
+    """
+    WITH t AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents),
+    st AS (SELECT source, tok, count(*)::BIGINT AS cst FROM t
+           GROUP BY source, tok),
+    tt AS (SELECT tok, sum(cst)::BIGINT AS ct FROM st GROUP BY tok),
+    ts AS (SELECT source, sum(cst)::BIGINT AS ns FROM st GROUP BY source),
+    n AS (SELECT sum(cst)::BIGINT AS nn FROM st),
+    terms AS (
+      SELECT source, ns,
+             (cst * (floor(ln(cst::DOUBLE / ns) * 1048576)
+                   - floor(ln(ct::DOUBLE / nn) * 1048576)))::BIGINT AS t
+      FROM st JOIN tt USING (tok) JOIN ts USING (source) CROSS JOIN n)
+    SELECT source, max(ns) AS n_tokens,
+           round(sum(t) / (max(ns) * 1048576.0), 6) AS kl_to_corpus
+    FROM terms GROUP BY source
+    """,
+    description=(
+        "Per-source KL divergence of the token distribution from the "
+        "corpus marginal (operators/text.py::source_token_kl) - the "
+        "CONTENT-divergence companion to source_mixture_weights' "
+        "size-based rates: near-zero KL = the source duplicates what "
+        "the corpus already has; high KL = distinct text (or an "
+        "outlier to inspect) - the signal a mixture designer weighs "
+        "against size. No smoothing needed (the corpus marginal "
+        "contains every source token); both logs integer-quantized "
+        "separately so the weighted sum c_st*(q_s - q_c) is EXACT "
+        "integer arithmetic, divided once at the end. ONE explode "
+        "scan; the only non-broadcast join key is the unbounded-"
+        "cardinality token."
+    ),
+    tags=("text", "extension", "pipeline", "curation"),
+)
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    return TX.source_token_kl(docs, "text", "source")

@@ -94,6 +94,11 @@ _REPRESENTATIVE = [
     "feature_drift_psi",
     "revenue_anomaly_days",
     "similar_revenue_weeks",
+    # round 5 families: per-document pack layout (un-keyed prefix sum
+    # over zero rows), bigram LM, per-source KL
+    "pack_layout",
+    "bigram_logprob_score",
+    "source_token_kl",
 ]
 
 

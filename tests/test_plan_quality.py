@@ -31,6 +31,8 @@ _ALLOWED_NESTED_LOOP = {
     "knn_label_purity",
     # 1-row corpus-total broadcasts (crossJoin of global count rows)
     "unigram_logprob_score",
+    "bigram_logprob_score",
+    "source_token_kl",
     "pmi_collocations",
     # un-keyed two-phase rank/sum (operators/selection.py): the global
     # stats row and the bucket-histogram prefix table flow back as
