@@ -886,3 +886,89 @@ def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("signup_only"))
     )
     return p.groupBy(stage.alias("stage")).agg(F.count("*").alias("n_users"))
+
+
+@_register(
+    "peak_concurrent_sessions",
+    """
+    WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+    b AS (SELECT user_id, us,
+            CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                      > 1800 * 1000000
+                 OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                 THEN 1 ELSE 0 END AS brk
+          FROM o),
+    g AS (SELECT user_id, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM b),
+    s AS (SELECT user_id, min(us) AS s_us, max(us) + 1800 * 1000000 AS e_us
+          FROM g GROUP BY user_id, sid),
+    p AS (SELECT s_us * 2 + 1 AS k, 1 AS d FROM s
+          UNION ALL SELECT e_us * 2, -1 FROM s),
+    gp AS (SELECT k, sum(d) AS delta FROM p GROUP BY k),
+    r AS (SELECT k, sum(delta) OVER (ORDER BY k
+                                     ROWS UNBOUNDED PRECEDING) AS running
+          FROM gp),
+    m AS (SELECT max(running) AS peak FROM r)
+    SELECT max(peak)::BIGINT AS peak_concurrent,
+           (min(k) // 2 // 1000000)::BIGINT AS first_peak_epoch_s
+    FROM r, m WHERE running = peak
+    """,
+    description=(
+        "Peak concurrency via an interval sweep - the classic range-"
+        "analytics question (max simultaneously-open sessions; same "
+        "shape as max in-flight orders / max concurrent calls): "
+        "sessionize per user (30 min gap), explode each session into "
+        "+1/-1 endpoint deltas encoded as us*2+bit so an end at time t "
+        "sorts BEFORE a start at t (half-open intervals, no phantom "
+        "overlap at the boundary), pre-aggregate deltas per encoded "
+        "instant (which also makes the sweep order unique), then a "
+        "GLOBAL running sum over the two-phase bucket-offset topology "
+        "(operators/selection.py) - no single-task sort even though "
+        "the sweep is a total order. Peak flows back as a 1-row "
+        "broadcast to pick the earliest instant it is reached. "
+        "Within-instant ordering cannot hide a higher peak: all -1s "
+        "of an instant apply before all +1s, and each group's "
+        "extremum is attained at a group boundary the running sum "
+        "visits."
+    ),
+    tags=("windows", "sessions", "analytic", "extension"),
+)
+def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.operators import selection as S
+    from flink_start_spark.operators import windows as W
+
+    ev = load_table(spark, "events", sf_dir)
+    sess = W.session_window_agg(
+        ev, "30 minutes", F.count(F.lit(1)).alias("n_events"), keys=["user_id"]
+    )
+    pts = sess.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.unix_micros(F.col("window_start")) * 2 + 1).alias("k"),
+                    F.lit(1).alias("d"),
+                ),
+                F.struct(
+                    (F.unix_micros(F.col("window_end")) * 2).alias("k"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.k").alias("k"), F.col("e.d").alias("d"))
+    grouped = pts.groupBy("k").agg(F.sum("d").alias("delta"))
+    run = S.with_rank_and_sum(
+        grouped, [], "k", "delta", out_rank="_rn", out_sum="running"
+    )
+    peak = run.agg(F.max("running").alias("peak_concurrent"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .where(F.col("running") == F.col("peak_concurrent"))
+        .agg(
+            F.max("peak_concurrent").alias("peak_concurrent"),
+            F.expr("CAST((min(k) div 2) div 1000000 AS BIGINT)").alias(
+                "first_peak_epoch_s"
+            ),
+        )
+    )

@@ -89,8 +89,9 @@ _REPRESENTATIVE = [
     "pagerank_copurchase",
     "bpe_token_stats",
     "contrastive_triplets",
-    # monitoring family (ab_test_zscore is excluded: a global aggregate
-    # emits one all-null row on empty input by SQL semantics)
+    # monitoring family (ab_test_zscore and peak_concurrent_sessions are
+    # excluded: a global no-groupBy aggregate emits one all-null row on
+    # empty input by SQL semantics — identically on both engines)
     "feature_drift_psi",
     "revenue_anomaly_days",
     "similar_revenue_weeks",

@@ -40,6 +40,8 @@ _ALLOWED_NESTED_LOOP = {
     "count_trigger_cumulative",
     "count_trigger_buckets",
     "pack_layout",
+    # un-keyed interval sweep: two-phase running sum + 1-row peak
+    "peak_concurrent_sessions",
     # 1-row mixture-normalizer broadcast (crossJoin of the totals row)
     "source_mixture_weights",
     # 1-row (total, count) broadcast for the cross-multiplied
