@@ -69,8 +69,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # Streaming state: RocksDB would be the cluster choice; the local
-        # HDFS-backed store is fine for tests and needs no native libs.
+        # Streaming state: RocksDB is the cluster choice (off-heap/
+        # on-disk state beyond executor heap); the local HDFS-backed
+        # store stays the test default, and result parity between the
+        # two providers is pinned by tests/test_streaming_state_store.py
+        # so flipping providerClass in production changes nothing but
+        # capacity.
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
     )
     if extra_conf:
