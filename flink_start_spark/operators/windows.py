@@ -129,6 +129,65 @@ def session_window_agg(
     )
 
 
+def interval_peak(
+    df: DataFrame,
+    start_us_col: str,
+    end_us_col: str,
+) -> DataFrame:
+    """Peak concurrency of half-open microsecond intervals
+    ``[start, end)`` — the classic range-analytics sweep (max
+    simultaneously-open sessions / in-flight orders / concurrent
+    calls), scale-safe.
+
+    Each interval becomes +1/-1 endpoint deltas encoded ``us*2 + bit``
+    (bit 1 for starts) so an end at instant t sorts BEFORE a start at
+    t — adjacent intervals never phantom-overlap. Deltas pre-aggregate
+    per encoded instant, which (a) shrinks the sweep relation to
+    distinct instants and (b) makes the sweep order UNIQUE, the
+    contract the two-phase running sum requires. Within-instant
+    ordering cannot hide a higher peak: all -1s of an instant apply
+    before all +1s, and each group's extremum is attained at a group
+    boundary the aggregated running sum visits.
+
+    Returns ONE row: ``peak_concurrent`` and ``first_peak_epoch_s``
+    (the earliest instant the peak is reached, epoch seconds — the
+    repo's cross-engine window-bound convention). Empty input yields
+    one all-null row (global-aggregate SQL semantics, identical on
+    both engines).
+    """
+    from flink_start_spark.operators import selection as S
+
+    pts = df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col(start_us_col) * 2 + 1).alias("k"),
+                    F.lit(1).alias("d"),
+                ),
+                F.struct(
+                    (F.col(end_us_col) * 2).alias("k"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.k").alias("k"), F.col("e.d").alias("d"))
+    grouped = pts.groupBy("k").agg(F.sum("d").alias("delta"))
+    run = S.with_rank_and_sum(
+        grouped, [], "k", "delta", out_rank="_rn", out_sum="running"
+    )
+    peak = run.agg(F.max("running").alias("peak_concurrent"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .where(F.col("running") == F.col("peak_concurrent"))
+        .agg(
+            F.max("peak_concurrent").alias("peak_concurrent"),
+            F.expr("CAST((min(k) div 2) div 1000000 AS BIGINT)").alias(
+                "first_peak_epoch_s"
+            ),
+        )
+    )
+
+
 def count_trigger_cumulative(
     df: DataFrame,
     pred: Column,

@@ -936,39 +936,14 @@ def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("windows", "sessions", "analytic", "extension"),
 )
 def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_start_spark.operators import selection as S
     from flink_start_spark.operators import windows as W
 
     ev = load_table(spark, "events", sf_dir)
     sess = W.session_window_agg(
         ev, "30 minutes", F.count(F.lit(1)).alias("n_events"), keys=["user_id"]
     )
-    pts = sess.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    (F.unix_micros(F.col("window_start")) * 2 + 1).alias("k"),
-                    F.lit(1).alias("d"),
-                ),
-                F.struct(
-                    (F.unix_micros(F.col("window_end")) * 2).alias("k"),
-                    F.lit(-1).alias("d"),
-                ),
-            )
-        ).alias("e")
-    ).select(F.col("e.k").alias("k"), F.col("e.d").alias("d"))
-    grouped = pts.groupBy("k").agg(F.sum("d").alias("delta"))
-    run = S.with_rank_and_sum(
-        grouped, [], "k", "delta", out_rank="_rn", out_sum="running"
+    iv = sess.select(
+        F.unix_micros(F.col("window_start")).alias("s_us"),
+        F.unix_micros(F.col("window_end")).alias("e_us"),
     )
-    peak = run.agg(F.max("running").alias("peak_concurrent"))
-    return (
-        run.crossJoin(F.broadcast(peak))
-        .where(F.col("running") == F.col("peak_concurrent"))
-        .agg(
-            F.max("peak_concurrent").alias("peak_concurrent"),
-            F.expr("CAST((min(k) div 2) div 1000000 AS BIGINT)").alias(
-                "first_peak_epoch_s"
-            ),
-        )
-    )
+    return W.interval_peak(iv, "s_us", "e_us")

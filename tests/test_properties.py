@@ -731,3 +731,33 @@ def test_global_sorted_leads_matches_python_total_order(spark, rows, nparts):
                 vals += [None, None]
         expect[(nm, k)] = tuple(vals)
     assert got == expect
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),   # start second
+        st.integers(min_value=1, max_value=20),   # duration seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_intervals)
+def test_interval_peak_matches_brute_force(spark, iv):
+    """Randomized half-open intervals (shared endpoints, containments,
+    duplicates) vs brute-force concurrency evaluated at every start
+    instant — where a max of half-open intervals is always attained."""
+    from flink_start_spark.operators.windows import interval_peak
+
+    rows = [(s * 1_000_000, (s + d) * 1_000_000) for s, d in iv]
+    df = spark.createDataFrame(rows, "s_us long, e_us long")
+    got = interval_peak(df, "s_us", "e_us").collect()[0]
+    best, at = 0, None
+    for t in sorted({s for s, _ in rows}):
+        c = sum(1 for s, e in rows if s <= t < e)
+        if c > best:
+            best, at = c, t
+    assert got["peak_concurrent"] == best
+    assert got["first_peak_epoch_s"] == at // 1_000_000
