@@ -155,7 +155,16 @@ def _pair_mode(spark, args) -> None:
     summary into the driver artifact."""
     a_dir, b_dir = (p.strip() for p in args.sf_pair.split(","))
     (label_a, sf_a), (label_b, sf_b) = _sf_of(a_dir), _sf_of(b_dir)
-    data_ratio = (sf_b / sf_a) if (sf_a and sf_b) else None
+    if not sf_a or not sf_b:
+        # a fabricated default ratio would mis-flag (or miss) real
+        # superlinearity — the flag rule is only meaningful relative to
+        # the true data-size ratio, which the sf<float> label encodes
+        raise SystemExit(
+            "--sf-pair requires sf<float>-labelled directories "
+            f"(got {label_a!r}, {label_b!r}) so the superlinear flag "
+            "threshold reflects the real data ratio"
+        )
+    data_ratio = sf_b / sf_a
     names = args.queries or list(QUERIES)
     load_start = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
     # warm up JVM/codegen + python worker pool once per SF dir
@@ -187,7 +196,7 @@ def _pair_mode(spark, args) -> None:
                 "t_a": t_a, "t_b": t_b, "ratio": round(t_b / max(t_a, 1e-6), 2)
             }
 
-    threshold = (data_ratio or 10.0) * PAIR_SLACK
+    threshold = data_ratio * PAIR_SLACK
     flagged = sorted(
         n for n, v in per_q.items()
         if v["t_b"] > PAIR_FLOOR_SEC and v["ratio"] > threshold
@@ -243,8 +252,7 @@ def main() -> None:
         _pair_mode(spark, args)
         return
 
-    base = os.path.basename(args.sf_dir.rstrip("/"))
-    sf_label = base[2:] if base.startswith("sf") else base
+    sf_label, _ = _sf_of(args.sf_dir)
     spark = get_spark("flink_start_spark_bench")
 
     names = args.queries or list(QUERIES)

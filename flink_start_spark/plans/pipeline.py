@@ -774,6 +774,14 @@ def _bpe_cte(n_merges: int) -> str:
     steps = []
     for k in range(1, n_merges + 1):
         p = f"v{k-1}"
+        # v{k} uses LEFT JOIN ON TRUE, NOT a cross join: when the pair
+        # vocabulary exhausts before round k, b{k} is empty and a cross
+        # join would annihilate the vocab (cascading to a 0-row encode
+        # while Spark's train loop stops and freezes it — the round-5
+        # review catch). The left join keeps one NULL-merge row per
+        # word and the CASE freezes syms, mirroring Spark's early stop;
+        # b{k} empty implies pc{k} empty, so later rounds stay frozen
+        # too and the merges union is the same learned prefix.
         steps.append(
             f"""pc{k} AS (
       SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS pair_count
@@ -785,12 +793,15 @@ def _bpe_cte(n_merges: int) -> str:
              FROM b{k}),
     v{k} AS (
       SELECT word, cnt,
-             string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1)) AS syms
-      FROM (SELECT word, cnt,
-                   replace(chr(1) || array_to_string(syms, chr(2) || chr(1)) || chr(2),
-                           chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
-                           chr(1) || b.l || b.r || chr(2)) AS w
-            FROM {p}, b{k} b))"""
+             CASE WHEN w IS NULL THEN syms
+                  ELSE string_split(substr(w, 2, length(w) - 2),
+                                    chr(2) || chr(1)) END AS syms
+      FROM (SELECT word, cnt, syms,
+                   CASE WHEN b.l IS NULL THEN NULL
+                        ELSE replace(chr(1) || array_to_string(syms, chr(2) || chr(1)) || chr(2),
+                                     chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+                                     chr(1) || b.l || b.r || chr(2)) END AS w
+            FROM {p} LEFT JOIN b{k} b ON true))"""
         )
     chain = ",\n    ".join(steps)
     return f"""

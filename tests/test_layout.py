@@ -179,7 +179,14 @@ def test_partitioned_write_static_pruning(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scan and "PartitionFilters" in scan[0]
-    assert "(day = 3)" in scan[0].replace("#", " ").replace("3L", "3") or "day" in scan[0]
+    # the predicate must sit INSIDE the PartitionFilters group (the
+    # column name also appears in the output list, so a whole-line
+    # substring check would be vacuous — round-5 review catch)
+    import re as _re
+
+    pf = scan[0].split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    pf_norm = _re.sub(r"#\d+L?", "", pf)
+    assert "(day = 3)" in pf_norm, pf
     assert got.count() == 1000
     # one file per partition directory (the small-files guard);
     # inputFiles() reports the RELATION's files, pre-pruning

@@ -227,6 +227,12 @@ def test_plan_is_scale_safe(spark, name):
     if name not in _ALLOWED_NESTED_LOOP:
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    # Python on the hot path is Arrow-vectorized ONLY: row-at-a-time
+    # Python UDFs (BatchEvalPython) are banned outright — 10-100x slower
+    # than the codegen'd/Arrow paths, and nothing in the catalog needs
+    # one. (ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas are the
+    # allowed vectorized idioms.)
+    assert "BatchEvalPython" not in plan, name
     # count DISTINCT exchange SHAPES (partitioning text with expr ids
     # and plan ids stripped): plan_id counting is unstable — an
     # UNMATERIALIZED cached subtree compiles one physical instance per

@@ -58,11 +58,13 @@ def _assert_no_single_task_window(df):
     # RDD scan (the range exchange ran inside it — the correctness
     # tests above prove the per-range leads + boundary patch semantics).
     assert "rangepartitioning" in plan or "Scan ExistingRDD" in plan
-    for i, line in enumerate(plan.splitlines()):
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line:
             # only the bounded heads-array aggregate may collapse to one
             # partition; a Sort directly above it would be the hazard
-            assert "Sort" not in plan.splitlines()[max(0, i - 2): i], line
+            window = lines[max(0, i - 2): i]
+            assert not any("Sort" in ln for ln in window), (line, window)
 
 
 def test_skewed_fixture_matches_global_window(spark):

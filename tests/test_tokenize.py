@@ -188,3 +188,47 @@ def test_bpe_train_stops_when_pair_vocab_exhausts(spark):
     assert len(out) == 1 and out[0]["n_bpe_tokens"] >= 1
     with pytest.raises(ValueError, match="merge table has"):
         TK.bpe_encode(docs, merges, 5, "text", "doc_id")
+
+
+def test_bpe_oracle_survives_early_vocab_exhaustion(spark):
+    """Round-5 review catch: the unrolled-CTE oracle's per-round merge
+    application used a CROSS join to the 1-row winner — an EMPTY round
+    (pair vocabulary exhausted before n_merges) annihilated the vocab
+    and the encode oracle returned 0 rows while Spark froze the vocab
+    and returned per-doc stats. The LEFT JOIN ON TRUE form must agree
+    with Spark on a corpus that exhausts after ~2 merges."""
+    import duckdb
+
+    from flink_start_spark.plans import QUERIES
+
+    texts = [(0, "a a aa"), (1, "a aa aa a")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = TK.bpe_train(docs, "text", n_merges=6)
+    n_learned = merges.count()
+    assert n_learned < 6  # the fixture really exhausts early
+    got_spark = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["mean_token_len"])
+        for r in TK.bpe_encode(docs, merges, n_learned).collect()
+    }
+    got_merges = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("step").collect()
+    ]
+    C.release()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES (0, 'a a aa'), "
+        "(1, 'a aa aa a')) t(doc_id, text)"
+    )
+    oracle_stats = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(QUERIES["bpe_token_stats"].oracle).fetchall()
+    }
+    oracle_merges = sorted(
+        con.execute(QUERIES["bpe_merges"].oracle).fetchall()
+    )
+    assert oracle_stats == got_spark and len(oracle_stats) == 2
+    # bpe_merges trains 8 rounds vs the 6 above: compare the shared
+    # learned prefix (both stop at the same exhaustion point)
+    assert oracle_merges == got_merges
