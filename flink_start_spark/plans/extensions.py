@@ -1664,3 +1664,74 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _lsh_recall_oracle() -> str:
+    # composed from the two registered oracles (same module, already
+    # registered above — order-safe); standard SQL allows a WITH inside
+    # a CTE subquery, so each pipeline keeps its own CTE namespace
+    from flink_start_spark.plans.catalog import QUERIES as _Q
+
+    lsh_sql = _Q["dedup_minhash_lsh"].oracle
+    ex_sql = _Q["ppjoin_exact_pairs"].oracle
+    return f"""
+    WITH lsh AS ({lsh_sql}),
+    ex AS ({ex_sql}),
+    j AS (SELECT coalesce(ex.id_a, lsh.id_a) AS id_a,
+                 coalesce(ex.id_b, lsh.id_b) AS id_b,
+                 ex.id_a IS NOT NULL AS in_ex,
+                 lsh.id_a IS NOT NULL AS in_lsh
+          FROM ex FULL JOIN lsh ON ex.id_a = lsh.id_a AND ex.id_b = lsh.id_b)
+    SELECT sum(CASE WHEN in_ex THEN 1 ELSE 0 END)::BIGINT AS n_exact_pairs,
+           sum(CASE WHEN in_lsh THEN 1 ELSE 0 END)::BIGINT AS n_lsh_pairs,
+           sum(CASE WHEN in_ex AND in_lsh THEN 1 ELSE 0 END)::BIGINT AS n_both,
+           CASE WHEN sum(CASE WHEN in_ex THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE round(sum(CASE WHEN in_ex AND in_lsh THEN 1 ELSE 0 END)::DOUBLE
+                           / sum(CASE WHEN in_ex THEN 1 ELSE 0 END), 6)
+           END AS lsh_recall
+    FROM j
+    """
+
+
+@_register(
+    "lsh_recall_audit",
+    _lsh_recall_oracle(),
+    description=(
+        "Approximation-quality audit: recall of the MinHash-LSH "
+        "near-dup pipeline against the PPJoin EXACT set-similarity "
+        "join over the SAME feature space (distinct 3-word shingles, "
+        "Jaccard >= 0.5) - the measurement that justifies trusting the "
+        "sub-linear banded pipeline at 100 TB, run on a sample as a "
+        "continuous data-quality check. Full outer join of the two "
+        "pair sets -> (n_exact, n_lsh, n_both, recall); because LSH "
+        "candidates are exact-Jaccard-confirmed, lsh is a subset of "
+        "exact and n_lsh = n_both (any lsh-only pair = feature-space "
+        "drift between the pipelines, which this audit would surface "
+        "immediately). Cost is both pipelines once each - banded "
+        "bucket join + prefix-filtered join, never corpus^2."
+    ),
+    tags=("text", "extension", "dedup", "audit"),
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.plans.catalog import QUERIES as _Q
+
+    ex = (
+        _Q["ppjoin_exact_pairs"].spark(spark, sf_dir)
+        .select("id_a", "id_b", F.lit(True).alias("in_ex"))
+    )
+    lsh = (
+        _Q["dedup_minhash_lsh"].spark(spark, sf_dir)
+        .select("id_a", "id_b", F.lit(True).alias("in_lsh"))
+    )
+    j = ex.join(lsh, ["id_a", "id_b"], "full")
+    n_ex = F.sum(F.when(F.col("in_ex"), 1).otherwise(0))
+    n_lsh = F.sum(F.when(F.col("in_lsh"), 1).otherwise(0))
+    n_both = F.sum(F.when(F.col("in_ex") & F.col("in_lsh"), 1).otherwise(0))
+    return j.agg(
+        n_ex.cast("long").alias("n_exact_pairs"),
+        n_lsh.cast("long").alias("n_lsh_pairs"),
+        n_both.cast("long").alias("n_both"),
+        F.when(n_ex == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(n_both.cast("double") / n_ex, 6))
+        .alias("lsh_recall"),
+    )
