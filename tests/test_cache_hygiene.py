@@ -33,6 +33,12 @@ PERSIST_HEAVY = [
     "semdedup_flags",
     "kmeans_clusters",
     "vocab_oov_stats",
+    # round 5: C.track-ing additions
+    "pack_layout",
+    "bigram_logprob_score",
+    "source_token_kl",
+    "peak_concurrent_sessions",
+    "lsh_recall_audit",
 ]
 
 
