@@ -1682,10 +1682,14 @@ def _lsh_recall_oracle() -> str:
                  ex.id_a IS NOT NULL AS in_ex,
                  lsh.id_a IS NOT NULL AS in_lsh
           FROM ex FULL JOIN lsh ON ex.id_a = lsh.id_a AND ex.id_b = lsh.id_b)
-    SELECT sum(CASE WHEN in_ex THEN 1 ELSE 0 END)::BIGINT AS n_exact_pairs,
-           sum(CASE WHEN in_lsh THEN 1 ELSE 0 END)::BIGINT AS n_lsh_pairs,
-           sum(CASE WHEN in_ex AND in_lsh THEN 1 ELSE 0 END)::BIGINT AS n_both,
-           CASE WHEN sum(CASE WHEN in_ex THEN 1 ELSE 0 END) = 0 THEN NULL
+    SELECT coalesce(sum(CASE WHEN in_ex THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_exact_pairs,
+           coalesce(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_lsh_pairs,
+           coalesce(sum(CASE WHEN in_ex AND in_lsh THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_both,
+           CASE WHEN coalesce(sum(CASE WHEN in_ex THEN 1 ELSE 0 END), 0) = 0
+                THEN NULL
                 ELSE round(sum(CASE WHEN in_ex AND in_lsh THEN 1 ELSE 0 END)::DOUBLE
                            / sum(CASE WHEN in_ex THEN 1 ELSE 0 END), 6)
            END AS lsh_recall
@@ -1724,9 +1728,15 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.lit(True).alias("in_lsh"))
     )
     j = ex.join(lsh, ["id_a", "id_b"], "full")
-    n_ex = F.sum(F.when(F.col("in_ex"), 1).otherwise(0))
-    n_lsh = F.sum(F.when(F.col("in_lsh"), 1).otherwise(0))
-    n_both = F.sum(F.when(F.col("in_ex") & F.col("in_lsh"), 1).otherwise(0))
+    # coalesce the counts to 0 on empty input (sum-over-nothing is NULL
+    # on both engines): a monitoring rule like n_lsh_pairs != n_both
+    # must still FIRE-or-not on a clean corpus, not evaluate to NULL —
+    # only lsh_recall is legitimately NULL with no exact pairs
+    n_ex = F.coalesce(F.sum(F.when(F.col("in_ex"), 1).otherwise(0)), F.lit(0))
+    n_lsh = F.coalesce(F.sum(F.when(F.col("in_lsh"), 1).otherwise(0)), F.lit(0))
+    n_both = F.coalesce(
+        F.sum(F.when(F.col("in_ex") & F.col("in_lsh"), 1).otherwise(0)), F.lit(0)
+    )
     return j.agg(
         n_ex.cast("long").alias("n_exact_pairs"),
         n_lsh.cast("long").alias("n_lsh_pairs"),

@@ -407,3 +407,25 @@ def test_pcm_resample_roundtrip_decodes(spark):
     # 'xy' -> keep 'x' only
     assert decoded[2]["n_samples"] == 1
     assert decoded[2]["mean_amp"] == float(ord("x") * 257)
+
+
+def test_lsh_recall_audit_zero_pair_corpus_counts_are_zero(spark, tmp_path):
+    """Round-5 review catch: sum-over-nothing is NULL on both engines,
+    so a clean (no near-dup) corpus silenced monitoring rules like
+    n_lsh_pairs != n_both. Counts must coalesce to 0; only lsh_recall
+    is legitimately NULL with no exact pairs."""
+    from flink_start_spark import cache as C2
+    from flink_start_spark.plans import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta eps"),
+            (1, "one two three four five"),
+            (2, "red green blue cyan magenta"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = QUERIES["lsh_recall_audit"].spark(spark, str(tmp_path)).collect()[0]
+    C2.release()
+    assert tuple(got) == (0, 0, 0, None)
