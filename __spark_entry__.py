@@ -38,16 +38,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return query_map()["tumbling_signup_count"](spark, SMOKE_SF_DIR)
 
 
-def _last_verified_round() -> dict[str, int]:
-    """Per-query: the latest round whose CORRECTNESS_r{N}.json checked it.
+def _last_verified_round() -> dict[str, tuple[int, bool]]:
+    """Per-query: ``(latest round checked, hash-green at that round)``.
 
     The driver's per-round correctness budget covers a prefix of
     ``queries()``; with a growing catalog a fixed registration order
     leaves the same suffix unverified every round. Reading the recorded
     correctness runs lets the ordering rotate automatically so every
     query is driver-verified within two rounds of its last check.
+
+    A check only counts as *verified* if it was full hash-green
+    (rows + schema + value-hash all true): a ``no_oracle``/err sample
+    must not push a query to the back of the rotation, or a query that
+    gains an oracle after a rows-only sample waits a full rotation for
+    its first hash check (this happened to the BPE pair in round 5).
     """
-    last: dict[str, int] = {}
+    last: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -58,20 +64,35 @@ def _last_verified_round() -> dict[str, int]:
                 checked = json.load(f)
         except (OSError, ValueError):
             continue
-        for name in checked:
-            last[name] = max(last.get(name, 0), rnd)
+        for name, rec in checked.items():
+            green = bool(
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            )
+            prev = last.get(name)
+            if prev is None or rnd > prev[0]:
+                last[name] = (rnd, green)
     return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ §2b),
-    ordered least-recently-driver-verified first (never-verified at the
-    very front) so the driver's correctness budget always lands on the
-    stalest entries. Ties keep registration order (deterministic)."""
+    ordered least-recently-driver-verified first so the driver's
+    correctness budget always lands on the stalest entries. A query
+    whose *latest* sample was not full hash-green (never checked,
+    errored, or checked before it had an oracle) outranks every
+    hash-green one. Ties keep registration order (deterministic)."""
     qm = query_map()
     last = _last_verified_round()
     order = {n: i for i, n in enumerate(qm)}  # registration-order tie-break
-    names = sorted(qm, key=lambda n: (last.get(n, -1), order[n]))
+
+    def key(n: str) -> tuple[int, int, int]:
+        rnd, green = last.get(n, (-1, False))
+        return (1 if green else 0, rnd, order[n])
+
+    names = sorted(qm, key=key)
     return {n: qm[n] for n in names}
 
 

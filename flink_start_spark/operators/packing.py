@@ -62,7 +62,13 @@ def sequence_pack(
         (F.col("_cum") - F.col(len_col)).cast("long").alias("start_offset"),
     )
     # `div` (integral division), never `/` + floor: offsets at 100 TB
-    # exceed double's exact range (same rule as stream_events' nanos)
+    # exceed double's exact range (same rule as stream_events' nanos).
+    # PRECONDITION (round-6 ADVICE): operands must be NON-NEGATIVE —
+    # Spark `div` truncates toward zero while the DuckDB oracle's `//`
+    # floors, so they diverge on negative inputs. Holds by construction
+    # here: start_offset is a running sum of non-negative lengths and
+    # n_tokens >= 1 inside the when-branch (same assumption documented
+    # at interval_peak's epoch div).
     return staged.select(
         id_col,
         "n_tokens",

@@ -153,8 +153,18 @@ CELL_TARGET_ROWS = 1000
 
 def auto_n_cells(candidates: DataFrame, per_cell: int = CELL_TARGET_ROWS) -> int:
     """The n_cells scaling rule, enforced rather than prose (round-4
-    verdict item): ``max(16, n // per_cell)`` from one cheap count
-    (column-pruned scan; parquet answers it from footer metadata).
+    verdict item): ``max(16, n // per_cell)`` from one ``count()``.
+
+    Cost contract (round-6 ADVICE): the count runs the candidates
+    lineage EAGERLY at plan-build time. For a parquet-backed relation
+    that is one column-pruned (empty-schema) scan — cheap. For DERIVED
+    candidates with expensive upstream lineage, either pre-cache
+    (``cache.track(candidates)``) so the count and the downstream cell
+    passes share one materialization, or pass ``n_cells`` explicitly —
+    this function deliberately does NOT persist on the caller's behalf,
+    because caching a raw 100 TB scan just to count it would cost more
+    than the pruned re-read it replaces.
+
     Every cell-scoped entry point applies this when ``n_cells`` is not
     given; callers that need bit-stable oracles pass an explicit count
     (the catalog pins 16 so hashes are corpus-size-independent)."""

@@ -181,6 +181,10 @@ def interval_peak(
         .where(F.col("running") == F.col("peak_concurrent"))
         .agg(
             F.max("peak_concurrent").alias("peak_concurrent"),
+            # PRECONDITION: k >= 0 (post-1970 epoch-us timestamps) —
+            # Spark `div` truncates toward zero, DuckDB `//` floors;
+            # they only agree on non-negative operands (round-6 ADVICE,
+            # same rule as sequence_pack's offset arithmetic).
             F.expr("CAST((min(k) div 2) div 1000000 AS BIGINT)").alias(
                 "first_peak_epoch_s"
             ),

@@ -840,27 +840,59 @@ def q_pandas_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "approx_metrics",
-    None,  # HLL/KLL sketch results are engine-specific by construction;
-    # pytest asserts tolerance vs exact instead (test_extensions.py)
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS exact_users,
+           round(quantile_cont(value, 0.5), 6) AS exact_median_value,
+           true AS users_within_bound,
+           true AS median_in_band
+    FROM events GROUP BY event_type
+    """,
     description=(
         "Approximate aggregates for 100TB interactive use: "
         "approx_count_distinct (HyperLogLog++, 5% default rsd) and "
         "percentile_approx (KLL-style sketch) per event_type. At scale "
         "these replace exact distinct/median when a bounded error is "
-        "acceptable — one pass, fixed memory, no expand. Sketches are "
-        "engine-specific by construction, so no SQL oracle exists; the "
-        "tolerance contract (distinct within 5% relative error, median "
-        "within the sketch accuracy band of exact) is pytest-pinned at "
-        "two scale factors (tests/test_extensions.py)."
+        "acceptable — one pass, fixed memory, no expand. Sketch values "
+        "are engine-specific by construction, so the hash-stable output "
+        "is the exact aggregates plus tolerance-validation booleans: "
+        "users_within_bound = |HLL - exact|/exact <= 0.15 (3x the 5% "
+        "rsd), median_in_band = percentile_approx(0.5) lies between the "
+        "exact 45th and 55th percentiles (rank error guarantee is "
+        "1/accuracy = 1e-4, so the band is ~500x slack). The oracle "
+        "recomputes the exact columns and asserts the booleans as true "
+        "literals — a sketch drifting out of tolerance fails the hash "
+        "gate. The sharper numeric tolerances stay pytest-pinned at two "
+        "scale factors (tests/test_extensions.py)."
     ),
     tags=("aggregation", "approximate"),
 )
 def q_approx_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_median_raw"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.approx_count_distinct("user_id").alias("hll_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("kll_median"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        F.round("exact_median_raw", 6).alias("exact_median_value"),
+        F.when(F.col("exact_users") == 0, F.lit(True))
+        .otherwise(
+            (F.abs(F.col("hll_users") - F.col("exact_users")) / F.col("exact_users"))
+            <= F.lit(0.15)
+        )
+        .alias("users_within_bound"),
+        F.when(F.col("exact_median_raw").isNull(), F.lit(True))
+        .otherwise(F.col("kll_median").between(F.col("p45"), F.col("p55")))
+        .alias("median_in_band"),
     )
 
 

@@ -989,10 +989,18 @@ def global_sorted_leads(
     for i in range(1, w):
         # lead i is intact in-range iff i <= from_end (that many rows
         # follow within the range); the missing TRAILING leads continue
-        # into the heads array at 0-based offset i - 1 - from_end
+        # into the heads array at 0-based offset i - 1 - from_end.
+        # Gate on POSITION, not coalesce-on-NULL: a legitimately-NULL
+        # name/key value in an intact lead must stay NULL, not be
+        # papered over with the next range's head.
+        in_range = F.lit(i) <= from_end
         take = F.get(F.col("succ"), F.lit(i - 1) - from_end)
-        patched.append(F.coalesce(F.col(f"k{i}"), take[key_col]).alias(f"k{i}"))
-        patched.append(F.coalesce(F.col(f"n{i}"), take[name_col]).alias(f"n{i}"))
+        patched.append(
+            F.when(in_range, F.col(f"k{i}")).otherwise(take[key_col]).alias(f"k{i}")
+        )
+        patched.append(
+            F.when(in_range, F.col(f"n{i}")).otherwise(take[name_col]).alias(f"n{i}")
+        )
     tails = (
         r.where(from_end < w - 1)
         .crossJoin(F.broadcast(heads_arr))

@@ -180,35 +180,40 @@ def test_brute_force_topk_matches_numpy(spark):
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_approx_metrics_within_tolerance(spark, sf_dir):
-    # The sketches can't be bit-compared across engines (the driver
-    # records rows-only), so THIS is the correctness contract: relative
-    # error bounds against the exact aggregates, pinned at two scale
+    # The query now emits exact aggregates + tolerance booleans (so the
+    # driver hash-checks it against DuckDB); the sharper numeric
+    # tolerance lives HERE: raw sketch vs exact, pinned at two scale
     # factors so both the small-n and larger-n regimes are covered.
     from flink_start_spark.plans import QUERIES
-
-    approx = {
-        r["event_type"]: r for r in QUERIES["approx_metrics"].spark(spark, sf_dir).collect()
-    }
     from flink_start_spark.sources.catalog import load_table
 
+    rows = QUERIES["approx_metrics"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["users_within_bound"] is True, r["event_type"]
+        assert r["median_in_band"] is True, r["event_type"]
+
     ev = load_table(spark, "events", sf_dir)
-    exact = {
+    both = {
         r["event_type"]: r
         for r in ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
             F.median("value").alias("median_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median_value"
+            ),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
-        e = exact[et]
+    assert set(both) == {r["event_type"] for r in rows}
+    for et, e in both.items():
         # HLL++ default rsd is 5%; n is small enough here that the
         # sketch is near-exact, so 5% is a conservative pin
-        assert abs(a["approx_users"] - e["users"]) / e["users"] < 0.05, et
-        # percentile_approx default accuracy: generous band around median
-        assert abs(a["approx_median_value"] - e["median_value"]) <= abs(e["median_value"]) * 0.2 + 1.0, et
+        assert abs(e["approx_users"] - e["users"]) / e["users"] < 0.05, et
+        # percentile_approx: generous band around median
+        assert abs(e["approx_median_value"] - e["median_value"]) <= abs(e["median_value"]) * 0.2 + 1.0, et
 
 
 def test_rp_sign_bits_match_numpy(spark):

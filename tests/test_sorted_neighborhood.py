@@ -107,6 +107,36 @@ def test_wider_window(spark):
     assert got == py_leads(rows, 5)
 
 
+def test_null_values_in_sort_cols(spark):
+    """A legitimately-NULL name in an INTACT lead must surface as NULL,
+    not be papered over by the boundary patch (the patch is gated on
+    position, not coalesce-on-NULL — round-6 ADVICE fix). NULLs sort
+    first under asc(), same as Spark's default."""
+    rows = [(None, 5), (None, 2), ("a", 1), ("b", 4), ("c", 3), ("d", 9)]
+    df = spark.createDataFrame(rows, "name string, key long")
+
+    def null_first(t):
+        name, key = t
+        return (name is not None, name or "", key is not None, key or 0)
+
+    srt = sorted(rows, key=null_first)
+    expect = {}
+    for i, (name, key) in enumerate(srt):
+        vals = []
+        for d in range(1, 3):
+            if i + d < len(srt):
+                nn, kk = srt[i + d]
+                vals += [kk, nn]
+            else:
+                vals += [None, None]
+        expect[(name, key)] = tuple(vals)
+    got, _ = spark_leads(df, w=3, n_partitions=3)
+    assert got == expect
+    # the two NULL-name rows lead into each other / into 'a': their n1
+    # is None-or-'a' BY VALUE, and must not be replaced by a head
+    assert got[(None, 2)][1] is None  # n1 of first row = second NULL name
+
+
 def test_catalog_query_plan_has_no_global_sort(spark):
     """The registered query itself (what the sweep exercises) plans the
     range topology, not Exchange SinglePartition + Sort + Window."""
