@@ -131,6 +131,57 @@ def _run_streaming_drift(spark, sf_dir: str) -> float:
     return dt
 
 
+def _run_streaming_count_trigger(spark, sf_dir: str) -> float:
+    """Count-trigger FIRE-no-PURGE global window (streaming twin of the
+    reference's O13) via applyInPandasWithState, keyed by event_type —
+    the scalable production form (the non-keyed reference semantics
+    serialize all state through one task, exactly like Flink's
+    windowAll; parity tests pin that form)."""
+    from flink_start_spark.streaming import run_to_memory, stream_events
+    from flink_start_spark.streaming.count_trigger import count_trigger_stream
+
+    stream = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ct = count_trigger_stream(
+        stream, every=1000, pred_col="event_type", pred_value="purchase",
+        order_col="event_id", key_col="event_type",
+    )
+    t0 = time.perf_counter()
+    sink = f"bench_sct_{int(t0 * 1000)}"
+    run_to_memory(ct, sink, "append")
+    dt = time.perf_counter() - t0
+    _drop_view(spark, sink)
+    return dt
+
+
+def _run_streaming_heavy_hitters(spark, sf_dir: str) -> float:
+    """Per-key running top-k frequent items (SpaceSaving summary in
+    applyInPandasWithState): top users per event_type over the same
+    file stream — the bounded-state frequent-items path."""
+    from flink_start_spark.streaming import run_to_memory, stream_events
+    from flink_start_spark.streaming.heavy_hitters import heavy_hitters_stream
+
+    stream = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    hh = heavy_hitters_stream(stream, "event_type", "user_id", capacity=64, k=10)
+    t0 = time.perf_counter()
+    sink = f"bench_shh_{int(t0 * 1000)}"
+    run_to_memory(hh, sink, "update")
+    dt = time.perf_counter() - t0
+    _drop_view(spark, sink)
+    return dt
+
+
+#: all stateful streaming bench entries — every applyInPandasWithState
+#: path has a timing series (round-6 verdict item 5)
+STREAMING_BENCHES = (
+    ("streaming_tumbling_events", _run_streaming),
+    ("streaming_session_windows", _run_streaming_sessions),
+    ("streaming_quantiles", _run_streaming_quantiles),
+    ("streaming_drift", _run_streaming_drift),
+    ("streaming_count_trigger", _run_streaming_count_trigger),
+    ("streaming_heavy_hitters", _run_streaming_heavy_hitters),
+)
+
+
 #: superlinear-flag rule for --sf-pair: a query is flagged when its
 #: time grows more than data_ratio * SLACK between the two SFs AND the
 #: larger-SF time clears the noise floor (below it, fixed plan/launch
@@ -184,12 +235,7 @@ def _pair_mode(spark, args) -> None:
         t_b = _mins(lambda: _run_once(spark, name, b_dir))
         per_q[name] = {"t_a": t_a, "t_b": t_b, "ratio": round(t_b / max(t_a, 1e-6), 2)}
     if args.queries is None:
-        for sname, fn in (
-            ("streaming_tumbling_events", _run_streaming),
-            ("streaming_session_windows", _run_streaming_sessions),
-            ("streaming_quantiles", _run_streaming_quantiles),
-            ("streaming_drift", _run_streaming_drift),
-        ):
+        for sname, fn in STREAMING_BENCHES:
             t_a = _mins(lambda: fn(spark, a_dir))
             t_b = _mins(lambda: fn(spark, b_dir))
             per_q[sname] = {
@@ -305,22 +351,8 @@ def main() -> None:
     for name in names:
         _record(name, [_run_once(spark, name, args.sf_dir) for _ in range(args.runs)])
     if args.queries is None:
-        _record(
-            "streaming_tumbling_events",
-            [_run_streaming(spark, args.sf_dir) for _ in range(args.runs)],
-        )
-        _record(
-            "streaming_session_windows",
-            [_run_streaming_sessions(spark, args.sf_dir) for _ in range(args.runs)],
-        )
-        _record(
-            "streaming_quantiles",
-            [_run_streaming_quantiles(spark, args.sf_dir) for _ in range(args.runs)],
-        )
-        _record(
-            "streaming_drift",
-            [_run_streaming_drift(spark, args.sf_dir) for _ in range(args.runs)],
-        )
+        for sname, fn in STREAMING_BENCHES:
+            _record(sname, [fn(spark, args.sf_dir) for _ in range(args.runs)])
 
     total = round(sum(timings.values()), 3)
     load_end = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
