@@ -262,7 +262,7 @@ def _pair_mode(spark, args) -> None:
         "queries": per_q,
     }
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SFPAIR.json"
+        os.path.dirname(os.path.abspath(__file__)), args.pair_out
     )
     with open(path, "w") as f:
         json.dump(out, f)
@@ -291,6 +291,13 @@ def main() -> None:
         default=None,
         help="dirA,dirB — time every entry at both SFs and flag "
         "superlinear growth (writes BENCH_SFPAIR.json)",
+    )
+    ap.add_argument(
+        "--pair-out",
+        default="BENCH_SFPAIR.json",
+        help="artifact name for --sf-pair (use BENCH_SFPAIR_SF1.json "
+        "for the 0.1->1 decade so the 0.01->0.1 artifact survives; the "
+        "full bench embeds both)",
     )
     args = ap.parse_args()
     if args.sf_pair:
@@ -385,22 +392,25 @@ def main() -> None:
     # quiet-host `--sf-pair` run — re-measuring both SFs per driver
     # round would double bench time) so the recorded artifact carries
     # the superlinear flag list alongside the timings
-    pair_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SFPAIR.json"
-    )
-    if args.queries is None and os.path.exists(pair_path):
-        try:
-            with open(pair_path) as f:
-                pair = json.load(f)
-            full["sf_pair"] = {
-                k: pair.get(k)
-                for k in (
-                    "sf_a", "sf_b", "data_ratio", "flag_rule", "flagged",
-                    "n_queries", "load_avg_start",
-                )
-            }
-        except Exception:  # noqa: BLE001 — a corrupt artifact must not sink the bench
-            pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname, key in (
+        ("BENCH_SFPAIR.json", "sf_pair"),
+        ("BENCH_SFPAIR_SF1.json", "sf_pair_sf1"),  # second decade, 0.1->1
+    ):
+        pair_path = os.path.join(here, fname)
+        if args.queries is None and os.path.exists(pair_path):
+            try:
+                with open(pair_path) as f:
+                    pair = json.load(f)
+                full[key] = {
+                    k: pair.get(k)
+                    for k in (
+                        "sf_a", "sf_b", "data_ratio", "flag_rule", "flagged",
+                        "n_queries", "load_avg_start",
+                    )
+                }
+            except Exception:  # noqa: BLE001 — a corrupt artifact must not sink the bench
+                pass
     # The driver records only the last ~2000 chars of stdout; the full
     # per-query line exceeds that, so it goes FIRST (and to a file),
     # and the final line is a compact totals JSON guaranteed to fit.
@@ -421,6 +431,11 @@ def main() -> None:
     if "sf_pair" in full:
         compact["sf_pair"] = f"{full['sf_pair']['sf_a']}->{full['sf_pair']['sf_b']}"
         compact["sf_pair_flagged"] = full["sf_pair"]["flagged"]
+    if "sf_pair_sf1" in full:
+        compact["sf_pair_sf1"] = (
+            f"{full['sf_pair_sf1']['sf_a']}->{full['sf_pair_sf1']['sf_b']}"
+        )
+        compact["sf_pair_sf1_flagged"] = full["sf_pair_sf1"]["flagged"]
     print(json.dumps(compact))
 
 

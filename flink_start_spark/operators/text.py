@@ -915,3 +915,64 @@ def source_token_kl(
             "kl_to_corpus"
         ),
     )
+
+
+#: scheme://HOST capture — host stops at '/', ':', '?', '#', or
+#: whitespace (ports and paths excluded). The pattern is in the
+#: Java-regex ∩ RE2 dialect intersection so the DuckDB oracle
+#: recomputes hosts byte-identically (same rule as PII_PATTERNS).
+HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/:?#\s]+)"
+
+
+def host_aggregate(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    chars_col: str = "n_chars",
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """URL/host-level aggregation + blocklist filter — the standard
+    pretraining-curation stage (C4 §2.2-style host rules; CCNet-style
+    per-domain accounting) over any table carrying a URL column.
+
+    Per host (lowercased, port/path stripped via :data:`HOST_RE`):
+    document count, total chars, a ``blocked`` flag from a LEFT join
+    against the blocklist relation, and ``kept_docs`` (0 when blocked —
+    the post-filter census the mixture planner consumes).
+
+    Scale shape: one map-side regexp projection + one groupBy on host
+    (hosts are O(10^7) at web scale — a fine shuffle key, no hot key
+    beyond the largest domains, which AQE skew-split handles), then a
+    join against the blocklist keyed on host. ``broadcast_blocklist``
+    (default) is right while the blocklist fits an executor (~10^7
+    hosts ≈ 300 MB is the practical ceiling); pass ``False`` to let the
+    planner shuffle both sides when the blocklist is itself web-scale.
+    """
+    # lower() BEFORE the extract: schemes/hosts are case-insensitive
+    # (RFC 3986 §3.1/§3.2.2) and the pattern anchors on a lowercase
+    # scheme, so 'HTTPS://Example.COM' normalizes like 'https://...'
+    host = F.regexp_extract(F.lower(F.col(url_col)), HOST_RE, 1)
+    agg = (
+        df.select(host.alias("host"), F.col(chars_col))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars_col).cast("long").alias("total_chars"),
+        )
+    )
+    bl = blocklist.select(F.lower(F.col("host")).alias("_bhost")).distinct()
+    if broadcast_blocklist:
+        bl = F.broadcast(bl)
+    return (
+        agg.join(bl, agg["host"] == F.col("_bhost"), "left")
+        .select(
+            "host",
+            "n_docs",
+            "total_chars",
+            F.col("_bhost").isNotNull().alias("blocked"),
+            F.when(F.col("_bhost").isNotNull(), F.lit(0))
+            .otherwise(F.col("n_docs"))
+            .cast("long")
+            .alias("kept_docs"),
+        )
+    )

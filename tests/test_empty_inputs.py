@@ -100,6 +100,9 @@ _REPRESENTATIVE = [
     "pack_layout",
     "bigram_logprob_score",
     "source_token_kl",
+    # round 6: host census + blocklist filter (groupBy host over zero
+    # docs must yield zero hosts, not a null-host row)
+    "host_blocklist_audit",
 ]
 
 

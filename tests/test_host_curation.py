@@ -1,0 +1,76 @@
+"""host_aggregate (URL/host census + blocklist filter): host parsing
+must strip scheme case, ports, paths, queries, and fragments; the
+blocklist join must flag case-insensitively; kept_docs is the
+post-filter census. The catalog query (host_blocklist_audit) is
+oracle-checked; these pin the generic operator on URL shapes the
+synthetic corpus doesn't produce.
+"""
+
+from __future__ import annotations
+
+from flink_start_spark.operators.text import host_aggregate
+
+
+def _agg(spark, urls, blocked_hosts=()):
+    df = spark.createDataFrame(
+        [(u, 10) for u in urls], "url string, n_chars long"
+    )
+    bl = spark.createDataFrame(
+        [(h,) for h in blocked_hosts] or [("zz-unused.invalid",)], "host string"
+    )
+    return {
+        r["host"]: r for r in host_aggregate(df, "url", bl).collect()
+    }
+
+
+def test_host_parsing_strips_port_path_query_case(spark):
+    got = _agg(
+        spark,
+        [
+            "https://example.com/path/page?q=1",
+            "HTTPS://EXAMPLE.COM:8443/other#frag",
+            "http://sub.example.com/",
+            "ftp://files.example.com",
+            "https://example.com",
+        ],
+    )
+    assert set(got) == {"example.com", "sub.example.com", "files.example.com"}
+    # scheme/host case and ports/paths all collapse onto one host
+    assert got["example.com"]["n_docs"] == 3
+    assert got["example.com"]["total_chars"] == 30
+    assert all(r["blocked"] is False for r in got.values())
+    assert got["example.com"]["kept_docs"] == 3
+
+
+def test_blocklist_flags_case_insensitively_and_zeroes_kept(spark):
+    got = _agg(
+        spark,
+        ["https://spam.example.com/a", "https://ok.example.com/b"],
+        blocked_hosts=["SPAM.example.COM"],
+    )
+    assert got["spam.example.com"]["blocked"] is True
+    assert got["spam.example.com"]["kept_docs"] == 0
+    assert got["spam.example.com"]["n_docs"] == 1  # census keeps the count
+    assert got["ok.example.com"]["blocked"] is False
+    assert got["ok.example.com"]["kept_docs"] == 1
+
+
+def test_unparseable_urls_group_under_empty_host(spark):
+    got = _agg(spark, ["not a url", "https://good.example.com/x"])
+    assert got[""]["n_docs"] == 1 and got[""]["blocked"] is False
+    assert got["good.example.com"]["n_docs"] == 1
+
+
+def test_blocklist_join_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [("https://a.example.com/x", 5)], "url string, n_chars long"
+    )
+    bl = spark.createDataFrame([("a.example.com",)], "host string")
+    plan = (
+        host_aggregate(df, "url", bl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
