@@ -176,6 +176,7 @@ def deterministic_centroids(
     n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    per_cell: int = CELL_TARGET_ROWS,
 ) -> DataFrame:
     """IVF coarse quantizer, deterministic-sample variant: the
     ``n_cells`` vectors whose ids hash lowest under md5 become the cell
@@ -192,7 +193,7 @@ def deterministic_centroids(
     Output: ``cell int, center array<float>``.
     """
     if n_cells is None:
-        n_cells = auto_n_cells(candidates)
+        n_cells = auto_n_cells(candidates, per_cell)
     ranked = (
         candidates.select(
             F.md5(F.col(id_col).cast("string")).alias("_h"),
@@ -247,6 +248,7 @@ def precompute_cells(
     n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    per_cell: int = CELL_TARGET_ROWS,
 ) -> tuple[DataFrame, DataFrame]:
     """Ingest-time IVF build: returns ``(assigned, centroids)``.
 
@@ -256,7 +258,7 @@ def precompute_cells(
     time then pays only :func:`ivf_topk_precomputed` — probe + one
     cell-id equi-join — never a training pass.
     """
-    centroids = deterministic_centroids(candidates, n_cells, id_col, vec_col)
+    centroids = deterministic_centroids(candidates, n_cells, id_col, vec_col, per_cell)
     C.track(centroids)
     assigned = assign_cells_maponly(candidates, centroids, id_col, vec_col)
     return assigned, centroids
@@ -343,6 +345,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    per_cell: int = CELL_TARGET_ROWS,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k, self-contained form: build the
     coarse quantizer (:func:`deterministic_centroids`), assign cells,
@@ -355,7 +358,7 @@ def ivf_topk(
     exactly — unlike the earlier k-means variant, which could only be
     rows-only-checked.
     """
-    assigned, centroids = precompute_cells(candidates, n_cells, id_col, vec_col)
+    assigned, centroids = precompute_cells(candidates, n_cells, id_col, vec_col, per_cell)
     return ivf_topk_precomputed(
         assigned, centroids, queries, k, n_probe, id_col, vec_col
     )
@@ -493,6 +496,7 @@ def semdedup_flags(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    per_cell: int = CELL_TARGET_ROWS,
 ) -> DataFrame:
     """SemDeDup (Abbas '23): semantic dedup by clustering embeddings,
     then pruning, within each cluster, vectors whose cosine to another
@@ -506,17 +510,20 @@ def semdedup_flags(
     cell-sized blocks — the paper's design point: pairwise cost is
     |cell|^2, held constant by scaling the cluster count with the
     corpus. The default ``n_cells=None`` ENFORCES that rule via
-    :func:`auto_n_cells` (max(16, n/1000)); the catalog pins 16 so the
-    oracle's mirrored quantizer hashes are corpus-size-independent. At
-    the scaled cell count the join key has millions of distinct values
-    at 100 TB — no hot-key skew.
+    :func:`auto_n_cells` (max(16, n/per_cell)); the catalog pins 16 so
+    the oracle's mirrored quantizer hashes are corpus-size-independent.
+    ``per_cell`` is the pairs-per-row budget (recall/cost knob — the
+    round-6 sf1 measurement: holding cell density across a 10x corpus
+    keeps wall-clock linear, see COVERAGE.md). At the scaled cell count
+    the join key has millions of distinct values at 100 TB — no
+    hot-key skew.
 
     Output: every input vector with its cell, the max cosine to any
     smaller-id cell-mate (null when alone in its cell), and the pruned
     flag. Emitting flags (not the filtered corpus) keeps the row count
     stable and lets downstream stages choose drop vs. downweight.
     """
-    assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col)
+    assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell)
     # Both sides of the self-join and the final projection read it.
     assigned = C.track(assigned)
     # Norms are per-row, not per-pair: computing them in the keyed
@@ -677,6 +684,7 @@ def knn_label_purity(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    per_cell: int = CELL_TARGET_ROWS,
 ) -> DataFrame:
     """Embedding-quality audit: for every vector, the fraction of its
     k nearest neighbors (cosine, within its IVF cell) that share its
@@ -700,7 +708,7 @@ def knn_label_purity(
     folds, bit-identical to the oracle's list_sum). Vectors alone in
     their cell emit n_neighbors = 0 and null purity.
     """
-    assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col)
+    assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell)
     labeled = C.track(
         assigned.join(emb.select(id_col, label_col), id_col)
     )

@@ -27,3 +27,25 @@ def test_each_query_runs_smoke(spark):
         df = fn(spark, SF_SMOKE)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_rotation_ranks_non_hash_green_first():
+    """The driver's correctness budget covers a prefix of queries();
+    entries whose LATEST recorded sample was not full hash-green
+    (never checked / errored / sampled before an oracle existed) must
+    outrank every hash-green one, or a newly-oracled query waits a full
+    rotation for its first hash check (round-6 verdict item 1)."""
+    last = entrymod._last_verified_round()
+    names = list(entrymod.queries())
+    greens = [last.get(n, (-1, False))[1] for n in names]
+    # all non-green entries form a contiguous prefix
+    if True in greens:
+        first_green = greens.index(True)
+        assert all(greens[first_green:]), (
+            "a non-hash-green entry sorted behind a hash-green one: "
+            f"{[n for n, g in zip(names[first_green:], greens[first_green:]) if not g]}"
+        )
+    # within each class, staleness (round) is non-decreasing
+    for cls in (False, True):
+        rounds = [last.get(n, (-1, False))[0] for n, g in zip(names, greens) if g is cls]
+        assert rounds == sorted(rounds)

@@ -434,3 +434,25 @@ def test_lsh_recall_audit_zero_pair_corpus_counts_are_zero(spark, tmp_path):
     got = QUERIES["lsh_recall_audit"].spark(spark, str(tmp_path)).collect()[0]
     C2.release()
     assert tuple(got) == (0, 0, 0, None)
+
+
+def test_per_cell_knob_threads_to_quantizer(spark):
+    """per_cell (the pairs-per-row budget, round-6 sf1 measurement)
+    must flow from every cell-scoped entry point to auto_n_cells:
+    n/per_cell cells when it dominates the 16-cell floor."""
+    df = spark.range(4_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[F.sin((F.col("id") + 1) * float(j + 1)) for j in range(8)]
+        ).cast("array<float>").alias("embedding"),
+    )
+    from flink_start_spark import cache as C2
+
+    assert S.auto_n_cells(df, per_cell=125) == 32
+    _, cents = S.precompute_cells(df, per_cell=125)
+    assert cents.count() == 32
+    C2.release()
+    # explicit n_cells still wins over per_cell
+    _, cents16 = S.precompute_cells(df, n_cells=16, per_cell=125)
+    assert cents16.count() == 16
+    C2.release()
