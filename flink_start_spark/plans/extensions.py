@@ -864,7 +864,11 @@ def q_pandas_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recomputes the exact columns and asserts the booleans as true "
         "literals — a sketch drifting out of tolerance fails the hash "
         "gate. The sharper numeric tolerances stay pytest-pinned at two "
-        "scale factors (tests/test_extensions.py)."
+        "scale factors (tests/test_extensions.py). NOTE: this catalog "
+        "instance computes BOTH sides because it IS the validation "
+        "harness; the production form at 100 TB runs the sketches alone "
+        "(one pass, fixed memory) — the bench shift 0.15 s -> 1.7 s at "
+        "sf0.1 is the exact-side validation cost, not sketch cost."
     ),
     tags=("aggregation", "approximate"),
 )
