@@ -275,7 +275,7 @@ def _pair_mode(spark, args) -> None:
                 "n_queries": len(per_q),
                 "flagged": flagged,
                 "max_ratio": max(v["ratio"] for v in per_q.values()),
-                "queries_file": "BENCH_SFPAIR.json",
+                "queries_file": args.pair_out,
             }
         )
     )

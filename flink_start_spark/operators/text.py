@@ -917,11 +917,14 @@ def source_token_kl(
     )
 
 
-#: scheme://HOST capture — host stops at '/', ':', '?', '#', or
-#: whitespace (ports and paths excluded). The pattern is in the
-#: Java-regex ∩ RE2 dialect intersection so the DuckDB oracle
-#: recomputes hosts byte-identically (same rule as PII_PATTERNS).
-HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/:?#\s]+)"
+#: scheme://HOST capture — an optional RFC 3986 userinfo prefix
+#: (``user:pass@``, anything up to the last '@' in the authority) is
+#: skipped via a non-capturing group, then the host stops at '/', ':',
+#: '?', '#', or whitespace (ports and paths excluded). The pattern is
+#: in the Java-regex ∩ RE2 dialect intersection so the DuckDB oracle
+#: recomputes hosts byte-identically (same rule as PII_PATTERNS);
+#: oracles must interpolate THIS constant, never re-embed the literal.
+HOST_RE = r"^[a-z][a-z0-9+.\-]*://(?:[^/?#\s]*@)?([^/:?#\s]+)"
 
 
 def host_aggregate(

@@ -1785,23 +1785,23 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "host_blocklist_audit",
-    """
+    f"""
     WITH u AS (
       SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
              n_chars
       FROM documents),
     h AS (
-      SELECT regexp_extract(lower(url), '^[a-z][a-z0-9+.\\-]*://([^/:?#\\s]+)', 1) AS host,
+      SELECT regexp_extract(lower(url), '{TX.HOST_RE}', 1) AS host,
              n_chars
       FROM u)
     SELECT host,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           sum(n_chars)::BIGINT AS total_chars,
            host IN ('src3.example.com', 'src7.example.com', 'src13.example.com')
              AS blocked,
-           CASE WHEN host IN ('src3.example.com', 'src7.example.com',
-                              'src13.example.com')
-                THEN 0 ELSE count(*) END AS kept_docs
+           (CASE WHEN host IN ('src3.example.com', 'src7.example.com',
+                               'src13.example.com')
+                 THEN 0 ELSE count(*) END)::BIGINT AS kept_docs
     FROM h GROUP BY host
     """,
     description=(

@@ -97,13 +97,19 @@ def main() -> None:
             spark.read.parquet(path).where(F.col("day") == 3).groupBy().agg(*agg)
         )
 
+    # exactly two audit days regardless of n_days (the old id%32==3 rule
+    # silently degenerated to 1 or 0 surviving days for n_days <= 35,
+    # making the "2 days" label and the recorded speedup incomparable)
+    audit_days = [n_days // 3, (2 * n_days) // 3]
+    assert len(set(audit_days)) == 2, f"need n_days >= 2, got {n_days}"
+
     def dpp_df():
         # the dim filter is on a NON-key attribute: a key-literal filter
         # would be constraint-propagated to the fact statically (plain
         # static pruning); only a runtime-valued filter needs DPP
         dim = spark.range(n_days).select(
             F.col("id").cast("int").alias("day"),
-            (F.col("id") % 32 == 3).alias("is_audit_day"),
+            F.col("id").isin(audit_days).alias("is_audit_day"),
         )
         return (
             spark.read.parquet(path)
@@ -133,9 +139,15 @@ def main() -> None:
             "rows": [list(r) for r in rows],
         }
 
-    # exact-equality: pruned answers == filtering the full relation
+    # exact-equality: BOTH pruned paths == filtering the full relation
+    # (a wrong-answer bug on either fast path must fail here, not ship
+    # a timing for a different computation)
     assert results["static_1_day"]["rows"] == [
         list(r) for r in fact.where(F.col("day") == 3).groupBy().agg(*agg).collect()
+    ]
+    assert results["dpp_2_days"]["rows"] == [
+        list(r)
+        for r in fact.where(F.col("day").isin(audit_days)).groupBy().agg(*agg).collect()
     ]
 
     out = {
