@@ -919,12 +919,17 @@ def source_token_kl(
 
 #: scheme://HOST capture — an optional RFC 3986 userinfo prefix
 #: (``user:pass@``, anything up to the last '@' in the authority) is
-#: skipped via a non-capturing group, then the host stops at '/', ':',
-#: '?', '#', or whitespace (ports and paths excluded). The pattern is
-#: in the Java-regex ∩ RE2 dialect intersection so the DuckDB oracle
+#: skipped via a non-capturing group, then the host is either a
+#: bracketed IPv6 literal (captured WITH brackets, ``[::1]`` — the
+#: deliberate deviation from ``urllib.parse.urlsplit().hostname``,
+#: which strips them) or a reg-name stopping at '/', ':', '?', '#',
+#: or whitespace (ports and paths excluded). The pattern is in the
+#: Java-regex ∩ RE2 dialect intersection so the DuckDB oracle
 #: recomputes hosts byte-identically (same rule as PII_PATTERNS);
 #: oracles must interpolate THIS constant, never re-embed the literal.
-HOST_RE = r"^[a-z][a-z0-9+.\-]*://(?:[^/?#\s]*@)?([^/:?#\s]+)"
+#: Scheme-relative ``//host/path`` inputs deliberately bucket under
+#: '' (unparseable): curation URLs arrive absolute.
+HOST_RE = r"^[a-z][a-z0-9+.\-]*://(?:[^/?#\s]*@)?((?:\[[^\]\s]*\])|[^/:?#\s]+)"
 
 
 def host_aggregate(
