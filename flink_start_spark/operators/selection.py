@@ -214,7 +214,7 @@ def exact_rank_value(
     # _lr is constant per key, so grouping by it is free and keeps it
     # available without a re-join.
     in_bucket = (
-        d.join(F.broadcast(target), keys)
+        _bjoin(d, target, keys)
         .filter(F.col("_bkt") == F.col("_tbkt"))
         .withColumn("_lr", F.col("_r") - F.col("_cum_before"))
     )
@@ -247,7 +247,7 @@ def exact_rank_value(
     resolved = vh.select(
         *keys, F.aggregate("_vh", zero, pick)["val"].alias(out_col)
     )
-    return target.select(*keys, "_gcnt").join(F.broadcast(resolved), keys)
+    return _bjoin(target.select(*keys, "_gcnt"), resolved, keys)
 
 
 def exact_quantile_values(
@@ -434,7 +434,7 @@ def with_global_rank(
             )
         ).alias("_e"),
     ).select(*keys, "_e._bkt", "_e._cum_before")
-    ranked = d.join(F.broadcast(cum), [*keys, "_bkt"])
+    ranked = _bjoin(d, cum, [*keys, "_bkt"])
     w = Window.partitionBy(*keys, "_bkt").orderBy(
         value_col, *[F.col(c) for c in tiebreak_cols]
     )
@@ -470,6 +470,9 @@ def with_rank_and_sum(
     Integer values accumulate in longs (exact); floating values in
     doubles — per-key sums are reassociated across buckets, identical
     to what a plain running window reassociates across its frame.
+    Decimal value columns are rejected (a double accumulator would
+    silently lose precision a plain window SUM keeps): cast money to
+    integer cents first, per the repo's exact-sum convention.
     """
     keys = list(keys)
     cols = df.columns
@@ -478,9 +481,27 @@ def with_rank_and_sum(
     # (e.g. per-document token counts) per scan triples its cost.
     if not df.is_cached:
         df = C.track(df)
+    if (value_col is None) != (out_sum is None):
+        # value_col without out_sum (or vice versa) would silently skip
+        # the running sum the caller clearly asked for
+        raise ValueError(
+            "value_col and out_sum must be passed together; got "
+            f"value_col={value_col!r}, out_sum={out_sum!r}"
+        )
     want_sum = value_col is not None and out_sum is not None
     if want_sum:
-        integral = df.schema[value_col].dataType.typeName() in {
+        type_name = df.schema[value_col].dataType.typeName()
+        if type_name.startswith("decimal"):
+            # a double accumulator would silently lose decimal
+            # precision where a plain window SUM stays exact — the
+            # repo's money convention is integer cents for running
+            # sums (see plans/ daily-cents rollups)
+            raise ValueError(
+                f"decimal value column {value_col!r} not supported: "
+                "cast to integer cents (exact) or double (explicit "
+                "opt-in to float accumulation) first"
+            )
+        integral = type_name in {
             "byte",
             "short",
             "integer",

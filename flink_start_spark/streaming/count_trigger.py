@@ -63,6 +63,11 @@ def count_trigger_stream(
     (a single logical key — like Flink, this serializes state updates
     through one task; keyed use is the scalable form).
     """
+    if every < 1:
+        # numpy `seen % 0` silently yields 0 (all-True fire mask) with
+        # only a RuntimeWarning — fail the misconfiguration loudly
+        # instead, like drift_stream's bin-count check
+        raise ValueError(f"every must be >= 1, got {every}")
     key_expr = key_col if key_col is not None else "'__global__'"
 
     def fn(
@@ -73,8 +78,16 @@ def count_trigger_stream(
         import numpy as np
 
         n_seen, n_hits = state.get if state.exists else (0, 0)
-        for pdf in batches:
-            pdf = pdf.sort_values(order_col)
+        # materialize the micro-batch before sorting: the iterator
+        # yields one pandas chunk per Arrow batch (maxRecordsPerBatch
+        # rows), and chunk boundaries are shuffle-order, not
+        # arrival-order — sorting per chunk would advance the counter
+        # out of order whenever a key's rows span chunks. One key's
+        # rows for one micro-batch is the same data the sort needs
+        # resident anyway, so this adds no asymptotic state.
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order_col)
             hits = (pdf[pred_col] == pred_value).to_numpy(dtype="int64")
             # vectorized trigger: arrival index + running hit count for
             # every row of the batch, then a modulo mask selects the
@@ -82,8 +95,7 @@ def count_trigger_stream(
             seen = n_seen + np.arange(1, len(hits) + 1, dtype="int64")
             cum = n_hits + np.cumsum(hits)
             mask = seen % every == 0
-            if len(hits):
-                n_seen, n_hits = int(seen[-1]), int(cum[-1])
+            n_seen, n_hits = int(seen[-1]), int(cum[-1])
             if mask.any():
                 yield pd.DataFrame(
                     {

@@ -78,6 +78,21 @@ def drift_stream(
         # would divide by a non-positive width for its whole lifetime —
         # fail the misconfiguration loudly, like the bin-count check
         raise ValueError(f"hi must exceed lo: got lo={lo}, hi={hi}")
+    # the operator casts stream keys to STRING (the output schema's key
+    # type), so a reference dict keyed by raw ints/floats — the natural
+    # shape for an int key column — would miss on EVERY lookup and
+    # silently score all keys against the uniform fallback. Coerce keys
+    # through str() (matching Spark's string cast for int/float keys)
+    # and refuse collisions rather than pick a winner.
+    coerced: dict[str, list[int]] = {}
+    for k, v in ref_counts_by_key.items():
+        ks = str(k)
+        if ks in coerced:
+            raise ValueError(
+                f"reference keys collide after string coercion: {ks!r}"
+            )
+        coerced[ks] = v
+    ref_counts_by_key = coerced
     bad = {k: len(v) for k, v in ref_counts_by_key.items() if len(v) != n_bins}
     if bad:
         # a mismatched reference would silently zip-truncate against the

@@ -65,7 +65,10 @@ def heavy_hitters_stream(
     ``applyInPandasWithState``. Emits one row per (key, rank<=k) per
     micro-batch with the estimate, its overestimate bound, and the
     exact total item count seen — ``count_est - err_bound`` is a
-    certified lower bound on the item's true frequency."""
+    certified lower bound on the item's true frequency. Null items are
+    dropped (and excluded from ``n_seen``), matching the NaN policy of
+    the sibling drift/quantiles operators — they are missing data, not
+    a frequent item."""
 
     def fn(
         key: tuple[Any, ...],
@@ -79,7 +82,12 @@ def heavy_hitters_stream(
         else:
             est, err, n_seen = {}, {}, 0
         for pdf in batches:
-            vc = pdf[item_col].astype(str).value_counts()
+            # drop nulls BEFORE astype(str): object-NaN/None stringify
+            # to literal 'nan'/'None' and would be tracked as phantom
+            # heavy hitters (and inflate n_seen), diverging from the
+            # batch twin's null-key handling — same rule as the NaN
+            # filters in drift.py/quantiles.py
+            vc = pdf[item_col].dropna().astype(str).value_counts()
             n_seen += int(vc.sum())
             # deterministic application order: biggest batch count
             # first, lexicographic item tie-break

@@ -55,7 +55,15 @@ def quantile_stream(
     clamped into ``[lo, hi)`` (same monotone bucket rule as the batch
     helper's range buckets — clamping only widens the interval for
     mass outside the declared range)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     width = (hi - lo) / n_buckets
+    if width <= 0:
+        # an inverted range would clip every value into bucket 0 and
+        # emit inverted (q_hi < q_lo) quantiles for the stream's whole
+        # lifetime — fail the misconfiguration loudly, exactly like
+        # drift_stream's identical binning-range check
+        raise ValueError(f"hi must exceed lo: got lo={lo}, hi={hi}")
     state_schema = T.StructType(
         [T.StructField("counts", T.ArrayType(T.LongType()), False)]
     )

@@ -251,3 +251,18 @@ def test_exact_rank_value_preserves_integral_type(spark):
     assert dict(out.dtypes)["med"] == "bigint"
     assert out.collect()[0]["med"] == big + 2  # exact median, no rounding
     cache.release()
+
+
+def test_with_rank_and_sum_contract_guards(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "n long, v double"
+    )
+    # value_col without out_sum: the running sum the caller asked for
+    # would silently vanish — must raise, not ignore
+    with pytest.raises(ValueError, match="together"):
+        S.with_rank_and_sum(df, [], "n", "v", out_rank="rn")
+    # decimal values: a double accumulator would silently lose the
+    # precision a plain window SUM keeps — must raise with guidance
+    dec = df.select("n", F.col("v").cast("decimal(18,2)").alias("v"))
+    with pytest.raises(ValueError, match="decimal"):
+        S.with_rank_and_sum(dec, [], "n", "v", out_rank="rn", out_sum="s")

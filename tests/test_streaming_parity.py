@@ -347,3 +347,122 @@ def test_parity_drift_psi(spark, src_dir, batch):
         want = psi_from_counts(ref.get(k, [0] * nb), cur[k])
         assert r["psi"] == pytest.approx(want, abs=1e-9), k
         assert r["n_seen"] == sum(cur[k])
+
+
+@pytest.fixture(scope="module")
+def src_dir_shuffled(tmp_path_factory):
+    """Same fixture, but rows REVERSED within each micro-batch file and
+    Arrow-chunked smaller than the batch: the applyInPandasWithState
+    iterator then yields multiple chunks per key per micro-batch whose
+    arrival ranges interleave — the shape that catches per-chunk (vs
+    per-micro-batch) sorting in arrival-ordered stateful operators."""
+    d = tmp_path_factory.mktemp("parity_shuffled")
+    rows = _rows()
+    t0 = time.time() - 10
+    for b in range(6):
+        p = d / f"batch_{b:03d}.json"
+        p.write_text(
+            "\n".join(json.dumps(r) for r in reversed(rows[b * 30:(b + 1) * 30]))
+        )
+        os.utime(p, (t0 + b, t0 + b))
+    return str(d)
+
+
+def test_parity_count_trigger_multichunk_out_of_order(
+    spark, src_dir_shuffled, batch
+):
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "7")  # 30-row micro-batch -> 5 chunks per key
+    try:
+        table = run_to_memory(
+            count_trigger_stream(
+                _stream(spark, src_dir_shuffled), every=7,
+                pred_col="activity", pred_value="register",
+            ),
+            "par_ct_chunked", "append",
+        )
+    finally:
+        spark.conf.set(conf, prev)
+    got = {(r["fire_seq"], r["arrival"], r["cnt"]) for r in table.collect()}
+    want = {
+        (r["fire_seq"], r["arrival"], r["cnt"])
+        for r in W.count_trigger_cumulative(
+            batch, F.col("activity") == "register", every=7,
+            order_col="arrival",
+        ).collect()
+    }
+    assert got == want and len(want) == 151 // 7
+
+
+def test_count_trigger_stream_rejects_nonpositive_every(spark, src_dir):
+    with pytest.raises(ValueError, match="every"):
+        count_trigger_stream(
+            _stream(spark, src_dir), every=0,
+            pred_col="activity", pred_value="register",
+        )
+
+
+def test_quantile_stream_rejects_inverted_range(spark, src_dir):
+    with pytest.raises(ValueError, match="hi must exceed lo"):
+        quantile_stream(
+            _stream(spark, src_dir), "activity", "value", lo=100.0, hi=0.0
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        quantile_stream(
+            _stream(spark, src_dir), "activity", "value", n_buckets=0
+        )
+
+
+def test_parity_heavy_hitters_drops_null_items(spark, tmp_path):
+    """Null items must not surface as the literal string 'None' (the
+    astype(str) trap) nor count toward n_seen."""
+    d = tmp_path / "hh_nulls"
+    d.mkdir()
+    rows = [{"activity": "a", "user_id": None}] * 4 + [
+        {"activity": "a", "user_id": "u1"},
+        {"activity": "a", "user_id": "u1"},
+        {"activity": "a", "user_id": "u2"},
+    ]
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("activity string, user_id string")
+        .json(str(d))
+    )
+    table = run_to_memory(
+        heavy_hitters_stream(stream, "activity", "user_id", capacity=8, k=5),
+        "par_hh_nulls", "update",
+    )
+    out = table.collect()
+    assert {r["item"] for r in out} == {"u1", "u2"}
+    assert all(r["n_seen"] == 3 for r in out)
+
+
+def test_drift_stream_coerces_int_reference_keys(spark, tmp_path):
+    """A reference dict keyed by raw ints (natural for an int key
+    column) must match the stream's string-cast keys instead of
+    silently falling back to the uniform reference for every key."""
+    d = tmp_path / "drift_int_keys"
+    d.mkdir()
+    rows = [{"k": 7, "value": v} for v in (5.0, 15.0, 25.0, 35.0)]
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("k long, value double")
+        .json(str(d))
+    )
+    ref = {7: [1, 1, 1, 1]}  # int key, same shape as the stream's bins
+    table = run_to_memory(
+        drift_stream(stream, "k", "value", ref, lo=0.0, hi=40.0, n_bins=4),
+        "par_drift_int", "update",
+    )
+    finals = _latest_by_nseen(table.collect(), ["key"])
+    # identical histograms -> PSI exactly 0 IF the reference matched;
+    # the uniform fallback would give a large smoothing-only PSI
+    assert finals[("7",)]["psi"] == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError, match="collide"):
+        drift_stream(
+            stream, "k", "value", {7: [1] * 4, "7": [2] * 4},
+            lo=0.0, hi=40.0, n_bins=4,
+        )
