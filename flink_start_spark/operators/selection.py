@@ -165,7 +165,27 @@ def _prefix_targets(
             "_gcnt",
             F.aggregate("_h", F.lit(0).cast("long"), lambda a, y: a + y["_bc"]),
         )
-        .withColumn("_r", rank_fn(F.col("_gcnt")).cast("long"))
+        # out-of-range ranks (caller-supplied rank_fn) would otherwise
+        # silently resolve against the fold's initial bucket and return
+        # a wrong/NULL value — fail the row loudly at runtime instead
+        .withColumn("_r_raw", rank_fn(F.col("_gcnt")).cast("long"))
+        .withColumn(
+            "_r",
+            F.when(
+                (F.col("_r_raw") >= 1) & (F.col("_r_raw") <= F.col("_gcnt")),
+                F.col("_r_raw"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("rank_fn produced out-of-range rank "),
+                        F.col("_r_raw").cast("string"),
+                        F.lit(" for group of "),
+                        F.col("_gcnt").cast("string"),
+                        F.lit(" rows"),
+                    )
+                ).cast("long")
+            ),
+        )
         .withColumn("_t", F.aggregate("_h", zero, step))
         .select(
             *keys,

@@ -50,6 +50,34 @@ def conditional_count(pred: Column, alias: str = "cnt") -> Column:
     return F.count(F.when(pred, F.lit(1))).alias(alias)
 
 
+def _windowed_agg(
+    df: DataFrame,
+    w_expr: Column,
+    aggs: tuple[Column, ...],
+    keys: list[str] | None,
+) -> DataFrame:
+    """Shared groupBy(window)/agg/unpack for the tumbling/sliding/
+    session trio: one shuffle on (window, *keys) with partial
+    aggregation, window struct unpacked to window_start/window_end,
+    then keys, then the aggs in declaration order."""
+    keys = list(keys or [])
+    out = df.groupBy(w_expr.alias("w"), *[F.col(k) for k in keys]).agg(*aggs)
+    tail = [c for c in out.columns if c != "w" and c not in keys]
+    if len(tail) != len(aggs):
+        # an agg alias colliding with a key name would be silently
+        # dropped from (or ambiguous in) the unpacked projection
+        raise ValueError(
+            f"agg aliases must not collide with key names {keys}; "
+            f"got agg columns {out.columns[1 + len(keys):]}"
+        )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in tail],
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame,
     size: str,
@@ -61,14 +89,7 @@ def tumbling_window_agg(
 
     Returns columns: window_start, window_end (timestamps), *keys, *aggs.
     """
-    grouping = [F.window(F.col(ts_col), size).alias("w")] + [F.col(k) for k in (keys or [])]
-    out = df.groupBy(*grouping).agg(*aggs)
-    return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *[F.col(k) for k in (keys or [])],
-        *[F.col(c) for c in out.columns if c != "w" and c not in (keys or [])],
-    )
+    return _windowed_agg(df, F.window(F.col(ts_col), size), aggs, keys)
 
 
 def sliding_window_agg(
@@ -84,16 +105,7 @@ def sliding_window_agg(
     Each event lands in ``size/slide`` windows; Spark expands this with a
     generator inside the aggregation — no self-join needed.
     """
-    grouping = [F.window(F.col(ts_col), size, slide).alias("w")] + [
-        F.col(k) for k in (keys or [])
-    ]
-    out = df.groupBy(*grouping).agg(*aggs)
-    return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *[F.col(k) for k in (keys or [])],
-        *[F.col(c) for c in out.columns if c != "w" and c not in (keys or [])],
-    )
+    return _windowed_agg(df, F.window(F.col(ts_col), size, slide), aggs, keys)
 
 
 def session_window_agg(
@@ -117,16 +129,7 @@ def session_window_agg(
 
     Returns: window_start, window_end (timestamps), *keys, *aggs.
     """
-    grouping = [F.session_window(F.col(ts_col), gap).alias("w")] + [
-        F.col(k) for k in (keys or [])
-    ]
-    out = df.groupBy(*grouping).agg(*aggs)
-    return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *[F.col(k) for k in (keys or [])],
-        *[F.col(c) for c in out.columns if c != "w" and c not in (keys or [])],
-    )
+    return _windowed_agg(df, F.session_window(F.col(ts_col), gap), aggs, keys)
 
 
 def interval_peak(

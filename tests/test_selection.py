@@ -266,3 +266,17 @@ def test_with_rank_and_sum_contract_guards(spark):
     dec = df.select("n", F.col("v").cast("decimal(18,2)").alias("v"))
     with pytest.raises(ValueError, match="decimal"):
         S.with_rank_and_sum(dec, [], "n", "v", out_rank="rn", out_sum="s")
+
+
+def test_exact_rank_value_rejects_out_of_range_rank(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0)], "k string, v double"
+    )
+    bad = S.exact_rank_value(df, ["k"], "v", rank_fn=lambda cnt: cnt + 1)
+    with pytest.raises(Exception, match="out-of-range rank"):
+        bad.collect()
+    # in-range custom rank still exact: rank 3 of 3 = max
+    got = S.exact_rank_value(
+        df, ["k"], "v", rank_fn=lambda cnt: cnt, out_col="v_at"
+    ).collect()
+    assert got[0]["v_at"] == 3.0

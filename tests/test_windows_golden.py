@@ -125,3 +125,18 @@ def test_event_time_extraction(spark):
     )
     out = W.with_event_time(df, ts_col="ts", source_col="timestamp_raw")
     assert int(out.collect()[0]["ts"].timestamp()) == BASE + 2
+
+
+def test_windowed_agg_rejects_key_colliding_alias(spark):
+    import pytest as _pt
+    from flink_start_spark.operators import windows as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2025-08-03T13:00:00Z", "u1")], "ts string, user_id string"
+    ).withColumn("ts", F.try_to_timestamp("ts"))
+    with _pt.raises(ValueError, match="collide"):
+        W.tumbling_window_agg(
+            df, "1 minute", F.count(F.lit(1)).alias("user_id"),
+            keys=["user_id"],
+        )
