@@ -13,8 +13,8 @@ Four tiers, cheapest first, all shuffle-efficient at 100 TB:
    bucket are compared; the exact-Jaccard confirm runs on candidate
    pairs, not on |docs|^2. The shuffle is on band keys, whose
    cardinality grows with corpus size (no hot keys).
-4. **SimHash** — 16-bit majority-vote hash; near-dup pairs must share
-   at least one of 4 contiguous 4-bit blocks within Hamming distance
+4. **SimHash** — 32-bit majority-vote hash; near-dup pairs must share
+   at least one of 4 contiguous 8-bit blocks within Hamming distance
    <= 3 (pigeonhole), so the pair search is a block-keyed bucket join.
 
 Streaming twins: ``dropDuplicates``/``dropDuplicatesWithinWatermark``
@@ -68,6 +68,16 @@ def minhash_band_rows(
     behind the self-join (:func:`minhash_candidate_pairs`) and the
     delta-vs-corpus join (:func:`incremental_dedup_flags`). UNTRACKED:
     callers persist according to their reference pattern."""
+    if bands < 1 or num_hashes % bands != 0:
+        # truncating division silently drops signature positions
+        # (weakening the advertised AND/OR collision curve), and
+        # bands > num_hashes degenerates to rows=0 — EVERY band key
+        # becomes md5('') and the candidate self-join goes corpus²,
+        # the exact blowup this operator exists to avoid
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows = num_hashes // bands
     df = fan_out(df)  # md5-per-shingle must not run on one input split
     # Two hard-won plan-shape rules (each measured as a >10x blowup at
@@ -86,7 +96,9 @@ def minhash_band_rows(
     #    NOT a union of per-band projections (each union branch
     #    re-evaluates the whole signature pipeline; subtrees are not
     #    shared across branches).
-    n_seeds = (num_hashes + 3) // 4
+    # seed count must mirror texthash's md5-chunk packing exactly:
+    # minhash_from_digest_arrays indexes digest_cols[i // chunks_per_md5]
+    n_seeds = -(-num_hashes // TH._CHUNKS_PER_MD5)
     sig = (
         df.select(F.col(id_col), TH.shingles(F.col(content_col), shingle_n).alias("_sh"))
         .select(
@@ -481,6 +493,60 @@ def simhash_near_dups(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def _passage_rows(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    passage_words: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared chunk→hash stage for :func:`passage_dedup` and
+    :func:`boilerplate_removal`: one row per (document, passage
+    position) with the passage text and its md5. TRACKED — both
+    callers reference it from an aggregate AND a join-back, and
+    without the cache the split/chunk pipeline runs twice. Fanned out
+    — the per-row split/chunk/md5 work must not serialize on a single
+    input split (same rule as minhash_band_rows)."""
+    w = passage_words
+    # materialize the word array as a REAL column first: F.slice inside
+    # the transform lambda must reference the column, not the split()
+    # expression — otherwise split() re-runs once per chunk, the
+    # O(words^2) lambda re-evaluation hazard texthash.shingles documents
+    # (and the slice-shifted pattern there avoids).
+    worded = fan_out(df).select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        TH.words(F.col(content_col)).alias("_ws"),
+    )
+    ws = F.col("_ws")
+    n_chunks = F.greatest(
+        F.ceil(F.size(ws) / F.lit(float(w))), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "),
+    )
+    return C.track(
+        worded.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.posexplode(chunks).alias("pos", "passage"),
+        ).withColumn("ph", F.md5("passage"))
+    )
+
+
+def _kept_md5():
+    """md5 of the ``kept`` passages reassembled in position order — the
+    byte-exact digest contract both passage operators share with the
+    DuckDB oracle."""
+    kept_passages = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("pos", "passage")))
+    )
+    return F.md5(
+        F.array_join(F.transform(kept_passages, lambda s: s["passage"]), " ")
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     content_col: str,
@@ -507,27 +573,7 @@ def passage_dedup(
     DuckDB oracle; emitting the hash keeps the result compact while
     still pinning every surviving byte).
     """
-    w = passage_words
-    # materialize the word array as a REAL column first: F.slice inside
-    # the transform lambda must reference the column, not the split()
-    # expression — otherwise split() re-runs once per chunk, the
-    # O(words^2) lambda re-evaluation hazard texthash.shingles documents
-    # (and the slice-shifted pattern there avoids).
-    worded = df.select(F.col(id_col), TH.words(F.col(content_col)).alias("_ws"))
-    ws = F.col("_ws")
-    n_chunks = F.greatest(
-        F.ceil(F.size(ws) / F.lit(float(w))), F.lit(1)
-    ).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "),
-    )
-    hashed = worded.select(
-        F.col(id_col), F.posexplode(chunks).alias("pos", "passage")
-    ).withColumn("ph", F.md5("passage"))
-    # Referenced by both the first-occurrence aggregate and the
-    # join-back; without the cache the split/chunk pipeline runs twice.
-    hashed = C.track(hashed)
+    hashed = _passage_rows(df, content_col, id_col, passage_words)
     first = hashed.groupBy("ph").agg(
         F.min(F.struct(id_col, "pos")).alias("fst")
     )
@@ -536,20 +582,13 @@ def passage_dedup(
         (F.col(id_col) == F.col(f"fst.{id_col}"))
         & (F.col("pos") == F.col("fst.pos")),
     )
-    kept_passages = F.array_sort(
-        F.collect_list(F.when(F.col("kept"), F.struct("pos", "passage")))
-    )
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_passages"),
         F.sum(F.col("kept").cast("int")).alias("n_kept"),
         F.round(
             F.sum(F.col("kept").cast("int")) / F.count("*"), 6
         ).alias("kept_frac"),
-        F.md5(
-            F.array_join(
-                F.transform(kept_passages, lambda s: s["passage"]), " "
-            )
-        ).alias("dedup_md5"),
+        _kept_md5().alias("dedup_md5"),
     )
 
 
@@ -586,10 +625,16 @@ def contrastive_triplets(
     pos = C.track(
         minhash_near_dups(df, content_col, id_col, threshold=threshold)
     )
-    n_buckets = df.select(
-        F.ceil(F.count(F.lit(1)) / F.lit(float(bucket_target)))
-        .cast("long")
-        .alias("_nb")
+    # tracked: this 1-row corpus-wide count is crossJoined from TWO
+    # plan branches (docs_b and anchors) — unpersisted it would run the
+    # full-corpus aggregation twice per action (the module's shared-
+    # subtree rule)
+    n_buckets = C.track(
+        df.select(
+            F.ceil(F.count(F.lit(1)) / F.lit(float(bucket_target)))
+            .cast("long")
+            .alias("_nb")
+        )
     )
 
     # 8-nibble md5 buckets (TH.md5_bucket width=8): 2^32 addresses
@@ -894,24 +939,8 @@ def boilerplate_removal(
     key, so one corpus shuffle serves both. Nothing broadcasts the
     boilerplate set: per-source template counts grow with the corpus.
     """
-    w = passage_words
-    worded = df.select(
-        F.col(id_col), F.col(source_col), TH.words(F.col(content_col)).alias("_ws")
-    )
-    ws = F.col("_ws")
-    n_chunks = F.greatest(
-        F.ceil(F.size(ws) / F.lit(float(w))), F.lit(1)
-    ).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "),
-    )
-    hashed = C.track(
-        worded.select(
-            F.col(id_col),
-            F.col(source_col),
-            F.posexplode(chunks).alias("pos", "passage"),
-        ).withColumn("ph", F.md5("passage"))
+    hashed = _passage_rows(
+        df, content_col, id_col, passage_words, extra_cols=(source_col,)
     )
     boiler = (
         hashed.groupBy(source_col, "ph")
@@ -922,9 +951,6 @@ def boilerplate_removal(
     flagged = hashed.join(boiler, [source_col, "ph"], "left").withColumn(
         "kept", F.col("_boiler").isNull()
     )
-    kept_passages = F.array_sort(
-        F.collect_list(F.when(F.col("kept"), F.struct("pos", "passage")))
-    )
     return flagged.groupBy(id_col).agg(
         F.first(source_col).alias(source_col),
         F.count("*").alias("n_passages"),
@@ -932,9 +958,5 @@ def boilerplate_removal(
         F.round(F.sum((~F.col("kept")).cast("int")) / F.count("*"), 6).alias(
             "boiler_frac"
         ),
-        F.md5(
-            F.array_join(
-                F.transform(kept_passages, lambda s: s["passage"]), " "
-            )
-        ).alias("stripped_md5"),
+        _kept_md5().alias("stripped_md5"),
     )

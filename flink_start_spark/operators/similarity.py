@@ -27,6 +27,21 @@ from flink_start_spark import cache as C
 from flink_start_spark.functions import vector as V
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k epilogue for the ``*_topk`` family: rank scored
+    (query_id, neighbor_id, cosine) rows by (cosine desc, neighbor_id)
+    — the ONE place the deterministic tie-break contract lives — and
+    keep ``rank <= k``."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -55,14 +70,7 @@ def brute_force_topk(
             F.round(V.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_topk(
@@ -134,14 +142,7 @@ def lsh_topk(
             F.round(V.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 #: target expected cell population for the auto-scaled quantizer:
@@ -300,14 +301,7 @@ def ivf_topk_precomputed(
             F.round(V.cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def rp_lsh_topk(

@@ -25,9 +25,9 @@ Scale shape:
 - each round is: one explode+groupBy over the vocab for pair counts,
   one TakeOrdered(1), one broadcast of the single winning pair, one
   O(word-length) fold per word to apply it. K rounds = K bounded
-  plans, persisted round-over-round exactly like kmeans
-  (operators/similarity.py) — self-managed caches, unpersisted
-  in-function;
+  plans, checkpointed round-over-round like connected_components
+  (operators/dedup.py) — self-managed, released in-function (kmeans
+  by contrast registers its caches via C.track for caller release);
 - no collect(): the winner flows back as a 1-row broadcast crossJoin
   (the bounded nested-loop class test_plan_quality allowlists).
 """
@@ -136,6 +136,11 @@ def bpe_train(
     expression TREE grows exponentially in rounds (measured: 2 rounds
     analyze in seconds, 8 rounds hang the optimizer for minutes).
     """
+    if n_merges < 1:
+        # the loop would never run and the function would return None,
+        # crashing callers at the documented bpe_encode(merges, ...)
+        # follow-up — fail the misconfiguration loudly instead
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     wc = (
         word_counts(df, text_col)
         .select("cnt", _initial_symbols(F.col("word")).alias("syms"))

@@ -509,3 +509,23 @@ def test_incremental_dedup_crossing_only(spark):
         else:
             assert r["exact_dup"] is False
             assert r["n_near_matches"] == 0
+
+
+def test_minhash_band_rows_rejects_indivisible_bands(spark):
+    from flink_start_spark.operators import dedup as D
+
+    df = spark.createDataFrame([(1, "a b c d e")], "id long, text string")
+    # truncating division would silently drop signature positions
+    with pytest.raises(ValueError, match="multiple of"):
+        D.minhash_band_rows(df, "text", "id", num_hashes=16, bands=5)
+    # bands > num_hashes would degenerate to a universal md5('') bucket
+    with pytest.raises(ValueError, match="multiple of"):
+        D.minhash_band_rows(df, "text", "id", num_hashes=16, bands=17)
+
+
+def test_bpe_train_rejects_nonpositive_merges(spark):
+    from flink_start_spark.operators import tokenize as TK
+
+    df = spark.createDataFrame([("low lower",)], "text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        TK.bpe_train(df, "text", n_merges=0)
