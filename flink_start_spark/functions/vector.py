@@ -38,8 +38,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL if either vector has zero norm."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL if either vector has zero norm.
+
+    The NULL branch is an explicit guard, not division fallout: the
+    session runs Spark 4 ANSI mode, where an unguarded ``x / 0.0``
+    RAISES (DIVIDE_BY_ZERO) and one all-zeros embedding would kill the
+    whole query. Oracle mirrors use ``NULLIF(denominator, 0)`` for the
+    same semantics."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def sq_dist(a: Column, b: Column) -> Column:
@@ -109,8 +116,11 @@ def sign_bits(a: Column, n_bits: int, offset: int = 0) -> Column:
     projection matrix (broadcast, ``dot`` per plane) for production
     embeddings.
     """
+    # try_element_at: under ANSI mode a plain element_at RAISES past the
+    # array end; NULL-on-out-of-bounds keeps the documented behavior of
+    # padding short vectors with 0-bits when bands*bits > dim
     bit = lambda i: F.when(  # noqa: E731
-        F.element_at(a, i + 1).cast("double") >= 0, F.lit(1)
+        F.try_element_at(a, F.lit(i + 1)).cast("double") >= 0, F.lit(1)
     ).otherwise(F.lit(0))
     out = F.lit(0)
     for i in range(n_bits):

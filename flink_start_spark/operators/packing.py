@@ -52,9 +52,10 @@ def sequence_pack(
     arithmetic. Zero-length documents occupy no stream space: they pin
     to their start offset's pack with ``end_pack_id = pack_id``.
     """
+    # only the running sum is consumed; requesting a rank would add an
+    # unused row_number projection in the in-bucket window phase
     s = S.with_rank_and_sum(
-        df.select(id_col, len_col), [], id_col, len_col,
-        out_rank="_rn", out_sum="_cum",
+        df.select(id_col, len_col), [], id_col, len_col, out_sum="_cum",
     )
     staged = s.select(
         F.col(id_col),

@@ -277,7 +277,12 @@ def decontaminate(
     """
     bucket = TH.md5_bucket(F.col(id_col), salt="bench|")
     sh = F.array_distinct(TH.shingles(F.col(text_col), ngram))
-    shingled = df.select(F.col(id_col), bucket.alias("_bucket"), sh.alias("_sh"))
+    # tracked: the bench and scored branches both read this relation —
+    # unpersisted, the corpus scan + shingle/md5 construction runs
+    # twice per action (the repo-wide shared-subtree rule)
+    shingled = C.track(
+        df.select(F.col(id_col), bucket.alias("_bucket"), sh.alias("_sh"))
+    )
     bench = (
         shingled.filter(F.col("_bucket") < bench_pct)
         .select(F.explode("_sh").alias("bench_shingle"))
@@ -390,6 +395,15 @@ def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Pure regexp projections (codegen'd, no shuffle); the pattern list
     is the portable intersection of Java and RE2 regex dialects so the
     oracle can recompute matches exactly.
+
+    Contract on overlapping matches: ``n_<type>`` are DETECTION counts,
+    each computed on the RAW text, while redaction applies patterns
+    sequentially (in ``PII_PATTERNS`` order) to the running text — so a
+    span matched by two patterns (e.g. an SSN inside an email
+    local-part) counts once per pattern but redacts under the first.
+    Reconciling ``n_*`` against ``<TYPE>`` token counts in
+    ``redacted_text`` is therefore only exact on non-overlapping
+    matches; the oracle mirrors this exact semantics.
     """
     out = df
     redacted = F.col(text_col)
@@ -463,15 +477,20 @@ def weighted_reservoir_sample(
     Shape at 100 TB: score is a pure projection; top-k is
     sort+limit, which Spark executes as TakeOrderedAndProject —
     per-partition heaps merged once, NO total sort, no full shuffle.
+
+    Rows with weight <= 0 are dropped before scoring: they have zero
+    selection probability under A-Res by definition, and unfiltered
+    they would crash the job (1/0 under the session's ANSI mode) or
+    produce invalid scores (negative exponent base). Oracle mirrors
+    carry the same ``WHERE weight > 0``.
     """
-    u = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 12),
-        16,
-        10,
+    u = TH.md5_bucket(
+        F.col(id_col), mod=None, salt=salt + "|", width=12
     ).cast("double") / F.lit(float(16**12))
     score = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     return (
-        df.select(F.col(id_col), F.col(weight_col), score.alias("score"))
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
         .select(id_col, weight_col, F.round("score", 6).alias("score"))
@@ -595,8 +614,9 @@ def quality_classifier_score(
     whatever numbers the weights hold. A real trained model would
     broadcast its D-row weight table and join on the feature bucket
     (decontamination's broadcast shape); with expression-derived
-    weights even that join disappears and scoring is PURE MAP WORK:
-    one explode, per-token codegen projections, one doc groupBy.
+    weights even that join disappears and scoring is PURE MAP WORK
+    (see the ZERO-SHUFFLE paragraph below for the actual shape: a
+    per-row array fold, no explode and no groupBy).
 
     Integer weights in [-8, 8] summed count-weighted give an exact
     integer log-odds (no float accumulation, engine-exact); emitted as

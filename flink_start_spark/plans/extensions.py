@@ -374,11 +374,15 @@ def q_winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------
 
+# NULLIF denominator mirrors vector.cosine's zero-norm guard (Spark
+# ANSI mode raises on /0; DuckDB would yield inf/NaN — NULL on both)
 _COS = """
 round(
   list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]) /
-  (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)])) *
-   sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(cv) + 1)]))),
+  NULLIF(
+   sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)])) *
+   sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(cv) + 1)])),
+   0),
   6)
 """
 

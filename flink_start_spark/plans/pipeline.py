@@ -446,6 +446,7 @@ _WRS_U = "((" + " + ".join(
     f"""
     SELECT doc_id, n_chars, round(pow({_WRS_U}, 1.0 / n_chars), 6) AS score
     FROM documents
+    WHERE n_chars > 0
     ORDER BY pow({_WRS_U}, 1.0 / n_chars) DESC, doc_id
     LIMIT 100
     """,

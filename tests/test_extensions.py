@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_start_spark.functions import texthash as TH
+from flink_start_spark.functions import vector as V
 from flink_start_spark.operators import dedup as D
 from flink_start_spark.operators import multimodal as M
 from flink_start_spark.operators import similarity as S
@@ -456,3 +457,40 @@ def test_per_cell_knob_threads_to_quantizer(spark):
     _, cents16 = S.precompute_cells(df, n_cells=16, per_cell=125)
     assert cents16.count() == 16
     C2.release()
+
+
+def test_cosine_zero_norm_is_null_not_crash(spark):
+    """Under the session's ANSI mode an unguarded /0.0 raises — a
+    single all-zeros embedding must yield NULL cosine, not kill the
+    query."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 1.0])],
+        "id long, v array<double>",
+    )
+    a = df.alias("a")
+    b = df.alias("b")
+    got = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in a.crossJoin(b)
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            V.cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .collect()
+    }
+    assert got[(1, 2)] is None and got[(1, 1)] is None
+    assert got[(2, 3)] == pytest.approx(2 ** -0.5)
+
+
+def test_sign_bits_pads_past_array_end(spark):
+    """bands*bits exceeding the embedding dim must pad with 0-bits
+    (the documented behavior), not raise INVALID_ARRAY_INDEX under
+    ANSI mode."""
+    df = spark.createDataFrame([([1.0, -1.0],)], "v array<double>")
+    r = df.select(
+        V.sign_bits(F.col("v"), 8, offset=0).alias("k0"),
+        V.sign_bits(F.col("v"), 8, offset=8).alias("k1"),
+    ).collect()[0]
+    assert r["k0"] == 1  # bit0 from +1.0, bit1 from -1.0, rest padded 0
+    assert r["k1"] == 0  # entirely past the array end
