@@ -183,11 +183,18 @@ def range_join(
     pt = points.withColumn(
         "_bucket", F.floor(F.col(point_ts).cast("long") / secs)
     )
+    # upper bound floor(end/secs), NOT floor((end-1)/secs): cast-to-long
+    # truncates sub-second fractions, so a range_end of k*secs + 0.4ms
+    # would lose its final bucket under the -1 form and silently drop
+    # in-range points living there. The cost of the inclusive bound is
+    # at most one extra candidate bucket per range, removed by the
+    # residual predicate. Timestamps must be non-negative epochs (the
+    # repo-wide truncate-vs-floor rule for pre-1970 values).
     rg = ranges.withColumn(
         "_buckets",
         F.sequence(
             F.floor(F.col(range_start).cast("long") / secs),
-            F.floor((F.col(range_end).cast("long") - 1) / secs),
+            F.floor(F.col(range_end).cast("long") / secs),
         ),
     )
     # stack-free: the bucket list is tiny (expansion ~2) and cheap to

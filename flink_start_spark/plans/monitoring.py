@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_start_spark import cache as C
 from flink_start_spark.functions.texthash import md5_bucket
 from flink_start_spark.plans.catalog import _register
 from flink_start_spark.plans.pipeline import _bucket_sql
@@ -113,8 +114,13 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_w(*_REF).alias("in_ref"),
         in_w(*_CUR).alias("in_cur"),
     )
-    c = e.groupBy("event_type", "bin").agg(
-        F.count_if("in_ref").alias("n_ref"), F.count_if("in_cur").alias("n_cur")
+    # tracked: both the totals (t) and the spine join read this
+    # aggregate — unpersisted, the events scan + histogram groupBy runs
+    # twice per action (repo-wide shared-subtree rule)
+    c = C.track(
+        e.groupBy("event_type", "bin").agg(
+            F.count_if("in_ref").alias("n_ref"), F.count_if("in_cur").alias("n_cur")
+        )
     )
     t = c.groupBy("event_type").agg(
         F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
@@ -397,12 +403,17 @@ def q_similar_revenue_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 7
         ).alias("var"),
     )
-    zn = z.filter(F.col("var") > 0).select(
-        "d",
-        "idx",
-        F.transform(
-            "arr", lambda x: (x - F.col("m")) / F.sqrt(F.col("var"))
-        ).alias("zv"),
+    # tracked: the pattern pick and the distance scan both read this
+    # relation — unpersisted, the orders scan + daily rollup + window
+    # chain runs twice per action (repo-wide shared-subtree rule)
+    zn = C.track(
+        z.filter(F.col("var") > 0).select(
+            "d",
+            "idx",
+            F.transform(
+                "arr", lambda x: (x - F.col("m")) / F.sqrt(F.col("var"))
+            ).alias("zv"),
+        )
     )
     pat = (
         zn.orderBy(F.col("d").desc())

@@ -37,6 +37,16 @@ def _bucket_sql(expr: str, mod: int | None = 100, width: int = 4) -> str:
     return f"({terms})" if mod is None else f"(({terms}) % {mod})"
 
 
+#: Decontamination parameters, single-sourced for BOTH the
+#: decontamination_flags stage oracle and the curation_audit
+#: composition oracle (and mirrored by operators/text.py::decontaminate
+#: defaults): benchmark carve-out percent, shingle width, and the
+#: contamination flag threshold. Tweak here, not in an oracle body.
+_BENCH_PCT = 5
+_DECON_NGRAM = 5
+_DECON_THRESHOLD = 0.2
+
+
 #: 3-word shingle CTE over the documents table — DuckDB twin of
 #: texthash.shingles (defined here, the import root of the plans
 #: modules, so both extensions.py and this module can share it without
@@ -118,16 +128,16 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
                       {_bucket_sql("'bench|' || doc_id::VARCHAR")} AS bucket
                FROM documents),
-    s AS (SELECT doc_id, bucket, {_shingle_sql(5)} AS sh FROM d),
+    s AS (SELECT doc_id, bucket, {_shingle_sql(_DECON_NGRAM)} AS sh FROM d),
     sd AS (SELECT doc_id, bucket, unnest(list_distinct(sh)) AS s FROM s),
-    bench AS (SELECT DISTINCT s FROM sd WHERE bucket < 5)
+    bench AS (SELECT DISTINCT s FROM sd WHERE bucket < {_BENCH_PCT})
     SELECT sd.doc_id,
            count(*) AS n_shingles,
            count(bench.s) AS n_contaminated,
            round(count(bench.s)::DOUBLE / count(*)::DOUBLE, 6) AS contamination_frac,
-           count(bench.s)::DOUBLE / count(*)::DOUBLE >= 0.2 AS contaminated
+           count(bench.s)::DOUBLE / count(*)::DOUBLE >= {_DECON_THRESHOLD} AS contaminated
     FROM sd LEFT JOIN bench ON sd.s = bench.s
-    WHERE sd.bucket >= 5
+    WHERE sd.bucket >= {_BENCH_PCT}
     GROUP BY sd.doc_id
     """,
     description=(
@@ -207,15 +217,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_SQL = """
+def _quality_expr_sql(w: str = "w") -> str:
+    """The 0.4/0.4/0.2 quality-score expression over a word-list
+    column — the ONE copy of the formula. ``_QUALITY_SQL`` and the
+    curation_audit composition oracle both derive from it, so a weight
+    tweak cannot silently desync the stage oracle from the
+    composition."""
+    return f"""round(0.4 * least(1.0, len({w})::DOUBLE / 64.0)
+                 + 0.4 * (len(list_distinct({w}))::DOUBLE / greatest(len({w}), 1))
+                 + 0.2 * (1.0 - abs(len(list_filter({w},
+                       x -> x IN ('the','a','an','of','and','or','to','in')))::DOUBLE
+                       / greatest(len({w}), 1) - 0.4)),
+                 6)"""
+
+
+_QUALITY_SQL = f"""
     q AS (
       SELECT doc_id, lang,
-             round(0.4 * least(1.0, len(w)::DOUBLE / 64.0)
-                 + 0.4 * (len(list_distinct(w))::DOUBLE / greatest(len(w), 1))
-                 + 0.2 * (1.0 - abs(len(list_filter(w,
-                       x -> x IN ('the','a','an','of','and','or','to','in')))::DOUBLE
-                       / greatest(len(w), 1) - 0.4)),
-                 6) AS quality_score
+             {_quality_expr_sql("w")} AS quality_score
       FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents))
 """
 
@@ -342,18 +361,13 @@ _RATE_CASE = (
       FROM documents),
     flags AS (
       SELECT doc_id, lang, text,
-             bench_bucket < 5 AS is_bench,
+             bench_bucket < {_BENCH_PCT} AS is_bench,
              sample_bucket < ({_RATE_CASE}) AS sampled,
              (len(cw) >= 16
               AND list_sum(list_transform(cw, x -> len(x)))::DOUBLE / greatest(len(cw), 1) >= 2.0
               AND list_sum(list_transform(cw, x -> len(x)))::DOUBLE / greatest(len(cw), 1) <= 12.0
               AND len(list_distinct(cw))::DOUBLE / greatest(len(cw), 1) > 0.3) AS clean_kept,
-             round(0.4 * least(1.0, len(w)::DOUBLE / 64.0)
-                 + 0.4 * (len(list_distinct(w))::DOUBLE / greatest(len(w), 1))
-                 + 0.2 * (1.0 - abs(len(list_filter(w,
-                       x -> x IN ('the','a','an','of','and','or','to','in')))::DOUBLE
-                       / greatest(len(w), 1) - 0.4)),
-                 6) AS quality_score,
+             {_quality_expr_sql("w")} AS quality_score,
              doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
       FROM nb),
     med AS (
@@ -364,14 +378,14 @@ _RATE_CASE = (
                    count(*) OVER (PARTITION BY lang) AS cnt
             FROM flags)
       WHERE rn = (cnt + 1) // 2),
-    sh AS (SELECT doc_id, bench_bucket, {_shingle_sql(5)} AS sh FROM nb),
+    sh AS (SELECT doc_id, bench_bucket, {_shingle_sql(_DECON_NGRAM)} AS sh FROM nb),
     sd AS (SELECT doc_id, bench_bucket, unnest(list_distinct(sh)) AS s FROM sh),
-    bench AS (SELECT DISTINCT s FROM sd WHERE bench_bucket < 5),
+    bench AS (SELECT DISTINCT s FROM sd WHERE bench_bucket < {_BENCH_PCT}),
     decon AS (
       SELECT sd.doc_id,
-             count(bench.s)::DOUBLE / count(*)::DOUBLE >= 0.2 AS contaminated
+             count(bench.s)::DOUBLE / count(*)::DOUBLE >= {_DECON_THRESHOLD} AS contaminated
       FROM sd LEFT JOIN bench ON sd.s = bench.s
-      WHERE sd.bench_bucket >= 5
+      WHERE sd.bench_bucket >= {_BENCH_PCT}
       GROUP BY sd.doc_id)
     SELECT f.doc_id, f.lang,
            CASE WHEN f.is_bench THEN 'benchmark'
@@ -435,10 +449,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.ngram_novelty(docs, "text", "doc_id", n=3)
 
 
-_WRS_NIB = "strpos('0123456789abcdef', substr(md5('wrs|' || doc_id::VARCHAR), {i}, 1)) - 1"
-_WRS_U = "((" + " + ".join(
-    f"({_WRS_NIB.format(i=i + 1)}) * {16 ** (11 - i)}" for i in range(12)
-) + f") / {float(16 ** 12)})"
+# u ~ U(0,1) from the shared strpos-chain builder (12 nibbles = 48
+# bits), never a hand-rolled copy of it
+_WRS_U = (
+    f"({_bucket_sql(chr(39) + 'wrs|' + chr(39) + ' || doc_id::VARCHAR', mod=None, width=12)}"
+    f" / {float(16 ** 12)})"
+)
 
 
 @_register(
@@ -996,22 +1012,13 @@ def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "shard_manifest",
-    """
-    WITH d AS (
+    f"""
+    WITH b AS (
       SELECT doc_id,
              len(string_split(trim(text), ' '))::BIGINT AS n_tokens,
-             md5('shard|' || doc_id::VARCHAR) AS h,
-             md5(doc_id::VARCHAR) AS idh
-      FROM documents),
-    b AS (
-      SELECT doc_id, n_tokens,
-             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 16 AS shard,
-             list_sum([(strpos('0123456789abcdef', substr(idh, i, 1)) - 1)
-                       * 16 ** (8 - i) FOR i IN range(1, 9)])::BIGINT AS idsum
-      FROM d)
+             {_bucket_sql("'shard|' || doc_id::VARCHAR", 16)} AS shard,
+             {_bucket_sql("doc_id::VARCHAR", mod=None, width=8)}::BIGINT AS idsum
+      FROM documents)
     SELECT shard::BIGINT AS shard,
            count(*)::BIGINT AS n_docs,
            sum(n_tokens)::BIGINT AS total_tokens,
@@ -1163,7 +1170,6 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "extension", "pipeline", "analytic"),
 )
 def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_start_spark import cache as C
     from flink_start_spark.functions import texthash as TH
     from flink_start_spark.operators import selection as S
 

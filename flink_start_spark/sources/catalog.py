@@ -60,12 +60,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     for field in expected.fields:
         if isinstance(field.dataType, T.TimestampType):
             if actual.get(field.name) == "bigint":  # TIMESTAMP(NANOS) → epoch nanos
-                # `div` keeps the nanos→micros conversion exact integer
-                # arithmetic: epoch-nanos exceed double's 2^53 range, so
-                # float division has a 256 ns ULP that can disagree with
-                # the oracle's exact epoch_ns // 1000 near boundaries
+                # exact integer arithmetic (epoch-nanos exceed double's
+                # 2^53, so float division has a 256 ns ULP), and FLOOR
+                # semantics to match the oracle's epoch_ns // 1000 on
+                # pre-1970 values too: bare `div` truncates toward zero
+                # and would shift a negative-epoch sub-microsecond value
+                # 1 us late; subtracting pmod first makes the numerator
+                # an exact multiple, where div == floor-div.
                 df = df.withColumn(
-                    field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+                    field.name,
+                    F.timestamp_micros(
+                        F.expr(
+                            f"(`{field.name}` - pmod(`{field.name}`, 1000))"
+                            " div 1000"
+                        )
+                    ),
                 )
             elif actual.get(field.name) == "timestamp_ntz":  # MICROS, not UTC-adjusted
                 # Session tz is pinned to UTC, so NTZ → LTZ is the identity

@@ -69,8 +69,12 @@ KAFKA_SINK_FIELDS: dict[str, tuple[str, ...]] = {
     "key": ("string", "binary"),
     "value": ("string", "binary"),
     "topic": ("string",),
-    "partition": ("integer",),
-    "headers": ("array",),
+    "partition": ("int",),
+    # full element type, not just "array": the writer requires exactly
+    # array<struct<key:string,value:binary>> and a wrong element type
+    # (e.g. array<string>) would pass a typeName()-only check and still
+    # fail at runtime against a live broker
+    "headers": ("array<struct<key:string,value:binary>>",),
 }
 
 
@@ -89,10 +93,11 @@ def validate_kafka_frame(df: DataFrame) -> DataFrame:
                 f"column '{f.name}' is not a Kafka frame field "
                 f"(allowed: {sorted(KAFKA_SINK_FIELDS)})"
             )
-        if f.dataType.typeName() not in allowed:
+        got = f.dataType.simpleString()
+        if got not in allowed:
             raise ValueError(
                 f"Kafka frame field '{f.name}' must be one of {allowed}, "
-                f"got {f.dataType.typeName()}"
+                f"got {got}"
             )
     return df
 

@@ -16,6 +16,8 @@ with ``maxFilesPerTrigger`` instead (see flink_start_spark.streaming).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -50,17 +52,50 @@ def user_activity_fixture(spark: SparkSession) -> DataFrame:
     )
 
 
+def _peek_is_json_array(path: str) -> bool:
+    """True when the first non-whitespace byte of the first local file
+    under ``path`` is '[' (the reference's single-JSON-array layout).
+    Remote URIs (unreadable driver-side) default to False — JSON-lines
+    is the layout Spark natively splits and streams at scale."""
+    candidates = [path]
+    if os.path.isdir(path):
+        candidates = sorted(
+            f
+            for f in (os.path.join(path, x) for x in os.listdir(path))
+            if os.path.isfile(f)
+        )
+    for f in candidates:
+        try:
+            with open(f, "rb") as fh:
+                while True:
+                    chunk = fh.read(4096)
+                    if not chunk:
+                        break
+                    stripped = chunk.lstrip()
+                    if stripped:
+                        return stripped[:1] == b"["
+        except OSError:
+            return False
+    return False
+
+
 def read_user_activity_json(spark: SparkSession, path: str) -> DataFrame:
     """Read a user-activity JSON file into the typed schema.
 
     Handles both JSON-lines and the reference's single JSON-array layout
-    (``multiLine`` covers the array form the reference splits by regex,
-    package.scala:45-48). Malformed objects and records missing any of the
-    three fields are dropped, matching the reference's filter at
-    package.scala:29-31 — but expressed as a null-filter the optimizer can
-    reason about rather than imperative parsing.
+    (package.scala:45-48 splits the array by regex) by PEEKING at the
+    first byte: ``multiLine`` is only set for the array form, because
+    with it Spark parses ONE top-level value per file — applied to a
+    JSON-lines input it would silently keep just the first record.
+    Malformed objects and records missing any of the three fields are
+    dropped, matching the reference's filter at package.scala:29-31 —
+    but expressed as a null-filter the optimizer can reason about
+    rather than imperative parsing.
     """
-    raw = spark.read.schema(USER_ACTIVITY_RAW).option("multiLine", "true").json(path)
+    reader = spark.read.schema(USER_ACTIVITY_RAW)
+    if _peek_is_json_array(path):
+        reader = reader.option("multiLine", "true")
+    raw = reader.json(path)
     typed = raw.select(
         F.col("userId").alias("user_id"),
         F.col("activity"),

@@ -111,3 +111,34 @@ def test_asof_join_rejects_clashing_payload_column(spark):
     right = spark.createDataFrame([(1, 9, 7.0)], "k long, rt long, value double")
     with pytest.raises(ValueError, match="payload columns .* also exist"):
         as_of_join(left, right, "k", "t", "rt", ["value"])
+
+
+def test_range_join_fractional_second_range_end(spark):
+    """A range_end with a sub-second fraction whose integral second is
+    a bucket multiple must still match points in the final partial
+    bucket (the cast-to-long truncation trap); reference = the plain
+    inequality join."""
+    from flink_start_spark.operators.joins import range_join
+
+    base = 1704452400  # a whole multiple of 3600
+    pts = spark.createDataFrame(
+        [(1, float(base) + 0.0002), (1, float(base) - 5.0), (1, float(base) + 1.0)],
+        "k long, t double",
+    ).select("k", F.timestamp_seconds("t").alias("t"))
+    rgs = spark.createDataFrame(
+        [(1, float(base) - 3600.0, float(base) + 0.0004)], "k long, s double, e double"
+    ).select(
+        "k",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+    )
+    got = sorted(
+        r["t"] for r in range_join(pts, rgs, "k", "t", "s", "e", "1 hour").collect()
+    )
+    want = sorted(
+        r["t"]
+        for r in pts.join(rgs, "k")
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+        .collect()
+    )
+    assert got == want and len(want) == 2  # base+0.0002 AND base-5
