@@ -70,9 +70,9 @@ def curation_audit(
     """
     text = F.col(text_col)
     # -- one-scan per-row flags ----------------------------------------
-    clean_words = F.split(
-        F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " "
-    )
+    # normalization shared with clean_text (text.py::clean_words_expr)
+    # so the audit's failed_clean flag can never desync from the stage
+    clean_words = TX.clean_words_expr(text)
     rate = F.lit(default_pct)
     for stratum, pct in rates.items():
         rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)

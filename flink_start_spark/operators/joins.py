@@ -56,6 +56,16 @@ def as_of_join(
     the key; forward is the backward carry over a descending sort, and
     nearest evaluates both carries inside the same window exchange (two
     in-partition sorts, still a single shuffle — never a second join).
+
+    Precondition: right-side ``(key, right_ts)`` must be unique. With
+    duplicate right timestamps the union window's (ts, side) order
+    leaves the duplicates mutually unordered, and the carried payload
+    is whichever the in-partition sort placed last — nondeterministic
+    across runs/partitionings (``pd.merge_asof`` shares the ambiguity
+    but resolves it by input ROW order, which a distributed relation
+    does not have). Pre-aggregate the right side to one row per
+    (key, ts) first, as every in-repo call site does
+    (plans/advanced.py).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -167,7 +177,7 @@ def range_join(
     point_ts: str,
     range_start: str,
     range_end: str,
-    bucket: str = "1 day",
+    bucket: str | int = "1 day",
 ) -> DataFrame:
     """Range join: match each point to every range (same key) containing
     it: ``range_start <= point_ts < range_end``.
@@ -177,9 +187,32 @@ def range_join(
     span), points join on their single bucket, then the exact range
     predicate filters. With bucket ~ typical interval length the
     expansion factor stays near 2 and the join is hash, not
-    nested-loop.
+    nested-loop. ``bucket`` is a known interval label or a raw
+    positive integer of seconds (the tuning knob the docstring above
+    recommends matching to the typical interval length).
     """
-    secs = {"1 hour": 3600, "1 day": 86400, "1 week": 604800}[bucket]
+    known = {"1 minute": 60, "1 hour": 3600, "1 day": 86400, "1 week": 604800}
+    if isinstance(bucket, int):
+        secs = bucket
+    elif bucket in known:
+        secs = known[bucket]
+    else:
+        raise ValueError(
+            f"bucket must be a positive integer of seconds or one of "
+            f"{sorted(known)}; got {bucket!r}"
+        )
+    if secs < 1:
+        raise ValueError(f"bucket seconds must be >= 1, got {secs}")
+    clash = [
+        c for c in ranges.columns if c in points.columns and c != key
+    ]
+    if clash:
+        # same guidance as as_of_join: duplicate names survive the join
+        # as ambiguous columns and fail downstream selects/writes
+        raise ValueError(
+            f"columns {clash} exist on both sides; alias one side "
+            "before the range join"
+        )
     pt = points.withColumn(
         "_bucket", F.floor(F.col(point_ts).cast("long") / secs)
     )

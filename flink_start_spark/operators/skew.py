@@ -60,7 +60,9 @@ def salted_agg(
     built-in aggregates Spark's partial aggregation usually makes this
     unnecessary — keep it for accumulators that do not collapse.
     """
-    salt = F.pmod(F.abs(F.hash(F.rand(seed=42))), F.lit(n_salts)).alias("_salt")
+    # pmod is already non-negative — no abs, matching
+    # salted_count_distinct's pmod(hash(..)) form above
+    salt = F.pmod(F.hash(F.rand(seed=42)), F.lit(n_salts)).alias("_salt")
     first = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[merge]
     second = F.sum if merge == "count" else first
     phase1 = (

@@ -50,6 +50,18 @@ def quality_expr(ws: Column) -> Column:
     )
 
 
+def clean_norm_expr(text: Column) -> Column:
+    """The normalization half of the clean stage (whitespace collapse →
+    trim → lower) — single-sourced for clean_text and the curation
+    audit, like :func:`clean_keep_expr` is for the keep rules."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def clean_words_expr(text: Column) -> Column:
+    """Normalized word array: :func:`clean_norm_expr` split on ' '."""
+    return F.split(clean_norm_expr(text), " ")
+
+
 def clean_keep_expr(cw: Column) -> Column:
     """C4/Gopher keep rules over the *normalized* word array —
     single-sourced for clean_text and the curation audit."""
@@ -159,7 +171,7 @@ def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     a ``kept`` flag rather than a filter so downstream stages can audit
     drop rates per source — at 100 TB you never discard silently.
     """
-    clean = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    clean = clean_norm_expr(F.col(text_col))
     ws = F.split(clean, " ")
     return df.select(
         "doc_id",

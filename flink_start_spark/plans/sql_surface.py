@@ -236,9 +236,14 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
+    # no broadcast hint on the filtered customer side: it is still
+    # ~1/5 of an SF-SCALED table, so a hard hint would force a
+    # multi-GB broadcast at high SF — AQE converts it to broadcast
+    # exactly when its runtime size qualifies (the description's
+    # contract)
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             money_sum(
@@ -275,9 +280,9 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description=(
         "TPC-H Q5-style local-supplier revenue: 6-way join across the "
-        "full star schema; region/nation/supplier broadcast (dimension "
-        "tables stay small at any SF — broadcasting them removes 3 of 5 "
-        "shuffles at 100 TB)."
+        "full star schema; region/nation broadcast (fixed 5/25 rows at "
+        "any SF); supplier is SF-scaled so it carries no hint — AQE "
+        "broadcasts it while small and shuffles it at 100 TB."
     ),
     tags=("sql", "join"),
 )
@@ -288,10 +293,14 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
+    # region/nation are FIXED-SIZE dimensions (25/5 rows at any SF) —
+    # hard broadcast is safe and removes their shuffles. supplier is
+    # SF-SCALED (tpch.py's own rule: part/supplier/customer shuffle),
+    # so no hint — AQE broadcasts it while small, shuffles it at scale.
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -1014,7 +1023,9 @@ def global_sorted_leads(
         )
         .select(*patched)
     )
-    return mains.unionByName(tails)
+    # drop the internal partition-id: its values change with cluster
+    # config and the documented contract is (key, name, k1/n1..) only
+    return mains.unionByName(tails).drop("pid")
 
 
 @_register(

@@ -414,8 +414,11 @@ def q_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
         "left_anti",
     )
+    # counts has up to one row per supplier — an SF-SCALED bound, so no
+    # broadcast hint: a hard hint would force an O(|supplier|) broadcast
+    # at high SF; AQE broadcasts it while its runtime size qualifies
     counts = waiting.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
-    named = s.join(F.broadcast(counts), s.s_suppkey == counts.l_suppkey)
+    named = s.join(counts, s.s_suppkey == counts.l_suppkey)
     return (
         named.orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
