@@ -27,6 +27,16 @@ from flink_start_spark import cache as C
 from flink_start_spark.functions import vector as V
 
 
+def _cell_cosine(av, bv, an, bn):
+    """Rounded cosine from pre-materialized norms — the cell-scoped
+    pair-scoring expression semdedup_flags and knn_label_purity share.
+    NULL when either norm is zero: under the session's ANSI mode an
+    unguarded /0 would kill the whole query on one all-zeros
+    embedding, and the oracles' NULLIF denominator yields NULL there."""
+    denom = an * bn
+    return F.round(F.when(denom != 0.0, V.dot(av, bv) / denom), 6)
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared top-k epilogue for the ``*_topk`` family: rank scored
     (query_id, neighbor_id, cosine) rows by (cosine desc, neighbor_id)
@@ -542,10 +552,8 @@ def semdedup_flags(
         .where(F.col("_a_id") < F.col("_b_id"))
         .select(
             F.col("_b_id").alias(id_col),
-            F.round(
-                V.dot(F.col("_av"), F.col("_bv"))
-                / (F.col("_an") * F.col("_bn")),
-                6,
+            _cell_cosine(
+                F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn")
             ).alias("_cos"),
         )
     )
@@ -728,10 +736,8 @@ def knn_label_purity(
             "_a_label",
             "_b_id",
             "_b_label",
-            F.round(
-                V.dot(F.col("_av"), F.col("_bv"))
-                / (F.col("_an") * F.col("_bn")),
-                6,
+            _cell_cosine(
+                F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn")
             ).alias("_cos"),
         )
     )

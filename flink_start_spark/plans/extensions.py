@@ -592,8 +592,13 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    j = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
-        "lang", "vec_id", "embedding"
+    # tracked: the centroid branch and the final scoring join both read
+    # this relation — unpersisted, both table scans and the join run
+    # twice per action (repo-wide shared-subtree rule)
+    j = C.track(
+        emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+            "lang", "vec_id", "embedding"
+        )
     )
     pos = j.select("lang", F.posexplode("embedding").alias("pos", "val"))
     # components quantized to a 2^-20 grid with explicit floor BEFORE
@@ -783,9 +788,11 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     from pyspark.sql import Window
 
-    tok = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
-    )
+    # TH.words, NOT \s+: the oracle's string_split and the repo-wide
+    # tokenization contract split on a literal ' ' — the pairing must
+    # hold on arbitrary text (runs of spaces, tabs), not just the
+    # single-spaced generated corpus
+    tok = docs.select(F.explode(TH.words(F.col("text"))).alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     # (cnt desc, token) is a total order: orderBy().limit() plans as
     # TakeOrderedAndProject (distributed per-partition top-k), then the
@@ -827,12 +834,26 @@ def q_pandas_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def weighted(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        ks = pdf["k"].fillna(0.0)
-        denom = max(ks.sum(), 1e-9)
+        import math
+
+        ks = pdf["k"]
+        if int(ks.notna().sum()) == 0:
+            # the oracle's SQL sum over all-NULL weights is NULL —
+            # fillna here would fabricate a 0.0 mean for a group with
+            # no weight signal at all
+            wav = None
+        else:
+            ksf = ks.fillna(0.0)  # NULL k contributes 0 to num AND denom
+            denom = max(float(ksf.sum()), 1e-9)
+            x = float((pdf["value"] * ksf).sum()) / denom
+            # half-AWAY rounding to match DuckDB/Spark round(); Python
+            # round() is banker's and can disagree on exact halves
+            # (the trap multimodal.py documents)
+            wav = math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "weighted_avg_value": [round((pdf["value"] * ks).sum() / denom, 6)],
+                "weighted_avg_value": [wav],
                 "n": [len(pdf)],
             }
         )
@@ -1438,36 +1459,13 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "cluster_cap_sample",
     f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
-    sig AS (SELECT doc_id,
-              [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
-                         FOR s IN shingles]) FOR k IN range(16)] AS sig
-            FROM shd),
-    bands AS (SELECT doc_id, b,
-                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
-              FROM sig, range(4) t(b)),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
-    pairs AS (
-      SELECT id_a, id_b FROM (
-        SELECT id_a, id_b,
-               len(list_intersect(x.sh, y.sh))::DOUBLE /
-               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE AS jaccard
-        FROM cand JOIN shd x ON x.doc_id = id_a JOIN shd y ON y.doc_id = id_b)
-      WHERE jaccard >= 0.5),
-    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-    r(src, dst) AS (
-      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
-      UNION
-      SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src),
-    comps AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM r GROUP BY src)
+    {_COMPONENT_CTES}
     SELECT doc_id, cluster_id,
            row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id)::BIGINT
              AS cluster_rank,
            (row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) <= 2)
              AS kept
-    FROM comps
+    FROM comp
     """,
     description=(
         "Cluster-cap diversity sampling: instead of keep-one-per-"

@@ -182,11 +182,14 @@ def q_parts_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, "part", sf_dir)
     # Correlated scalar subqueries need SQL text, which needs a view
     # name. Analysis is eager (the relation binds at spark.sql()), so
-    # the view is dropped immediately — no fixed name lingers in the
-    # shared session catalog for a concurrent plan build to trip on
-    # (round-3 ADVICE class; the name is still unique per sf_dir as a
-    # belt-and-braces guard for the window where it exists).
-    view = f"_part_corr_{abs(hash(sf_dir)) % 10**8}"
+    # the view is dropped immediately. The name is unique PER CALL
+    # (uuid), not per sf_dir: two concurrent builds of this same query
+    # would otherwise share a name and one thread's finally-drop could
+    # land between the other's create and spark.sql (and Python's str
+    # hash is PYTHONHASHSEED-salted besides).
+    import uuid
+
+    view = f"_part_corr_{uuid.uuid4().hex}"
     p.createOrReplaceTempView(view)
     try:
         return spark.sql(

@@ -63,11 +63,14 @@ def stream_events(
     # read schema, then the same normalization.
     nanos_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
     df = reader.schema(nanos_schema).parquet(path_dir)
-    # integral division (`div`), NOT `/1000` + cast: epoch-nanos ~1.7e18
-    # exceed double's 2^53 exact range (ULP = 256 ns), so float division
-    # can round a boundary-adjacent event across a window edge and away
-    # from the oracle's exact epoch_ns // 1000
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # exact integer arithmetic with FLOOR semantics — the same pmod
+    # form as the batch loader (sources/catalog.py): bare `div`
+    # truncates toward zero and would shift pre-1970 sub-microsecond
+    # values 1 us late relative to the batch path and the oracle's
+    # epoch_ns // 1000, breaking streaming/batch window parity
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    )
 
 
 def stream_user_activity(
