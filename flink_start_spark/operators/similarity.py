@@ -617,9 +617,16 @@ def kmeans_lloyd(
         by_pos = assigned.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
+        # components CLAMPED to ±2048 before the 2^-20 quantize: Spark's
+        # floor(double) yields LONG, so an out-of-domain component
+        # (|v| > ~2^43) would overflow-crash under ANSI where DuckDB's
+        # double floor sails on — the clamp (mirrored in the oracles)
+        # pins the shared domain instead. Unit-scale embeddings are
+        # untouched.
+        clamped = F.least(F.greatest(F.col("val").cast("double"), F.lit(-2048.0)), F.lit(2048.0))
         means = by_pos.groupBy("cell", "pos").agg(
             (
-                F.sum(F.floor(F.col("val").cast("double") * quant))
+                F.sum(F.floor(clamped * quant))
                 / (F.count("*") * float(quant))
             ).alias("m")
         )

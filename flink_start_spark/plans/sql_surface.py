@@ -578,11 +578,11 @@ def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_json_metrics",
     """
     SELECT event_type,
-           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           round(avg(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS DOUBLE)), 6) AS avg_k,
+           max(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS max_k,
            count(*) AS n
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WHERE (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NOT NULL
     GROUP BY event_type
     """,
     description=(

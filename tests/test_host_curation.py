@@ -162,3 +162,16 @@ def test_blocklist_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_validate_documents_drops_null_records(spark):
+    from flink_start_spark.operators.text import validate_documents
+
+    df = spark.createDataFrame(
+        [(1, "ok text", 7), (2, None, None), (3, "", 0), (4, "x", None)],
+        "doc_id long, text string, n_chars long",
+    )
+    kept = sorted(r["doc_id"] for r in validate_documents(df).collect())
+    # NULL text and NULL n_chars are malformed records; empty text is
+    # valid data (the adversarial gate runs one through the catalog)
+    assert kept == [1, 3]
