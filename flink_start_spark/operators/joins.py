@@ -83,8 +83,16 @@ def as_of_join(
         )
 
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    # SQL join semantics for NULL keys: a NULL never equals anything,
+    # so NULL-key right rows can match no left row — drop them before
+    # the union. Without this, Window.partitionBy groups ALL NULL keys
+    # into one partition and a NULL-key left row would "match" a
+    # NULL-key right row. NULL-key LEFT rows need no filter: their
+    # partition then holds no _side=0 rows, so they keep NULL payloads
+    # (merge_asof's by=NaN behavior, and what an equi-join would do).
     rt = (
-        right.select(
+        right.filter(F.col(key).isNotNull())
+        .select(
             F.col(key),
             F.col(right_ts).alias("_ts"),
             *[F.col(c) for c in payload_cols],

@@ -466,12 +466,15 @@ def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_p"),
     )
+    # cast("long") (floorDiv), NOT unix_timestamp: unix_timestamp
+    # truncates toward zero, so pre-epoch fractional timestamps round
+    # the wrong way vs the oracle's floor(epoch(..))
     return agg.select(
         "user_id",
-        F.unix_timestamp("_s").alias("signup_epoch"),
-        F.unix_timestamp("_p").alias("purchase_epoch"),
+        F.col("_s").cast("long").alias("signup_epoch"),
+        F.col("_p").cast("long").alias("purchase_epoch"),
         F.col("_p").isNotNull().alias("converted"),
-        (F.unix_timestamp("_p") - F.unix_timestamp("_s")).alias(
+        (F.col("_p").cast("long") - F.col("_s").cast("long")).alias(
             "secs_to_convert"
         ),
     )
@@ -506,8 +509,10 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_ts = F.min("ts").over(w)
     weeks = ev.select(
         "user_id",
-        F.floor(F.unix_timestamp(first_ts) / 604800).alias("cohort_week"),
-        F.floor(F.unix_timestamp("ts") / 604800).alias("event_week"),
+        # cast("long") floors like the oracle's floor(epoch(..));
+        # unix_timestamp truncates toward zero pre-epoch
+        F.floor(first_ts.cast("long") / 604800).alias("cohort_week"),
+        F.floor(F.col("ts").cast("long") / 604800).alias("event_week"),
     )
     return (
         weeks.groupBy("cohort_week", "event_week")
@@ -713,7 +718,9 @@ def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return j.select(
-        F.unix_timestamp("d").alias("date_epoch"),
+        # cast("long") floors (floorDiv micros); unix_timestamp would
+        # truncate a pre-epoch fractional spine start toward zero
+        F.col("d").cast("long").alias("date_epoch"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         F.coalesce(

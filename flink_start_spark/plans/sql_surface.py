@@ -221,7 +221,10 @@ def q_parts_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3
     )
     SELECT o_orderkey, revenue,
-           epoch(o_orderdate)::BIGINT AS orderdate_epoch, o_orderpriority
+           -- floor, not cast-round: Spark's timestamp->long cast is
+           -- floorDiv(micros, 1e6); on fractional-second order dates a
+           -- bare epoch(..)::BIGINT rounds .5+ up and diverges
+           floor(epoch(o_orderdate))::BIGINT AS orderdate_epoch, o_orderpriority
     FROM (
       SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rk
       FROM rev
@@ -813,7 +816,7 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
             F.round("o_totalprice", 2).alias("o_totalprice"),
             "total_qty",
         )

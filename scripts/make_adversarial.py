@@ -1,14 +1,33 @@
-"""Build an ADVERSARIAL sf-dir: sf0.001's relational tables verbatim,
-with documents / embeddings / events replaced by degenerate-but-
-schema-valid rows the generated corpus never produces — empty and
-whitespace-only text, unicode (CJK / emoji / combining / RTL), regex
-metacharacters, quotes, control characters (including the BPE
-oracle's chr(1)/chr(2) marker bytes), pathological repetition, exact
-and near duplicates, zero-norm / tiny / huge embeddings, NULL
-user_ids, malformed JSON props, and fractional-second timestamps
-straddling window boundaries. (NULL text is deliberately absent: the
-corpus contract pins text/n_chars non-null, enforced at ingest by
+"""Build an ADVERSARIAL sf-dir: EVERY table replaced by degenerate-
+but-schema-valid rows the generated corpus never produces.
+
+documents / embeddings / events: empty and whitespace-only text,
+unicode (CJK / emoji / combining / RTL), regex metacharacters,
+quotes, control characters (including the BPE oracle's chr(1)/chr(2)
+marker bytes), pathological repetition, exact and near duplicates,
+zero-norm / tiny / huge embeddings, NULL user_ids, malformed JSON
+props, and fractional-second timestamps straddling window
+boundaries. (NULL text is deliberately absent: the corpus contract
+pins text/n_chars non-null, enforced at ingest by
 operators/text.py::validate_documents — see the _DOCS comment.)
+
+relational (TPC-H-ish) tables: dangling foreign keys in every
+direction (nation→region, customer→nation, lineitem→orders/part/
+supplier, orders→customer via NULL o_custkey), duplicate names that
+merge under name-keyed groupBys, duplicate (l_orderkey,
+l_linenumber) rows, empty-string names / segments / statuses /
+flags, unicode names, negative / zero / 1e12-scale monetary values,
+p_size <= 0, full-discount (revenue-zero) lines, filter-boundary
+timestamps exactly AT and just BELOW every date window the catalog
+uses (1996 quarters, 1998-09-02, 1999-01-01), fractional-second and
+pre-epoch (1969) order dates, ship-before-order lines, customers
+with no orders / orders with no lineitems / parts and suppliers
+with no lineitems, and exact value TIES at top-k cutoffs (equal
+revenue, equal acctbal) so nondeterministic tie-breaks surface as
+cross-engine hash mismatches. (NaN is deliberately absent: float
+columns carry a no-NaN corpus contract — NaN equality/ordering is
+engine-defined and data this engine ingests is NaN-scrubbed at the
+source.)
 
     python scripts/make_adversarial.py [out_dir]
 
@@ -49,8 +68,6 @@ def _write_single_file(df, out_path: str) -> None:
     shutil.move(part, out_path)
     shutil.rmtree(tmp)
 
-SRC_SF = "/root/testdata/sf0.001"
-KEEP = "region nation customer supplier part orders lineitem".split()
 
 #: (text, lang, source) — doc_id/n_chars derived. Deterministic, no RNG.
 _DOCS: list[tuple[str | None, str, str]] = [
@@ -104,20 +121,191 @@ def _vec(kind: str) -> list[float]:
     raise ValueError(kind)
 
 
+def _ts(y, mo, d, h=0, mi=0, s=0, us=0):
+    import datetime as dt
+
+    return dt.datetime(y, mo, d, h, mi, s, us)
+
+
+#: relational rows. Names reference the generated corpus's value
+#: domains (regions AFRICA..MIDDLE EAST, segments BUILDING..,
+#: Brand#N, STANDARD/PROMO types, status O/F/P, flag A/N/R) so the
+#: catalog's literal filters all admit rows; everything else is the
+#: degenerate complement of what the generator emits.
+_REGIONS = [
+    (0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+    (4, "MIDDLE EAST"),
+    (5, ""),          # empty name
+    (6, "ASIA"),      # DUPLICATE name on a second key
+    (99, "ORPHANLAND"),  # region no nation references
+]
+
+_NATIONS = [
+    (0, "NATION_A", 0), (1, "NATION_B", 1),
+    (2, "NATION_ASIA1", 2),
+    (3, "NATION_ASIA2", 6),   # hangs off the duplicate-ASIA region
+    (4, "", 3),               # empty name
+    (5, "日本", 2),            # unicode name
+    (6, "NATION_DUP", 0), (7, "NATION_DUP", 4),  # duplicate names
+    (8, "DANGLING_REGION", 77),  # FK violation nation→region
+    (9, "LONELY", 4),         # no customers, no suppliers
+]
+
+_CUSTOMERS = [
+    (1, "Customer#000000001", 0, 100.0, "BUILDING"),
+    (2, "", 2, -999.99, "BUILDING"),            # empty name, negative bal
+    (3, "Ω'Brien \"quote\"", 5, 0.0, ""),       # quotes, empty segment
+    (4, "Customer#000000001", 2, 100.0, "AUTOMOBILE"),  # dup name, tie bal
+    (5, "顧客五", 3, 987654321012.34, "MACHINERY"),      # huge bal
+    (6, "c6", 8, 55.5, "HOUSEHOLD"),            # nation w/ dangling region
+    (7, "c7", 999, 10.0, "FURNITURE"),          # dangling nation FK
+    (8, "c8 no orders", 2, 42.0, "BUILDING"),
+    (9, "c9", 6, 0.01, "BUILDING"),
+    (10, "c10", 7, -0.01, "MACHINERY"),
+    (11, "c11 many orders", 2, 7.5, "BUILDING"),
+    (12, "c12", 0, 7.5, "AUTOMOBILE"),          # acctbal tie with c11
+    (13, "c13 regex .*+?[a]", 1, 3.25, "HOUSEHOLD"),
+    (14, "c14", 4, 2.0, "段"),                  # unicode segment
+    (15, "c15", 2, 0.0, "BUILDING"),
+    (16, "c16 orders-no-lines", 3, 5.0, "MACHINERY"),
+]
+
+_SUPPLIERS = [
+    (1, "Supplier#000000001", 0, 100.0),
+    (2, "", 2, -50.0),
+    (3, "供應商", 5, 0.0),
+    (4, "Supplier#000000001", 2, 100.0),  # dup name, tie bal
+    (5, "s5", 777, 9.9),                  # dangling nation FK
+    (6, "s6 no lineitems", 3, 1.0),
+    (7, "s7", 2, 1.0e12),
+    (8, "s8", 8, 5.0),
+]
+
+_PARTS = [
+    (1, "cold widget", "Brand#2", "STANDARD", 10, 900.0),
+    (2, "small widget", "Brand#4", "PROMO", 0, 0.0),      # size 0, free
+    (3, "", "Brand#8", "STANDARD", -1, 100.0),            # empty name, neg size
+    (4, "大型部件", "Brand#2", "", 50, 1.0e6),             # empty type
+    (5, "regex [p].*rt", "Brand#4", "ECONOMY", 10, 100.0),
+    (6, "dup part", "Brand#2", "STANDARD", 10, 100.0),
+    (7, "dup part", "Brand#2", "STANDARD", 10, 100.0),    # dup sans key
+    (8, "p8 no lineitems", "Brand#19", "LARGE", 29, 500.0),
+    (9, "p9", "", "MEDIUM", 17, 250.5),                   # empty brand
+    (10, "p10", "Brand#8", "PROMO", 3, 0.01),
+    (11, "p11", "Brand#4", "SMALL", 100000, 999999.99),
+    (12, "p12", "Brand#2", "PROMO", 5, 100.0),
+]
+
+#: o_orderdate values sit exactly AT and just BELOW the catalog's
+#: filter boundaries: [1996-01-01,1998-01-01), [1996-07-01,1996-10-01),
+#: [1996-01-01,1996-04-01), >=1999-01-01, plus pre-epoch + fractional.
+_ORDERS = [
+    (1, 1, "O", 100.0, _ts(1996, 1, 15), "1-URGENT"),
+    (2, 1, "F", 100.0, _ts(1996, 1, 15), "5-LOW"),       # same cust/date, tie price
+    (3, 2, "P", 0.0, _ts(1996, 7, 4, 12, 34, 56, 789000), "3-MEDIUM"),
+    (4, 3, "O", -10.0, _ts(1996, 2, 29), "2-HIGH"),      # negative, leap day
+    (5, 4, "F", 1.0e12, _ts(1996, 9, 30, 23, 59, 59, 999999), "4-NOT SPECIFIED"),
+    (6, 5, "O", 55.5, _ts(1995, 1, 1), "1-URGENT"),
+    (7, 5, "F", 55.5, _ts(1999, 1, 1), "1-URGENT"),      # >=1999 boundary, AT
+    (8, 6, "O", 3.14, _ts(2001, 8, 1), "5-LOW"),
+    (9, 7, "P", 1.0, _ts(1969, 12, 31, 23, 59, 59, 500000), "2-HIGH"),  # pre-epoch
+    (10, 9, "O", 20.0, _ts(1996, 3, 31), "3-MEDIUM"),    # just below 1996-04-01
+    (11, 9, "F", 20.0, _ts(1996, 4, 1), "3-MEDIUM"),     # AT boundary (excluded)
+    (12, 10, "O", 7.0, _ts(1996, 6, 30), "1-URGENT"),
+    (13, 11, "O", 5.0, _ts(1996, 7, 1), "1-URGENT"),     # Q3 start, AT (included)
+    (14, 11, "F", 5.0, _ts(1996, 12, 31), "5-LOW"),
+    (15, 11, "P", 5.0, _ts(1997, 12, 31, 23, 59, 59, 999999), "4-NOT SPECIFIED"),
+    (16, 11, "O", 5.0, _ts(1998, 1, 1), "3-MEDIUM"),     # AT boundary (excluded)
+    (17, 12, "", 12.0, _ts(1996, 5, 5), ""),             # empty status+priority
+    (18, 13, "O", 33.0, _ts(1996, 5, 5), "2-HIGH"),
+    (19, 14, "F", 44.0, _ts(1996, 8, 15), "1-URGENT"),
+    (20, 15, "O", 0.01, _ts(1996, 11, 11), "5-LOW"),
+    (21, None, "O", 9.0, _ts(1996, 10, 10), "1-URGENT"),  # NULL custkey
+    (22, 16, "F", 77.0, _ts(1996, 4, 15), "2-HIGH"),      # no lineitems
+]
+
+#: (orderkey, partkey, suppkey, linenumber, qty, extprice, disc, tax,
+#:  returnflag, linestatus, shipdate)
+_LINEITEMS = [
+    # duplicate (orderkey, linenumber) — the PK the generator never violates
+    (1, 1, 1, 1, 10.0, 1000.0, 0.05, 0.08, "N", "O", _ts(1996, 1, 20)),
+    (1, 1, 1, 1, 10.0, 1000.0, 0.05, 0.08, "N", "O", _ts(1996, 1, 20)),
+    (1, 2, 2, 2, 0.0, 0.0, 0.0, 0.0, "A", "F", _ts(1996, 1, 25)),        # zero qty/price
+    (2, 3, 3, 1, 0.5, 0.01, 1.0, 0.5, "R", "O", _ts(1996, 2, 1)),        # full discount
+    (2, 4, 4, 2, 50.0, 1.0e6, 0.1, 0.08, "N", "F", _ts(1996, 1, 10)),    # ship < order? (order 1996-01-15, ship 01-10: before)
+    (3, 5, 5, 1, 1.0e6, 100.0, 0.0, 0.0, "", "O", _ts(1996, 7, 4, 12, 34, 56, 789000)),  # empty flag, huge qty
+    (4, 6, 7, 1, 5.0, -100.0, 0.05, 0.0, "A", "O", _ts(1996, 2, 1)),     # negative price, ship<order
+    (5, 7, 7, 1, 49.5, 999999.99, 0.02, 0.08, "N", "O", _ts(1998, 9, 2)),  # AT <=1998-09-02 bound
+    (5, 7, 7, 2, 49.5, 999999.99, 0.02, 0.08, "N", "O", _ts(1998, 9, 2, 0, 0, 0, 1)),  # just ABOVE
+    (6, 9, 2, 1, 3.0, 33.33, 0.04, 0.01, "R", "F", _ts(1995, 2, 14)),
+    (7, 10, 1, 1, 7.0, 70.0, 0.0, 0.08, "A", "O", _ts(1999, 6, 1)),      # late ship (q4-late window)
+    (7, 11, 8, 2, 7.0, 70.0, 0.0, 0.08, "A", "F", _ts(1999, 1, 2)),
+    (8, 12, 3, 1, 2.5, 12.5, 0.07, 0.03, "N", "O", _ts(2001, 11, 4)),
+    (9, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R", "F", _ts(1969, 12, 31, 23, 59, 59, 750000)),  # pre-epoch ship
+    (10, 2, 2, 1, 20.0, 200.0, 0.1, 0.08, "N", "O", _ts(1996, 4, 2)),
+    (11, 3, 4, 1, 20.0, 200.0, 0.1, 0.08, "N", "O", _ts(1996, 4, 3)),
+    (12, 4, 5, 1, 6.0, 60.0, 0.06, 0.02, "A", "O", _ts(1996, 7, 1)),
+    (13, 5, 7, 1, 5.0, 50.0, 0.05, 0.05, "R", "O", _ts(1996, 7, 2)),
+    (13, 6, 7, 2, 5.0, 50.0, 0.05, 0.05, "R", "F", _ts(1996, 7, 2)),     # tie revenue w/ line 1
+    (14, 7, 2, 1, 4.0, 40.0, 0.0, 0.0, "N", "F", _ts(1997, 1, 3)),
+    (15, 9, 1, 1, 4.0, 40.0, 0.0, 0.0, "N", "O", _ts(1997, 12, 31, 23, 59, 59, 999999)),
+    (16, 10, 4, 1, 4.0, 40.0, 0.0, 0.0, "N", "O", _ts(1998, 1, 5)),
+    (17, 11, 5, 1, 1.5, 18.0, 0.5, 0.0, "A", "O", _ts(1996, 5, 6)),      # 50% discount
+    (18, 12, 8, 1, 11.0, 121.0, 0.03, 0.08, "R", "O", _ts(1996, 5, 30)),
+    (19, 1, 2, 1, 9.0, 90.0, 0.09, 0.04, "N", "F", _ts(1996, 8, 20)),
+    (20, 2, 3, 1, 0.01, 0.01, 0.0, 0.0, "A", "O", _ts(1996, 11, 12)),
+    (21, 3, 1, 1, 8.0, 80.0, 0.08, 0.08, "N", "O", _ts(1996, 10, 15)),   # order w/ NULL custkey
+    # orphan lineitems: no matching order / part / supplier
+    (77777, 1, 1, 1, 2.0, 20.0, 0.0, 0.0, "N", "O", _ts(1996, 6, 6)),
+    (77777, 888, 999, 2, 2.0, 20.0, 0.0, 0.0, "A", "F", _ts(1996, 6, 7)),
+    (12, 888, 999, 2, 3.0, 30.0, 0.0, 0.0, "R", "O", _ts(1996, 7, 9)),   # dangling part+supp on real order
+]
+
+
+def _relational_schemas():
+    I, L, S, D, TS = (T.IntegerType(), T.LongType(), T.StringType(),
+                      T.DoubleType(), T.TimestampType())
+
+    def st(*fields):
+        return T.StructType([T.StructField(n, t) for n, t in fields])
+
+    return {
+        "region": (_REGIONS, st(("r_regionkey", I), ("r_name", S))),
+        "nation": (_NATIONS, st(("n_nationkey", I), ("n_name", S),
+                                ("n_regionkey", I))),
+        "customer": (_CUSTOMERS, st(("c_custkey", L), ("c_name", S),
+                                    ("c_nationkey", I), ("c_acctbal", D),
+                                    ("c_mktsegment", S))),
+        "supplier": (_SUPPLIERS, st(("s_suppkey", L), ("s_name", S),
+                                    ("s_nationkey", I), ("s_acctbal", D))),
+        "part": (_PARTS, st(("p_partkey", L), ("p_name", S), ("p_brand", S),
+                            ("p_type", S), ("p_size", I),
+                            ("p_retailprice", D))),
+        "orders": (_ORDERS, st(("o_orderkey", L), ("o_custkey", L),
+                               ("o_orderstatus", S), ("o_totalprice", D),
+                               ("o_orderdate", TS), ("o_orderpriority", S))),
+        "lineitem": (_LINEITEMS, st(("l_orderkey", L), ("l_partkey", L),
+                                    ("l_suppkey", L), ("l_linenumber", I),
+                                    ("l_quantity", D), ("l_extendedprice", D),
+                                    ("l_discount", D), ("l_tax", D),
+                                    ("l_returnflag", S), ("l_linestatus", S),
+                                    ("l_shipdate", TS))),
+    }
+
+
 def build(out: str, spark=None) -> str:
     """Build the adversarial sf-dir at ``out`` (importable form — the
     pytest gate reuses it with the shared test session)."""
     os.makedirs(out, exist_ok=True)
-    for t in KEEP:
-        dst = os.path.join(out, f"{t}.parquet")
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        elif os.path.exists(dst):
-            os.remove(dst)
-        shutil.copy(os.path.join(SRC_SF, f"{t}.parquet"), dst)
 
     if spark is None:
         spark = get_spark("make_adversarial")
+
+    for name, (rows, schema) in _relational_schemas().items():
+        _write_single_file(
+            spark.createDataFrame(rows, schema),
+            os.path.join(out, f"{name}.parquet"),
+        )
 
     docs = [
         (i + 1, txt, lang, src, len(txt) if txt is not None else None)

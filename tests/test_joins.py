@@ -142,3 +142,60 @@ def test_range_join_fractional_second_range_end(spark):
         .collect()
     )
     assert got == want and len(want) == 2  # base+0.0002 AND base-5
+
+
+def test_asof_null_key_matches_nothing(spark):
+    """SQL join semantics for NULL keys: a NULL-key left row carries
+    NULL payloads even when a NULL-key right row exists, and NULL-key
+    right rows match no one (Window.partitionBy would otherwise group
+    all NULLs into one partition and 'match' them to each other —
+    the adversarial-corpus NULL-user_id events caught exactly this)."""
+    left = spark.createDataFrame(
+        [
+            (1, None, _ts("2024-01-10 00:00:00")),
+            (2, "u1", _ts("2024-01-10 00:00:00")),
+        ],
+        "event_id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01 00:00:00"), 666.0),  # NULL-key right row
+            ("u1", _ts("2024-01-01 00:00:00"), 100.0),
+        ],
+        "key string, rts timestamp, payload double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        out = {
+            r["event_id"]: (r["payload"], r["matched_ts"])
+            for r in as_of_join(
+                left, right, "key", "ts", "rts", ["payload"],
+                direction=direction,
+            ).collect()
+        }
+        assert out[1] == (None, None), direction  # NULL key -> no match
+        if direction == "backward":
+            assert out[2] == (100.0, _ts("2024-01-01 00:00:00"))
+
+
+def test_epoch_cast_floors_pre_epoch_fractional(spark):
+    """The repo-wide epoch convention is FLOOR (matching the oracles'
+    floor(epoch(..))). cast('long') floorDivs the underlying micros;
+    unix_timestamp truncates toward zero and reads 1969-12-31
+    23:59:59.5 as 0 instead of -1 — every epoch-emitting query must
+    therefore use the cast, never unix_timestamp."""
+    row = (
+        spark.sql(
+            "SELECT cast(timestamp'1969-12-31 23:59:59.5' AS long) AS c, "
+            "unix_timestamp(timestamp'1969-12-31 23:59:59.5') AS u"
+        )
+        .collect()[0]
+    )
+    assert row["c"] == -1  # floor — what the DuckDB oracle computes
+    assert row["u"] == 0  # trunc-toward-zero — the divergence we ban
+    import subprocess
+
+    banned = subprocess.run(
+        ["grep", "-rn", "unix_timestamp(", "flink_start_spark/"],
+        capture_output=True, text=True, cwd="/root/repo",
+    ).stdout
+    assert banned.strip() == "", f"unix_timestamp re-entered plans:\n{banned}"
