@@ -184,13 +184,16 @@ def interval_peak(
         .where(F.col("running") == F.col("peak_concurrent"))
         .agg(
             F.max("peak_concurrent").alias("peak_concurrent"),
-            # PRECONDITION: k >= 0 (post-1970 epoch-us timestamps) —
-            # Spark `div` truncates toward zero, DuckDB `//` floors;
-            # they only agree on non-negative operands (round-6 ADVICE,
-            # same rule as sequence_pack's offset arithmetic).
-            F.expr("CAST((min(k) div 2) div 1000000 AS BIGINT)").alias(
-                "first_peak_epoch_s"
-            ),
+            # pmod-floor division (matches the oracle's pmod form and
+            # the repo-wide floor-epoch convention). Bare `div` would
+            # truncate toward zero on pre-epoch instants — and so does
+            # DuckDB's integer `//` (they agree in the wrong direction;
+            # the floor convention is what the window queries emit).
+            F.expr(
+                "CAST((CAST((min(k) - pmod(min(k), 2)) AS BIGINT) div 2 "
+                " - pmod(CAST((min(k) - pmod(min(k), 2)) AS BIGINT) div 2, 1000000)"
+                ") div 1000000 AS BIGINT)"
+            ).alias("first_peak_epoch_s"),
         )
     )
 

@@ -428,7 +428,8 @@ def q_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signup_purchase_funnel",
     """
     WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
-               WHERE event_type = 'signup' GROUP BY user_id),
+               WHERE event_type = 'signup' AND user_id IS NOT NULL
+               GROUP BY user_id),
     p AS (SELECT s.user_id, s.s_ts, min(e.ts) AS p_ts
           FROM s LEFT JOIN events e
             ON e.user_id = s.user_id AND e.event_type = 'purchase'
@@ -452,7 +453,13 @@ def q_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytic", "funnel", "events"),
 )
 def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
+    # identified-users contract: NULL user_id is excluded on BOTH
+    # engines. Without the filter, Window.partitionBy groups all NULL
+    # users into one phantom "user" whose signup->purchase chain the
+    # oracle's user_id JOIN (NULL matches nothing) can never produce.
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id")
     s_ts = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
     flagged = ev.withColumn("_s_ts", s_ts).filter(F.col("_s_ts").isNotNull())
@@ -504,7 +511,13 @@ def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytic", "cohort", "events"),
 )
 def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
+    # identified-users contract: the oracle's events-to-first-event
+    # JOIN drops NULL user_ids; the Spark window would otherwise keep
+    # them as one phantom cohort whose count(DISTINCT user_id)=0 rows
+    # have no oracle twin.
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id")
     first_ts = F.min("ts").over(w)
     weeks = ev.select(
@@ -828,7 +841,8 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "three_step_funnel",
     """
     WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
-               WHERE event_type = 'signup' GROUP BY user_id),
+               WHERE event_type = 'signup' AND user_id IS NOT NULL
+               GROUP BY user_id),
     v AS (SELECT s.user_id, s.s_ts, min(e.ts) AS v_ts
           FROM s LEFT JOIN events e
             ON e.user_id = s.user_id AND e.event_type = 'view' AND e.ts >= s.s_ts
@@ -855,7 +869,10 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytic", "funnel", "events"),
 )
 def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
+    # identified-users contract (see q_signup_purchase_funnel)
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
     s = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -919,7 +936,12 @@ def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM gp),
     m AS (SELECT max(running) AS peak FROM r)
     SELECT max(peak)::BIGINT AS peak_concurrent,
-           (min(k) // 2 // 1000000)::BIGINT AS first_peak_epoch_s
+           -- pmod-floor twice (k -> us -> s): integer // truncates
+           -- toward zero, which diverges from the engine's floor
+           -- convention on pre-epoch instants
+           ((((min(k) - ((min(k) % 2) + 2) % 2) // 2)
+             - ((((min(k) - ((min(k) % 2) + 2) % 2) // 2) % 1000000) + 1000000) % 1000000)
+            // 1000000)::BIGINT AS first_peak_epoch_s
     FROM r, m WHERE running = peak
     """,
     description=(

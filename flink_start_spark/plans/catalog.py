@@ -227,8 +227,16 @@ _GAP_SEC = 1800
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM b)
     SELECT user_id,
-           (min(us) // 1000000)::BIGINT AS window_start,
-           ((max(us) + {_GAP_SEC} * 1000000) // 1000000)::BIGINT AS window_end,
+           -- pmod-floor, NOT bare //: DuckDB integer // truncates
+           -- toward zero (-500000 // 1000000 = 0), Spark's
+           -- timestamp->long cast floors (-1); subtracting the
+           -- non-negative mod first makes the dividend an exact
+           -- multiple, where truncation == floor
+           ((min(us) - ((min(us) % 1000000) + 1000000) % 1000000)
+            // 1000000)::BIGINT AS window_start,
+           (((max(us) + {_GAP_SEC} * 1000000)
+             - (((max(us) + {_GAP_SEC} * 1000000) % 1000000) + 1000000) % 1000000)
+            // 1000000)::BIGINT AS window_end,
            count(*) AS n_events,
            sum(hit)::BIGINT AS signup_cnt
     FROM g GROUP BY user_id, sid

@@ -119,10 +119,13 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_share",
     """
     SELECT (year(o.o_orderdate) * 100 + month(o.o_orderdate))::BIGINT AS order_month,
+           -- NULLIF: a month whose lines are all full-discount/zero-
+           -- price has denominator 0 — share is NULL, not a crash
+           -- (Spark ANSI raises on /0.0) nor inf
            round(100.0 * (sum(CAST(CASE WHEN p.p_type = 'PROMO'
                                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
                                   AS DECIMAL(20,6)))::DOUBLE)
-                 / (sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))::DOUBLE),
+                 / nullif(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))::DOUBLE, 0.0),
                  6) AS promo_share_pct
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -149,14 +152,21 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("order_month")
         )
         .agg(
+            # zero-denominator month (all lines full-discount/zero
+            # price) -> NULL share; ANSI mode would raise on /0.0
             F.round(
-                100.0
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", rev)
-                    .otherwise(0.0)
-                    .cast("decimal(20,6)")
-                ).cast("double")
-                / F.sum(rev.cast("decimal(20,6)")).cast("double"),
+                F.try_divide(
+                    100.0
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", rev)
+                        .otherwise(0.0)
+                        .cast("decimal(20,6)")
+                    ).cast("double"),
+                    F.nullif(
+                        F.sum(rev.cast("decimal(20,6)")).cast("double"),
+                        F.lit(0.0),
+                    ),
+                ),
                 6,
             ).alias("promo_share_pct")
         )

@@ -49,10 +49,13 @@ def _rev():
     "nation_market_share",
     """
     SELECT year(o.o_orderdate)::BIGINT AS o_year,
+           -- NULLIF: a year whose qualifying lines are all full-
+           -- discount/zero-price sums to 0 revenue — NULL share, not
+           -- a crash (Spark ANSI raises on /0.0) nor inf
            round(sum(CAST(CASE WHEN ns.n_name = 'NATION_7'
                           THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
                           AS DECIMAL(20,6)))::DOUBLE
-                 / sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))::DOUBLE,
+                 / nullif(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))::DOUBLE, 0.0),
                  6) AS mkt_share,
            count(*) AS n_lines
     FROM lineitem l
@@ -108,7 +111,14 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.year("o_orderdate").cast("long").alias("o_year")
     ).agg(
-        F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share"),
+        # zero-revenue year -> NULL share (ANSI /0.0 would raise)
+        F.round(
+            F.try_divide(
+                num.cast("double"),
+                F.nullif(den.cast("double"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("mkt_share"),
         F.count("*").alias("n_lines"),
     )
 

@@ -1,0 +1,325 @@
+"""Seeded randomized oracle-gate fuzzing: generate a corpus whose every
+value is drawn from a MIX of normal and degenerate pools, then run the
+full 135-query Spark-vs-DuckDB hash gate over it.
+
+    python scripts/fuzz_corpus.py <seed> [out_dir]      # build only
+    python scripts/fuzz_corpus.py <seed> --check        # build + gate
+
+The handpicked adversarial corpus (make_adversarial.py) pins known bug
+classes; this fuzzer searches the COMBINATION space those rows miss —
+e.g. a duplicate-name customer whose only order has a full-discount
+line on a leap day. Both engines read the same parquet, so randomness
+never breaks comparability; a failing seed is a reproducible artifact
+(same seed -> byte-identical corpus).
+
+Corpus contracts honored (same as the generated + adversarial dirs):
+text/n_chars/lang/source non-null, event ts non-null, order/ship dates
+non-null, embeddings non-null with fixed dim 64, NO NaN anywhere.
+user_id / o_custkey / props stay nullable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from pyspark.sql import types as T
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog data spark query engine "
+    "window join filter aggregate stream batch shuffle partition key "
+    "value count sum mean text token corpus model train split"
+).split()
+_DEGEN_WORDS = [
+    "日本語", "🚀", "naïve", "\x01mark\x02", "a.b(c)*+?", "it's", '"q"',
+    "عربي", "é", "ß", "x" * 300,
+]
+_LANGS = ["en", "de", "fr", "es", "zh"]
+_SEGMENTS = ["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE", ""]
+_TYPES = ["STANDARD", "PROMO", "ECONOMY", "MEDIUM", "SMALL", "LARGE", ""]
+_EVENT_TYPES = ["purchase", "signup", "click", "error", "view", "", "点击"]
+_STATUSES = ["O", "F", "P", ""]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", ""]
+_FLAGS = ["N", "A", "R", ""]
+_DIM = 64
+
+
+def _money(rng) -> float:
+    r = rng.random_sample()
+    if r < 0.08:
+        return 0.0
+    if r < 0.12:
+        return -round(float(rng.random_sample() * 100), 2)
+    if r < 0.16:
+        return round(float(rng.random_sample()) * 1e12, 2)
+    return round(float(rng.random_sample() * 1000), 2)
+
+
+def _text(rng, prior: list[str]) -> str:
+    r = rng.random_sample()
+    if r < 0.04:
+        return ""
+    if r < 0.07:
+        return "  \t "
+    if prior and r < 0.20:  # exact duplicate of an earlier doc
+        return prior[int(rng.randint(len(prior)))]
+    if prior and r < 0.30:  # near-duplicate (append one word)
+        base = prior[int(rng.randint(len(prior)))]
+        return (base + " extra") if base.strip() else "extra"
+    n = int(rng.randint(3, 40))
+    words = [
+        _DEGEN_WORDS[int(rng.randint(len(_DEGEN_WORDS)))]
+        if rng.random_sample() < 0.08
+        else _WORDS[int(rng.randint(len(_WORDS)))]
+        for _ in range(n)
+    ]
+    if rng.random_sample() < 0.1:  # pathological repetition
+        words = words[:3] * int(rng.randint(2, 40))
+    return " ".join(words)
+
+
+def _vec(rng) -> list[float]:
+    r = rng.random_sample()
+    if r < 0.06:
+        return [0.0] * _DIM
+    if r < 0.10:
+        return [float(1e18)] * _DIM
+    if r < 0.14:
+        return [float(1e-30)] * _DIM
+    return [round(float(x), 4) for x in rng.standard_normal(_DIM)]
+
+
+def _ts_1996(rng) -> dt.datetime:
+    """Order/ship dates: mostly in the catalog's filter windows, with
+    pre-epoch and fractional-second outliers."""
+    r = rng.random_sample()
+    if r < 0.03:
+        base = dt.datetime(1969, 12, 31) + dt.timedelta(
+            seconds=int(rng.randint(0, 86400))
+        )
+    elif r < 0.85:
+        base = dt.datetime(1996, 1, 1) + dt.timedelta(
+            seconds=int(rng.randint(0, 2 * 365 * 86400))
+        )
+    else:
+        base = dt.datetime(1995, 1, 1) + dt.timedelta(
+            seconds=int(rng.randint(0, 7 * 365 * 86400))
+        )
+    if rng.random_sample() < 0.3:
+        base += dt.timedelta(microseconds=int(rng.randint(1, 1_000_000)))
+    return base
+
+
+def build(seed: int, out: str, spark=None) -> str:
+    from make_adversarial import _write_single_file  # shared writer
+
+    if spark is None:
+        from flink_start_spark.session import get_spark
+
+        spark = get_spark(f"fuzz_corpus_{seed}")
+    rng = np.random.RandomState(seed)
+    os.makedirs(out, exist_ok=True)
+
+    def w(name, rows, schema):
+        _write_single_file(
+            spark.createDataFrame(rows, schema),
+            os.path.join(out, f"{name}.parquet"),
+        )
+
+    I, L, S, D, TS = (T.IntegerType(), T.LongType(), T.StringType(),
+                      T.DoubleType(), T.TimestampType())
+
+    def st(*fields):
+        return T.StructType([T.StructField(n, t) for n, t in fields])
+
+    # ---- documents -------------------------------------------------
+    n_docs = int(rng.randint(25, 70))
+    texts: list[str] = []
+    docs = []
+    for i in range(n_docs):
+        txt = _text(rng, texts)
+        texts.append(txt)
+        docs.append((
+            i + 1, txt,
+            _LANGS[int(rng.randint(len(_LANGS)))],
+            f"src{int(rng.randint(0, 10))}",
+            len(txt),
+        ))
+    w("documents", docs, st(("doc_id", L), ("text", S), ("lang", S),
+                            ("source", S), ("n_chars", L)))
+
+    # ---- embeddings ------------------------------------------------
+    n_emb = int(rng.randint(25, 70))
+    vecs: list[list[float]] = []
+    embs = []
+    for i in range(n_emb):
+        if vecs and rng.random_sample() < 0.15:  # exact-duplicate vector
+            v = vecs[int(rng.randint(len(vecs)))]
+        else:
+            v = _vec(rng)
+        vecs.append(v)
+        embs.append((i + 1, v, int(rng.randint(-1, 10))))
+    w("embeddings", embs, T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]))
+
+    # ---- events ----------------------------------------------------
+    n_ev = int(rng.randint(80, 250))
+    base = dt.datetime(2024, 1, 1)
+    evs = []
+    for i in range(n_ev):
+        ts = base + dt.timedelta(
+            seconds=int(rng.randint(0, 30 * 86400)),
+            microseconds=int(rng.randint(0, 1_000_000)),
+        )
+        if rng.random_sample() < 0.02:  # pre-epoch stragglers
+            ts = dt.datetime(1969, 12, 31, 23, 59, 59, 500000)
+        uid = None if rng.random_sample() < 0.1 else int(rng.randint(1, 8))
+        r = rng.random_sample()
+        props = (
+            None if r < 0.1
+            else "{not json" if r < 0.18
+            else "{}" if r < 0.25
+            else '{"k": %d}' % int(rng.randint(-10, 100))
+        )
+        evs.append((
+            i + 1, ts, uid,
+            _EVENT_TYPES[int(rng.randint(len(_EVENT_TYPES)))],
+            round(abs(float(rng.standard_normal())) * 100, 6)
+            if rng.random_sample() > 0.1 else _money(rng),
+            props,
+        ))
+    w("events", evs, st(("event_id", L), ("ts", TS), ("user_id", L),
+                        ("event_type", S), ("value", D), ("props", S)))
+
+    # ---- relational ------------------------------------------------
+    regions = [(i, nm) for i, nm in enumerate(
+        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
+    if rng.random_sample() < 0.5:
+        regions.append((5, "ASIA"))  # duplicate name
+    if rng.random_sample() < 0.5:
+        regions.append((6, ""))
+    w("region", regions, st(("r_regionkey", I), ("r_name", S)))
+
+    n_nat = int(rng.randint(5, 12))
+    nations = []
+    for i in range(n_nat):
+        rk = int(rng.randint(0, len(regions) + 2))  # may dangle
+        nm = ("" if rng.random_sample() < 0.1
+              else f"NATION_{int(rng.randint(0, max(2, n_nat - 2)))}")  # dups likely
+        nations.append((i, nm, rk))
+    w("nation", nations, st(("n_nationkey", I), ("n_name", S),
+                            ("n_regionkey", I)))
+
+    n_cust = int(rng.randint(8, 25))
+    custs = []
+    for i in range(n_cust):
+        custs.append((
+            i + 1,
+            "" if rng.random_sample() < 0.08
+            else f"Customer#{int(rng.randint(0, max(2, n_cust - 3))):09d}",
+            int(rng.randint(0, n_nat + 2)),  # may dangle
+            _money(rng),
+            _SEGMENTS[int(rng.randint(len(_SEGMENTS)))],
+        ))
+    w("customer", custs, st(("c_custkey", L), ("c_name", S),
+                            ("c_nationkey", I), ("c_acctbal", D),
+                            ("c_mktsegment", S)))
+
+    n_supp = int(rng.randint(4, 10))
+    supps = [(i + 1,
+              "" if rng.random_sample() < 0.1 else f"Supplier#{int(rng.randint(0, n_supp)):09d}",
+              int(rng.randint(0, n_nat + 2)),
+              _money(rng)) for i in range(n_supp)]
+    w("supplier", supps, st(("s_suppkey", L), ("s_name", S),
+                            ("s_nationkey", I), ("s_acctbal", D)))
+
+    n_part = int(rng.randint(6, 16))
+    parts = [(i + 1,
+              "" if rng.random_sample() < 0.08
+              else f"{_WORDS[int(rng.randint(len(_WORDS)))]} widget",
+              "" if rng.random_sample() < 0.1
+              else f"Brand#{int(rng.randint(1, 10))}",
+              _TYPES[int(rng.randint(len(_TYPES)))],
+              int(rng.randint(-1, 60)),
+              _money(rng)) for i in range(n_part)]
+    w("part", parts, st(("p_partkey", L), ("p_name", S), ("p_brand", S),
+                        ("p_type", S), ("p_size", I), ("p_retailprice", D)))
+
+    n_ord = int(rng.randint(12, 40))
+    orders, lines = [], []
+    ln_schema = st(("l_orderkey", L), ("l_partkey", L), ("l_suppkey", L),
+                   ("l_linenumber", I), ("l_quantity", D),
+                   ("l_extendedprice", D), ("l_discount", D), ("l_tax", D),
+                   ("l_returnflag", S), ("l_linestatus", S),
+                   ("l_shipdate", TS))
+    for i in range(n_ord):
+        odate = _ts_1996(rng)
+        orders.append((
+            i + 1,
+            None if rng.random_sample() < 0.05
+            else int(rng.randint(1, n_cust + 3)),  # may dangle
+            _STATUSES[int(rng.randint(len(_STATUSES)))],
+            _money(rng),
+            odate,
+            _PRIORITIES[int(rng.randint(len(_PRIORITIES)))],
+        ))
+        for j in range(int(rng.randint(0, 4))):  # 0 lines => orphan order
+            ship = odate + dt.timedelta(
+                days=int(rng.randint(-10, 120)),
+                microseconds=int(rng.randint(0, 1_000_000)),
+            )
+            disc = [0.0, 0.05, 0.1, 0.5, 1.0][int(rng.randint(5))]
+            qty = [0.0, 0.5, 1.0, 20.0, 50.0, 1e6][int(rng.randint(6))]
+            lines.append((
+                i + 1,
+                int(rng.randint(1, n_part + 3)),   # may dangle
+                int(rng.randint(1, n_supp + 3)),   # may dangle
+                j + 1, qty, _money(rng), disc,
+                [0.0, 0.02, 0.08, 0.5][int(rng.randint(4))],
+                _FLAGS[int(rng.randint(len(_FLAGS)))],
+                ["O", "F"][int(rng.randint(2))],
+                ship,
+            ))
+    # orphan lineitems referencing no order
+    for j in range(int(rng.randint(0, 3))):
+        lines.append((99990 + j, 1, 1, 1, 2.0, 20.0, 0.0, 0.0, "N", "O",
+                      _ts_1996(rng)))
+    if lines and rng.random_sample() < 0.5:  # duplicate a full PK row
+        lines.append(lines[int(rng.randint(len(lines)))])
+    w("orders", orders, st(("o_orderkey", L), ("o_custkey", L),
+                           ("o_orderstatus", S), ("o_totalprice", D),
+                           ("o_orderdate", TS), ("o_orderpriority", S)))
+    w("lineitem", lines, ln_schema)
+    return out
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    seed = int(sys.argv[1])
+    check = "--check" in sys.argv[2:]
+    rest = [a for a in sys.argv[2:] if a != "--check"]
+    out = rest[0] if rest else f"/tmp/sf_fuzz_{seed}"
+    build(seed, out)
+    print(f"fuzz corpus (seed={seed}) written to {out}")
+    if check:
+        rc = subprocess.call(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "crosscheck.py"), out]
+        )
+        return rc
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
