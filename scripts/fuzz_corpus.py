@@ -95,11 +95,30 @@ def _vec(rng) -> list[float]:
     return [round(float(x), 4) for x in rng.standard_normal(_DIM)]
 
 
+#: the exact date-filter boundaries the catalog's queries use —
+#: drawn verbatim (AT the bound) and at ±1µs so >=/</<=/BETWEEN edge
+#: semantics are probed on both engines
+_BOUNDARY_DATES = [
+    dt.datetime(1996, 1, 1), dt.datetime(1996, 4, 1),
+    dt.datetime(1996, 7, 1), dt.datetime(1996, 10, 1),
+    dt.datetime(1997, 1, 1), dt.datetime(1998, 1, 1),
+    dt.datetime(1998, 9, 2), dt.datetime(1999, 1, 1),
+]
+
+
 def _ts_1996(rng) -> dt.datetime:
     """Order/ship dates: mostly in the catalog's filter windows, with
-    pre-epoch and fractional-second outliers."""
+    filter-boundary-exact, pre-epoch and fractional-second outliers."""
     r = rng.random_sample()
-    if r < 0.03:
+    if r < 0.12:  # exactly AT (or 1us around) a catalog filter bound
+        base = _BOUNDARY_DATES[int(rng.randint(len(_BOUNDARY_DATES)))]
+        tweak = int(rng.randint(3))
+        if tweak == 1:
+            base += dt.timedelta(microseconds=1)
+        elif tweak == 2:
+            base -= dt.timedelta(microseconds=1)
+        return base
+    if r < 0.15:
         base = dt.datetime(1969, 12, 31) + dt.timedelta(
             seconds=int(rng.randint(0, 86400))
         )
@@ -175,13 +194,26 @@ def build(seed: int, out: str, spark=None) -> str:
     n_ev = int(rng.randint(80, 250))
     base = dt.datetime(2024, 1, 1)
     evs = []
+    prev_ts: list[dt.datetime] = []
     for i in range(n_ev):
-        ts = base + dt.timedelta(
-            seconds=int(rng.randint(0, 30 * 86400)),
-            microseconds=int(rng.randint(0, 1_000_000)),
-        )
+        r = rng.random_sample()
+        if r < 0.10:  # exactly ON a window boundary (tumbling 3600 /
+            # slide 900 / session gap 1800 are all multiples of 900)
+            ts = base + dt.timedelta(seconds=900 * int(rng.randint(0, 2880)))
+        elif prev_ts and r < 0.18:  # exact-duplicate timestamp (ties)
+            ts = prev_ts[int(rng.randint(len(prev_ts)))]
+        elif prev_ts and r < 0.24:  # exactly one session gap after
+            ts = prev_ts[int(rng.randint(len(prev_ts)))] + dt.timedelta(
+                seconds=1800
+            )
+        else:
+            ts = base + dt.timedelta(
+                seconds=int(rng.randint(0, 30 * 86400)),
+                microseconds=int(rng.randint(0, 1_000_000)),
+            )
         if rng.random_sample() < 0.02:  # pre-epoch stragglers
             ts = dt.datetime(1969, 12, 31, 23, 59, 59, 500000)
+        prev_ts.append(ts)
         uid = None if rng.random_sample() < 0.1 else int(rng.randint(1, 8))
         r = rng.random_sample()
         props = (
@@ -249,7 +281,9 @@ def build(seed: int, out: str, spark=None) -> str:
               "" if rng.random_sample() < 0.1
               else f"Brand#{int(rng.randint(1, 10))}",
               _TYPES[int(rng.randint(len(_TYPES)))],
-              int(rng.randint(-1, 60)),
+              # include the p_size band bounds (1-15 / 10-30 / 20-50)
+              [1, 10, 15, 20, 30, 50][int(rng.randint(6))]
+              if rng.random_sample() < 0.4 else int(rng.randint(-1, 60)),
               _money(rng)) for i in range(n_part)]
     w("part", parts, st(("p_partkey", L), ("p_name", S), ("p_brand", S),
                         ("p_type", S), ("p_size", I), ("p_retailprice", D)))
@@ -277,8 +311,12 @@ def build(seed: int, out: str, spark=None) -> str:
                 days=int(rng.randint(-10, 120)),
                 microseconds=int(rng.randint(0, 1_000_000)),
             )
-            disc = [0.0, 0.05, 0.1, 0.5, 1.0][int(rng.randint(5))]
-            qty = [0.0, 0.5, 1.0, 20.0, 50.0, 1e6][int(rng.randint(6))]
+            # pools include the catalog's exact filter bounds
+            # (discount BETWEEN 0.03 AND 0.05, quantity < 24 and the
+            # 1-20/10-30/20-40 brand bands, sum > 250 volume cut)
+            disc = [0.0, 0.03, 0.05, 0.06, 0.1, 0.5, 1.0][int(rng.randint(7))]
+            qty = [0.0, 0.5, 1.0, 10.0, 20.0, 23.0, 24.0, 30.0, 40.0,
+                   50.0, 125.0, 250.0, 251.0, 1e6][int(rng.randint(14))]
             lines.append((
                 i + 1,
                 int(rng.randint(1, n_part + 3)),   # may dangle
