@@ -64,12 +64,12 @@ def sequence_pack(
     )
     # `div` (integral division), never `/` + floor: offsets at 100 TB
     # exceed double's exact range (same rule as stream_events' nanos).
-    # PRECONDITION (round-6 ADVICE): operands must be NON-NEGATIVE —
-    # Spark `div` truncates toward zero while the DuckDB oracle's `//`
-    # floors, so they diverge on negative inputs. Holds by construction
-    # here: start_offset is a running sum of non-negative lengths and
-    # n_tokens >= 1 inside the when-branch (same assumption documented
-    # at interval_peak's epoch div).
+    # Cross-engine note (measured, correcting the round-6 ADVICE):
+    # Spark `div` AND DuckDB integer `//` BOTH truncate toward zero,
+    # so the pair agrees on any sign — but both violate the repo's
+    # floor-epoch convention on negatives. Irrelevant here: offsets
+    # are running sums of non-negative lengths and n_tokens >= 1
+    # inside the when-branch, so truncation == floor.
     return staged.select(
         id_col,
         "n_tokens",

@@ -220,7 +220,8 @@ def _pagerank_oracle(n_iter: int) -> str:
     """Unrolled n_iter-step integer PageRank as DuckDB CTEs — the same
     exact fixed-point arithmetic as operators/graph.py, so the final
     scaled ranks hash-match bit-for-bit. ``//`` is DuckDB integral
-    division (= Spark's ``div`` on positive BIGINTs); every sum is an
+    division (= Spark's ``div`` on ANY sign — both truncate toward
+    zero; ranks here are positive anyway); every sum is an
     integer sum cast back to BIGINT (DuckDB widens to HUGEINT)."""
     base = 15 * SCALE // 100
     steps = []
