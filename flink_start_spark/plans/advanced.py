@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from flink_start_spark.operators.joins import as_of_join, range_join
 from flink_start_spark.operators.skew import salted_count_distinct
-from flink_start_spark.plans.catalog import _register, money_sum
+from flink_start_spark.plans.catalog import _register, floor_div_sql, money_sum
 from flink_start_spark.sources.catalog import load_table
 
 
@@ -914,7 +914,7 @@ def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "peak_concurrent_sessions",
-    """
+    f"""
     WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
     b AS (SELECT user_id, us,
             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
@@ -936,12 +936,10 @@ def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM gp),
     m AS (SELECT max(running) AS peak FROM r)
     SELECT max(peak)::BIGINT AS peak_concurrent,
-           -- pmod-floor twice (k -> us -> s): integer // truncates
-           -- toward zero, which diverges from the engine's floor
-           -- convention on pre-epoch instants
-           ((((min(k) - ((min(k) % 2) + 2) % 2) // 2)
-             - ((((min(k) - ((min(k) % 2) + 2) % 2) // 2) % 1000000) + 1000000) % 1000000)
-            // 1000000)::BIGINT AS first_peak_epoch_s
+           -- pmod-floor twice (k -> us -> s, floor_div_sql): integer
+           -- // truncates toward zero, diverging from the engine's
+           -- floor convention on pre-epoch instants
+           {floor_div_sql(floor_div_sql("min(k)", 2), 1000000)}::BIGINT AS first_peak_epoch_s
     FROM r, m WHERE running = peak
     """,
     description=(

@@ -94,6 +94,21 @@ def _epoch(col: str = "w") -> list:
     ]
 
 
+def floor_div_sql(n: str, m: int) -> str:
+    """DuckDB SQL fragment for FLOOR division of integer expression
+    ``n`` by positive literal ``m`` — the oracle twin of Spark's
+    floorDiv-backed ``cast(ts AS long)`` / pmod-floor `div`.
+
+    Bare integer ``//`` truncates toward zero on BOTH engines
+    (measured: -500000 // 1000000 = 0 in DuckDB, same for Spark
+    `div`), which diverges from the repo-wide floor-epoch convention
+    on pre-epoch values. Subtracting the non-negative mod first makes
+    the dividend an exact multiple, where truncation == floor.
+    Single-sourced so the parenthesization can't drift per call site.
+    """
+    return f"(({n} - ((({n}) % {m}) + {m}) % {m}) // {m})"
+
+
 # =====================================================================
 # Reference windowing surface (SURVEY §2 O5-O13) over the events table.
 # Role mapping per FIXTURES.md F3: activity→event_type, register→signup;
@@ -227,16 +242,11 @@ _GAP_SEC = 1800
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM b)
     SELECT user_id,
-           -- pmod-floor, NOT bare //: DuckDB integer // truncates
-           -- toward zero (-500000 // 1000000 = 0), Spark's
-           -- timestamp->long cast floors (-1); subtracting the
-           -- non-negative mod first makes the dividend an exact
-           -- multiple, where truncation == floor
-           ((min(us) - ((min(us) % 1000000) + 1000000) % 1000000)
-            // 1000000)::BIGINT AS window_start,
-           (((max(us) + {_GAP_SEC} * 1000000)
-             - (((max(us) + {_GAP_SEC} * 1000000) % 1000000) + 1000000) % 1000000)
-            // 1000000)::BIGINT AS window_end,
+           -- pmod-floor (floor_div_sql), NOT bare //: DuckDB integer
+           -- // truncates toward zero where Spark's timestamp->long
+           -- cast floors
+           {floor_div_sql("min(us)", 1000000)}::BIGINT AS window_start,
+           {floor_div_sql(f"max(us) + {_GAP_SEC} * 1000000", 1000000)}::BIGINT AS window_end,
            count(*) AS n_events,
            sum(hit)::BIGINT AS signup_cnt
     FROM g GROUP BY user_id, sid

@@ -154,6 +154,8 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # zero-denominator month (all lines full-discount/zero
             # price) -> NULL share; ANSI mode would raise on /0.0
+            # (try_divide alone suffices: it yields NULL on a 0.0
+            # divisor, mirroring the oracle's / NULLIF(den, 0.0))
             F.round(
                 F.try_divide(
                     100.0
@@ -162,10 +164,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(0.0)
                         .cast("decimal(20,6)")
                     ).cast("double"),
-                    F.nullif(
-                        F.sum(rev.cast("decimal(20,6)")).cast("double"),
-                        F.lit(0.0),
-                    ),
+                    F.sum(rev.cast("decimal(20,6)")).cast("double"),
                 ),
                 6,
             ).alias("promo_share_pct")

@@ -111,12 +111,11 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.year("o_orderdate").cast("long").alias("o_year")
     ).agg(
-        # zero-revenue year -> NULL share (ANSI /0.0 would raise)
+        # zero-revenue year -> NULL share (ANSI /0.0 would raise;
+        # try_divide alone yields NULL on a 0.0 divisor, mirroring
+        # the oracle's / NULLIF(den, 0.0))
         F.round(
-            F.try_divide(
-                num.cast("double"),
-                F.nullif(den.cast("double"), F.lit(0.0)),
-            ),
+            F.try_divide(num.cast("double"), den.cast("double")),
             6,
         ).alias("mkt_share"),
         F.count("*").alias("n_lines"),

@@ -29,8 +29,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from pyspark.sql import types as T
-
 _WORDS = (
     "the quick brown fox jumps over lazy dog data spark query engine "
     "window join filter aggregate stream batch shuffle partition key "
@@ -136,7 +134,15 @@ def _ts_1996(rng) -> dt.datetime:
 
 
 def build(seed: int, out: str, spark=None) -> str:
-    from make_adversarial import _write_single_file  # shared writer
+    # schemas + writer come from make_adversarial: ONE source of truth
+    # for the testdata table shapes, so the two generators cannot drift
+    from make_adversarial import (
+        DOC_SCHEMA,
+        EMB_SCHEMA,
+        EV_SCHEMA,
+        RELATIONAL_SCHEMAS,
+        _write_single_file,
+    )
 
     if spark is None:
         from flink_start_spark.session import get_spark
@@ -151,12 +157,6 @@ def build(seed: int, out: str, spark=None) -> str:
             os.path.join(out, f"{name}.parquet"),
         )
 
-    I, L, S, D, TS = (T.IntegerType(), T.LongType(), T.StringType(),
-                      T.DoubleType(), T.TimestampType())
-
-    def st(*fields):
-        return T.StructType([T.StructField(n, t) for n, t in fields])
-
     # ---- documents -------------------------------------------------
     n_docs = int(rng.randint(25, 70))
     texts: list[str] = []
@@ -170,8 +170,7 @@ def build(seed: int, out: str, spark=None) -> str:
             f"src{int(rng.randint(0, 10))}",
             len(txt),
         ))
-    w("documents", docs, st(("doc_id", L), ("text", S), ("lang", S),
-                            ("source", S), ("n_chars", L)))
+    w("documents", docs, DOC_SCHEMA)
 
     # ---- embeddings ------------------------------------------------
     n_emb = int(rng.randint(25, 70))
@@ -184,11 +183,7 @@ def build(seed: int, out: str, spark=None) -> str:
             v = _vec(rng)
         vecs.append(v)
         embs.append((i + 1, v, int(rng.randint(-1, 10))))
-    w("embeddings", embs, T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("embedding", T.ArrayType(T.FloatType())),
-        T.StructField("label", T.IntegerType()),
-    ]))
+    w("embeddings", embs, EMB_SCHEMA)
 
     # ---- events ----------------------------------------------------
     n_ev = int(rng.randint(80, 250))
@@ -229,8 +224,7 @@ def build(seed: int, out: str, spark=None) -> str:
             if rng.random_sample() > 0.1 else _money(rng),
             props,
         ))
-    w("events", evs, st(("event_id", L), ("ts", TS), ("user_id", L),
-                        ("event_type", S), ("value", D), ("props", S)))
+    w("events", evs, EV_SCHEMA)
 
     # ---- relational ------------------------------------------------
     regions = [(i, nm) for i, nm in enumerate(
@@ -239,7 +233,7 @@ def build(seed: int, out: str, spark=None) -> str:
         regions.append((5, "ASIA"))  # duplicate name
     if rng.random_sample() < 0.5:
         regions.append((6, ""))
-    w("region", regions, st(("r_regionkey", I), ("r_name", S)))
+    w("region", regions, RELATIONAL_SCHEMAS["region"])
 
     n_nat = int(rng.randint(5, 12))
     nations = []
@@ -248,8 +242,7 @@ def build(seed: int, out: str, spark=None) -> str:
         nm = ("" if rng.random_sample() < 0.1
               else f"NATION_{int(rng.randint(0, max(2, n_nat - 2)))}")  # dups likely
         nations.append((i, nm, rk))
-    w("nation", nations, st(("n_nationkey", I), ("n_name", S),
-                            ("n_regionkey", I)))
+    w("nation", nations, RELATIONAL_SCHEMAS["nation"])
 
     n_cust = int(rng.randint(8, 25))
     custs = []
@@ -262,17 +255,14 @@ def build(seed: int, out: str, spark=None) -> str:
             _money(rng),
             _SEGMENTS[int(rng.randint(len(_SEGMENTS)))],
         ))
-    w("customer", custs, st(("c_custkey", L), ("c_name", S),
-                            ("c_nationkey", I), ("c_acctbal", D),
-                            ("c_mktsegment", S)))
+    w("customer", custs, RELATIONAL_SCHEMAS["customer"])
 
     n_supp = int(rng.randint(4, 10))
     supps = [(i + 1,
               "" if rng.random_sample() < 0.1 else f"Supplier#{int(rng.randint(0, n_supp)):09d}",
               int(rng.randint(0, n_nat + 2)),
               _money(rng)) for i in range(n_supp)]
-    w("supplier", supps, st(("s_suppkey", L), ("s_name", S),
-                            ("s_nationkey", I), ("s_acctbal", D)))
+    w("supplier", supps, RELATIONAL_SCHEMAS["supplier"])
 
     n_part = int(rng.randint(6, 16))
     parts = [(i + 1,
@@ -285,16 +275,11 @@ def build(seed: int, out: str, spark=None) -> str:
               [1, 10, 15, 20, 30, 50][int(rng.randint(6))]
               if rng.random_sample() < 0.4 else int(rng.randint(-1, 60)),
               _money(rng)) for i in range(n_part)]
-    w("part", parts, st(("p_partkey", L), ("p_name", S), ("p_brand", S),
-                        ("p_type", S), ("p_size", I), ("p_retailprice", D)))
+    w("part", parts, RELATIONAL_SCHEMAS["part"])
 
     n_ord = int(rng.randint(12, 40))
     orders, lines = [], []
-    ln_schema = st(("l_orderkey", L), ("l_partkey", L), ("l_suppkey", L),
-                   ("l_linenumber", I), ("l_quantity", D),
-                   ("l_extendedprice", D), ("l_discount", D), ("l_tax", D),
-                   ("l_returnflag", S), ("l_linestatus", S),
-                   ("l_shipdate", TS))
+    ln_schema = RELATIONAL_SCHEMAS["lineitem"]
     for i in range(n_ord):
         odate = _ts_1996(rng)
         orders.append((
@@ -333,9 +318,7 @@ def build(seed: int, out: str, spark=None) -> str:
                       _ts_1996(rng)))
     if lines and rng.random_sample() < 0.5:  # duplicate a full PK row
         lines.append(lines[int(rng.randint(len(lines)))])
-    w("orders", orders, st(("o_orderkey", L), ("o_custkey", L),
-                           ("o_orderstatus", S), ("o_totalprice", D),
-                           ("o_orderdate", TS), ("o_orderpriority", S)))
+    w("orders", orders, RELATIONAL_SCHEMAS["orders"])
     w("lineitem", lines, ln_schema)
     return out
 
@@ -351,6 +334,14 @@ def main() -> int:
     build(seed, out)
     print(f"fuzz corpus (seed={seed}) written to {out}")
     if check:
+        # release the corpus-build JVM before the gate spawns its own
+        # Spark driver — otherwise two full drivers sit resident for
+        # the whole 135-query sweep
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
         rc = subprocess.call(
             [sys.executable, os.path.join(os.path.dirname(__file__),
                                           "crosscheck.py"), out]

@@ -262,35 +262,51 @@ _LINEITEMS = [
 ]
 
 
-def _relational_schemas():
-    I, L, S, D, TS = (T.IntegerType(), T.LongType(), T.StringType(),
-                      T.DoubleType(), T.TimestampType())
+_I, _L, _S, _D, _TS = (T.IntegerType(), T.LongType(), T.StringType(),
+                       T.DoubleType(), T.TimestampType())
 
-    def st(*fields):
-        return T.StructType([T.StructField(n, t) for n, t in fields])
 
-    return {
-        "region": (_REGIONS, st(("r_regionkey", I), ("r_name", S))),
-        "nation": (_NATIONS, st(("n_nationkey", I), ("n_name", S),
-                                ("n_regionkey", I))),
-        "customer": (_CUSTOMERS, st(("c_custkey", L), ("c_name", S),
-                                    ("c_nationkey", I), ("c_acctbal", D),
-                                    ("c_mktsegment", S))),
-        "supplier": (_SUPPLIERS, st(("s_suppkey", L), ("s_name", S),
-                                    ("s_nationkey", I), ("s_acctbal", D))),
-        "part": (_PARTS, st(("p_partkey", L), ("p_name", S), ("p_brand", S),
-                            ("p_type", S), ("p_size", I),
-                            ("p_retailprice", D))),
-        "orders": (_ORDERS, st(("o_orderkey", L), ("o_custkey", L),
-                               ("o_orderstatus", S), ("o_totalprice", D),
-                               ("o_orderdate", TS), ("o_orderpriority", S))),
-        "lineitem": (_LINEITEMS, st(("l_orderkey", L), ("l_partkey", L),
-                                    ("l_suppkey", L), ("l_linenumber", I),
-                                    ("l_quantity", D), ("l_extendedprice", D),
-                                    ("l_discount", D), ("l_tax", D),
-                                    ("l_returnflag", S), ("l_linestatus", S),
-                                    ("l_shipdate", TS))),
-    }
+def _st(*fields):
+    return T.StructType([T.StructField(n, t) for n, t in fields])
+
+
+#: single source of truth for the testdata table schemas — shared with
+#: scripts/fuzz_corpus.py so the two degenerate-corpus generators can
+#: never drift from each other (or from the catalog readers)
+RELATIONAL_SCHEMAS = {
+    "region": _st(("r_regionkey", _I), ("r_name", _S)),
+    "nation": _st(("n_nationkey", _I), ("n_name", _S), ("n_regionkey", _I)),
+    "customer": _st(("c_custkey", _L), ("c_name", _S), ("c_nationkey", _I),
+                    ("c_acctbal", _D), ("c_mktsegment", _S)),
+    "supplier": _st(("s_suppkey", _L), ("s_name", _S), ("s_nationkey", _I),
+                    ("s_acctbal", _D)),
+    "part": _st(("p_partkey", _L), ("p_name", _S), ("p_brand", _S),
+                ("p_type", _S), ("p_size", _I), ("p_retailprice", _D)),
+    "orders": _st(("o_orderkey", _L), ("o_custkey", _L),
+                  ("o_orderstatus", _S), ("o_totalprice", _D),
+                  ("o_orderdate", _TS), ("o_orderpriority", _S)),
+    "lineitem": _st(("l_orderkey", _L), ("l_partkey", _L), ("l_suppkey", _L),
+                    ("l_linenumber", _I), ("l_quantity", _D),
+                    ("l_extendedprice", _D), ("l_discount", _D),
+                    ("l_tax", _D), ("l_returnflag", _S),
+                    ("l_linestatus", _S), ("l_shipdate", _TS)),
+}
+
+DOC_SCHEMA = _st(("doc_id", _L), ("text", _S), ("lang", _S),
+                 ("source", _S), ("n_chars", _L))
+EMB_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("label", T.IntegerType()),
+])
+EV_SCHEMA = _st(("event_id", _L), ("ts", _TS), ("user_id", _L),
+                ("event_type", _S), ("value", _D), ("props", _S))
+
+_RELATIONAL_ROWS = {
+    "region": _REGIONS, "nation": _NATIONS, "customer": _CUSTOMERS,
+    "supplier": _SUPPLIERS, "part": _PARTS, "orders": _ORDERS,
+    "lineitem": _LINEITEMS,
+}
 
 
 def build(out: str, spark=None) -> str:
@@ -301,9 +317,9 @@ def build(out: str, spark=None) -> str:
     if spark is None:
         spark = get_spark("make_adversarial")
 
-    for name, (rows, schema) in _relational_schemas().items():
+    for name, rows in _RELATIONAL_ROWS.items():
         _write_single_file(
-            spark.createDataFrame(rows, schema),
+            spark.createDataFrame(rows, RELATIONAL_SCHEMAS[name]),
             os.path.join(out, f"{name}.parquet"),
         )
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -194,8 +195,9 @@ def test_epoch_cast_floors_pre_epoch_fractional(spark):
     assert row["u"] == 0  # trunc-toward-zero — the divergence we ban
     import subprocess
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     banned = subprocess.run(
         ["grep", "-rn", "unix_timestamp(", "flink_start_spark/"],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True, cwd=repo_root,
     ).stdout
     assert banned.strip() == "", f"unix_timestamp re-entered plans:\n{banned}"
