@@ -7,16 +7,18 @@ frame-sampling run as Arrow-batched Pandas functions over
 streams through Python in Arrow batches with no driver involvement and
 no per-row pickling.
 
-Decode comes in two tiers. The REAL decode (``pcm_decode``) parses a
+Both decodes are REAL container parses. Audio: ``pcm_decode`` parses a
 fixed binary layout — an 8-byte header (magic 'PCM1', uint16-BE sample
 rate, uint16-BE sample count) followed by int16-BE PCM samples — with
 ``struct``/``numpy.frombuffer`` inside mapInPandas and emits audio
-features (duration, mean/peak amplitude, RMS); ``with_pcm_payload``
-synthesizes such payloads deterministically from the text column so
-the decode is oracle-checkable end to end. Image/video codec libraries
-(PIL/ffmpeg) are not in this container, so the image-shaped feature
-extractor ``fake_decode`` derives its values from sha256 instead —
-same plumbing, placeholder math (documented below).
+features (duration, mean/peak amplitude, RMS). Image: ``ppm_decode``
+parses the netpbm PPM (P6) container — tokenized ASCII header with
+comment support, then the raw RGB raster — and emits per-channel
+statistics. ``with_pcm_payload`` / ``with_ppm_payload`` synthesize
+valid payloads deterministically from the text column so both decodes
+are oracle-checkable end to end; a production pipeline swaps only the
+raster/sample parse for a codec library (PIL/ffmpeg, absent in this
+container), keeping the identical Spark-side plumbing.
 """
 
 from __future__ import annotations
@@ -41,14 +43,18 @@ BINARY_META_SCHEMA = T.StructType(
     ]
 )
 
-#: Fake "decoded media" feature schema (stands in for image embeddings /
-#: audio features until real codecs are available).
-FAKE_FEATURE_SCHEMA = T.StructType(
+#: Real image-decode output schema (per-channel raster statistics).
+PPM_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
-        T.StructField("mean_intensity", T.DoubleType(), False),
+        T.StructField("maxval", T.IntegerType(), False),
+        T.StructField("n_px_bytes", T.LongType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("max_px", T.IntegerType(), False),
     ]
 )
 
@@ -227,25 +233,106 @@ def fake_frame_sample(df: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -
     return df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
 
 
-def fake_decode(df: DataFrame) -> DataFrame:
-    """Deterministic fake decode: pretends each payload is an image whose
-    dimensions/intensity derive from its sha256. Exercises the exact
-    mapInPandas shape (batch iterator, Arrow transfer, typed schema) a
-    real decoder uses."""
+def with_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a binary payload that is a VALID binary PPM (P6) image —
+    ASCII header ``P6\\n{w} {h}\\n255\\n`` followed by ``w*h*3`` RGB
+    raster bytes — derived deterministically from ``text_col``:
+
+    - ``w = 4 + n % 5`` and ``h = 4 + (n // 7) % 5`` (n = byte length
+      of the text), so rasters are 4x4..8x8;
+    - raster byte ``j`` is text byte ``j % n`` (zeros for empty text).
+
+    Same engine-portable construction discipline as
+    :func:`with_pcm_payload`: hex-string projections + one ``unhex``,
+    no per-byte arrays, so the DuckDB oracle can rebuild every payload
+    byte from ``hex(encode(text))`` and the decode is value-checked
+    end to end. The output opens in any PPM viewer — this is a real
+    image container, not a placeholder layout."""
+    text = F.col(text_col)
+    n = F.octet_length(text).cast("long")
+    w = (F.lit(4) + F.pmod(n, F.lit(5))).cast("int")
+    h = (F.lit(4) + F.pmod(F.floor(n / F.lit(7)), F.lit(5))).cast("int")
+    npix = (w.cast("long") * h.cast("long") * F.lit(3)).cast("long")
+    header_hex = F.hex(
+        F.concat(
+            F.lit("P6\n"),
+            w.cast("string"),
+            F.lit(" "),
+            h.cast("string"),
+            F.lit("\n255\n"),
+        )
+    )
+    # raster = first npix bytes of text repeated end-to-end (hex form:
+    # 2 chars/byte); empty text degenerates to an all-zero raster
+    pixel_hex = F.when(
+        n > 0,
+        F.substring(
+            F.repeat(F.hex(text), F.ceil(npix / n).cast("int")),
+            1,
+            (npix * 2).cast("int"),
+        ),
+    ).otherwise(F.repeat(F.lit("00"), npix.cast("int")))
+    return df.select(
+        "doc_id", F.unhex(F.concat(header_hex, pixel_hex)).alias("payload")
+    )
+
+
+def ppm_decode(df: DataFrame) -> DataFrame:
+    """REAL image decode: parse the PPM (P6) container — tokenized
+    ASCII header (magic, width, height, maxval, with ``#`` comment
+    support per the netpbm spec) then the raw RGB raster via
+    ``numpy.frombuffer`` — and emit per-channel raster statistics.
+    This is the decode shape an image pipeline runs (header parse →
+    typed pixel array → per-image features), the image sibling of
+    :func:`pcm_decode`; a codec library would only swap the raster
+    parse for JPEG/PNG entropy decode. Means/max are exact (integer
+    sums below 2^53 in float64), so the oracle matches bit-for-bit.
+    Arrow-batched mapInPandas; nothing touches the driver."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            digests = pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).digest())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": digests.map(lambda d: 64 + d[0] % 192).astype("int32"),
-                    "height": digests.map(lambda d: 64 + d[1] % 192).astype("int32"),
-                    "mean_intensity": digests.map(lambda d: d[2] / 255.0),
-                }
-            )
+            out: dict[str, list] = {k.name: [] for k in PPM_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] != b"P6":
+                    raise ValueError(f"doc {doc_id}: bad magic {b[:2]!r}")
+                pos, vals = 2, []
+                while len(vals) < 3:
+                    while pos < len(b) and b[pos : pos + 1].isspace():
+                        pos += 1
+                    if b[pos : pos + 1] == b"#":  # netpbm comment line
+                        while pos < len(b) and b[pos : pos + 1] != b"\n":
+                            pos += 1
+                        continue
+                    start = pos
+                    while pos < len(b) and b[pos : pos + 1].isdigit():
+                        pos += 1
+                    if pos == start:
+                        raise ValueError(f"doc {doc_id}: malformed header")
+                    vals.append(int(b[start:pos]))
+                pos += 1  # exactly one whitespace byte after maxval
+                w, h, maxval = vals
+                raster = np.frombuffer(
+                    b[pos : pos + w * h * 3], dtype=np.uint8
+                )
+                if raster.size != w * h * 3:
+                    raise ValueError(
+                        f"doc {doc_id}: truncated raster "
+                        f"({raster.size} of {w * h * 3} bytes)"
+                    )
+                rgb = raster.reshape(-1, 3).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(maxval)
+                out["n_px_bytes"].append(raster.size)
+                out["mean_r"].append(float(rgb[:, 0].mean()))
+                out["mean_g"].append(float(rgb[:, 1].mean()))
+                out["mean_b"].append(float(rgb[:, 2].mean()))
+                out["max_px"].append(int(raster.max()))
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(decode, schema=FAKE_FEATURE_SCHEMA)
+    return df.mapInPandas(decode, schema=PPM_FEATURE_SCHEMA)
 
 
 #: Resample output: the re-encoded payload plus audit fields.

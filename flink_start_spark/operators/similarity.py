@@ -177,8 +177,10 @@ def auto_n_cells(candidates: DataFrame, per_cell: int = CELL_TARGET_ROWS) -> int
     than the pruned re-read it replaces.
 
     Every cell-scoped entry point applies this when ``n_cells`` is not
-    given; callers that need bit-stable oracles pass an explicit count
-    (the catalog pins 16 so hashes are corpus-size-independent)."""
+    given. The catalog instances use this rule with ``per_cell=128``
+    (plans/extensions.py::CATALOG_PER_CELL) and the oracles mirror it
+    with the same ``greatest(16, count(*) // per_cell)`` scalar
+    subquery, so hashes track the rule at every corpus size."""
     return max(16, candidates.count() // per_cell)
 
 
@@ -514,13 +516,15 @@ def semdedup_flags(
     cell-sized blocks — the paper's design point: pairwise cost is
     |cell|^2, held constant by scaling the cluster count with the
     corpus. The default ``n_cells=None`` ENFORCES that rule via
-    :func:`auto_n_cells` (max(16, n/per_cell)); the catalog pins 16 so
-    the oracle's mirrored quantizer hashes are corpus-size-independent.
-    ``per_cell`` is the pairs-per-row budget (recall/cost knob — the
-    round-6 sf1 measurement: holding cell density across a 10x corpus
-    keeps wall-clock linear, see COVERAGE.md). At the scaled cell count
-    the join key has millions of distinct values at 100 TB — no
-    hot-key skew.
+    :func:`auto_n_cells` (max(16, n/per_cell)); the catalog instance
+    passes ``per_cell=128`` and its oracle mirrors the same
+    count(*)-driven rule, so the shipped configuration scales instead
+    of pinning the 16-cell layout that produced the round-6 8.1
+    sf-pair knee. ``per_cell`` is the pairs-per-row budget
+    (recall/cost knob — the round-6 sf1 measurement: holding cell
+    density across a 10x corpus keeps wall-clock linear, see
+    COVERAGE.md). At the scaled cell count the join key has millions
+    of distinct values at 100 TB — no hot-key skew.
 
     Output: every input vector with its cell, the max cosine to any
     smaller-id cell-mate (null when alone in its cell), and the pruned
@@ -707,7 +711,8 @@ def knn_label_purity(
     pairwise cost is |cell|^2 per cell and stays linear overall as the
     cell count scales with the corpus — enforced by the
     ``n_cells=None`` default through :func:`auto_n_cells` (the catalog
-    pins 16 to keep oracle hashes corpus-size-independent). Restricting
+    instance passes ``per_cell=128``; its oracle mirrors the same
+    count(*)-driven cell count). Restricting
     neighbors to the cell is the audit's documented semantics, not an
     approximation being hidden: purity-within-cell is exactly what the
     downstream cell-scoped operators (SemDeDup, IVF search) experience.

@@ -457,6 +457,29 @@ _SQDIST = lambda a, b: (  # noqa: E731
     f"FOR i IN range(1, len({a}) + 1)])"
 )
 
+#: pairs-per-row budget for the catalog's cell-scoped ANN instances
+#: (ann_topk_ivf / semdedup_flags / knn_label_purity). The auto rule
+#: max(16, n // 128) equals the legacy pinned-16 layout at every driver
+#: test SF (500-2000 vectors, so historical hashes are unchanged) and
+#: holds E[|cell|] ~ 128 as the corpus grows — 156 cells at the
+#: 20k-vector sf1 corpus — keeping the |cell|^2 pair stage linear in n.
+#: The round-6 sf-pair knee (knn_label_purity ratio 8.1 at pinned 16
+#: cells vs 1.69 at held density) was exactly this knob left unturned.
+CATALOG_PER_CELL = 128
+
+#: Oracle twin of similarity.auto_n_cells + deterministic_centroids:
+#: rank vectors by (md5(id), id), keep the first
+#: greatest(16, n // per_cell) as cell centers. row_number-filter form
+#: rather than ORDER BY/LIMIT so the bound can be a scalar subquery —
+#: the oracle scales its cell count with the corpus exactly like the
+#: Spark side's one count() does.
+_CENT_CTE = f"""cent AS (
+      SELECT cell, center FROM (
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+               embedding AS center
+        FROM embeddings)
+      WHERE cell < greatest(16, (SELECT count(*) FROM embeddings) // {CATALOG_PER_CELL}))"""
+
 def _rp_band_sql(col: str, band: int, bits: int = 8, dim: int = 64) -> str:
     """DuckDB twin of vector.py::rp_sign_bits: the same md5-derived
     literal weights (exact binary fractions), same left-associative
@@ -512,10 +535,7 @@ def q_ann_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ann_topk_ivf",
     f"""
-    WITH cent AS (
-      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
-             embedding AS center
-      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+    WITH {_CENT_CTE},
     assigned AS (
       SELECT vec_id AS c_id, embedding AS cv, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,
@@ -539,19 +559,28 @@ def q_ann_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rank <= 3
     """,
     description=(
-        "IVF ANN top-k: deterministic-sample coarse quantizer (16 cells "
-        "= the vectors whose md5(id) ranks lowest; argmin-squared-L2 "
-        "assignment) + 2-probe search. Cell-id equi-join topology: "
-        "~n_probe/n_cells of the corpus scored per query. Centroid "
-        "build + assignment are the ingest-time precompute_cells() "
-        "step; deterministic sampling (not k-means) keeps every stage "
-        "bit-mirrorable in the oracle."
+        "IVF ANN top-k: deterministic-sample coarse quantizer "
+        "(max(16, n/128) cells = the vectors whose md5(id) ranks "
+        "lowest; argmin-squared-L2 assignment) + 2-probe search. "
+        "Cell-id equi-join topology: ~n_probe/n_cells of the corpus "
+        "scored per query; the auto-scaled cell count holds cell "
+        "density ~128 so the topology stays sub-linear at any corpus "
+        "size. Centroid build + assignment are the ingest-time "
+        "precompute_cells() step; deterministic sampling (not k-means) "
+        "keeps every stage bit-mirrorable in the oracle, which scales "
+        "its cell count with the same count(*) rule."
     ),
     tags=("similarity", "extension", "ivf"),
 )
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=16, n_probe=2)
+    return S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        n_probe=2,
+        per_cell=CATALOG_PER_CELL,
+    )
 
 
 @_register(
@@ -1192,33 +1221,55 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.binary_metadata(M.with_binary_payload(docs))
 
 
-_HEXB = (
-    lambda h, i: f"((strpos('0123456789abcdef', substr({h}, {2 * i + 1}, 1)) - 1) * 16"
-    f" + strpos('0123456789abcdef', substr({h}, {2 * i + 2}, 1)) - 1)"
-)
-
 @_register(
-    "multimodal_fake_decode",
-    f"""
-    WITH h AS (SELECT doc_id, sha256(text) AS d FROM documents)
-    SELECT doc_id,
-           (64 + {_HEXB('d', 0)} % 192)::INT AS width,
-           (64 + {_HEXB('d', 1)} % 192)::INT AS height,
-           {_HEXB('d', 2)}::DOUBLE / 255.0 AS mean_intensity
-    FROM h
+    "multimodal_image_decode",
+    """
+    WITH n AS (
+      -- BYTE semantics throughout: raster byte j is UTF-8 byte (j % n)
+      -- of the text, decoded from hex pairs (ascii()/substr() would
+      -- return codepoints and diverge on non-ASCII text)
+      SELECT doc_id, upper(hex(encode(text))) AS hx,
+             strlen(text)::BIGINT AS n,
+             (4 + strlen(text) % 5)::INT AS w,
+             (4 + (strlen(text) // 7) % 5)::INT AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, j % 3 AS ch,
+             CASE WHEN n = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx, (2 * (j % n) + 1)::INT, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx, (2 * (j % n) + 2)::INT, 1)) - 1
+             END AS v
+      FROM (SELECT doc_id, hx, n, unnest(range(0, w * h * 3)) AS j FROM n)),
+    agg AS (
+      SELECT doc_id,
+             avg(CASE WHEN ch = 0 THEN v END) AS mean_r,
+             avg(CASE WHEN ch = 1 THEN v END) AS mean_g,
+             avg(CASE WHEN ch = 2 THEN v END) AS mean_b,
+             max(v) AS max_px
+      FROM px GROUP BY doc_id)
+    SELECT n.doc_id, n.w AS width, n.h AS height, 255::INT AS maxval,
+           (n.w * n.h * 3)::BIGINT AS n_px_bytes,
+           agg.mean_r::DOUBLE AS mean_r, agg.mean_g::DOUBLE AS mean_g,
+           agg.mean_b::DOUBLE AS mean_b, agg.max_px::INT AS max_px
+    FROM n JOIN agg USING (doc_id)
     """,
     description=(
-        "Fake media decode through the real mapInPandas plumbing "
-        "(dimensions/intensity derived from sha256 bytes). Stands in for "
-        "PIL/ffmpeg feature extraction; the oracle recomputes the same "
-        "sha256-byte math from hex nibbles, and a golden-value pytest "
-        "covers determinism."
+        "REAL image decode, end to end: with_ppm_payload builds a valid "
+        "netpbm PPM (P6) image from each document (ASCII header + RGB "
+        "raster whose byte j is text byte j mod n), ppm_decode parses "
+        "the container — tokenized header with comment support, then "
+        "numpy.frombuffer over the raster — inside Arrow-batched "
+        "mapInPandas and emits per-channel means and the raster max. "
+        "The oracle re-derives every raster byte from hex(text) and "
+        "recomputes the channel statistics in pure SQL, so header AND "
+        "pixel decode are value-checked; the image sibling of "
+        "multimodal_real_decode's PCM audio parse."
     ),
     tags=("multimodal", "extension", "pandas-udf"),
 )
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return M.fake_decode(M.with_binary_payload(docs))
+    return M.ppm_decode(M.with_ppm_payload(docs))
 
 
 @_register(
@@ -1277,10 +1328,7 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "semdedup_flags",
     f"""
-    WITH cent AS (
-      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
-             embedding AS center
-      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+    WITH {_CENT_CTE},
     assigned AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,
@@ -1300,14 +1348,15 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the ingest-time IVF quantizer, then within each cell flag "
         "vectors whose cosine to a smaller-id cell-mate exceeds 0.99 "
         "(keep-smallest-id survivor rule). Pairwise cost is bounded by "
-        "the cell size - the cluster count scales with the corpus, so "
-        "the cell-keyed self-join stays linear at 100 TB."
+        "the cell size — the auto-scaled cell count (max(16, n/128), "
+        "mirrored in the oracle) holds cell density ~128 as the corpus "
+        "grows, so the cell-keyed self-join stays linear at 100 TB."
     ),
     tags=("similarity", "extension", "pipeline", "dedup"),
 )
 def q_semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.semdedup_flags(emb, n_cells=16, threshold=0.99)
+    return S.semdedup_flags(emb, threshold=0.99, per_cell=CATALOG_PER_CELL)
 
 
 def _kmeans_oracle(k: int, iters: int) -> str:
@@ -1632,10 +1681,7 @@ _COS_AB = _COS.replace("qv", "a.embedding").replace("cv", "b.embedding")
 @_register(
     "knn_label_purity",
     f"""
-    WITH cent AS (
-      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
-             embedding AS center
-      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+    WITH {_CENT_CTE},
     assigned AS (
       SELECT vec_id, embedding, label, cell FROM (
         SELECT e.vec_id, e.embedding, e.label, c.cell,
@@ -1668,16 +1714,18 @@ _COS_AB = _COS.replace("qv", "a.embedding").replace("cv", "b.embedding")
         "nearest cell-mates (cosine) sharing its label — the embedding-"
         "quality probe run before trusting a model for clustering/"
         "dedup/curation. Candidates come from the vector's IVF cell "
-        "(the same neighborhoods SemDeDup/IVF search operate on), so "
-        "the pairwise stage is cell-bounded and linear as cells scale "
-        "with the corpus. Oracle mirrors quantizer, assignment, and "
-        "the 6-dp cosine total order CTE-for-CTE."
+        "(the same neighborhoods SemDeDup/IVF search operate on), and "
+        "the auto-scaled cell count (max(16, n/128)) holds cell density "
+        "~128, so the pairwise stage stays linear as the corpus grows. "
+        "Oracle mirrors quantizer (including the count(*)-driven cell "
+        "count), assignment, and the 6-dp cosine total order "
+        "CTE-for-CTE."
     ),
     tags=("similarity", "extension", "audit"),
 )
 def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.knn_label_purity(emb, k=5, n_cells=16)
+    return S.knn_label_purity(emb, k=5, per_cell=CATALOG_PER_CELL)
 
 
 @_register(

@@ -44,8 +44,13 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):
+            # Spark-written table (e.g. the synthesized sf1 corpus):
+            # a directory of part files rather than one parquet file
+            p = os.path.join(p, "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     failures = 0
     for name in names:
         q = QUERIES[name]

@@ -29,6 +29,7 @@ from flink_start_spark.plans import QUERIES  # noqa: E402
 _SUBSET = [
     "multimodal_binary_meta",      # bytes-vs-chars first_byte
     "multimodal_real_decode",      # byte-based PCM synth
+    "multimodal_image_decode",     # byte-based PPM raster synth
     "multimodal_resample",         # byte count in resampled header
     "lang_centroid_outliers",      # quantization clamp (ANSI overflow)
     "kmeans_clusters",             # same clamp in Lloyd rounds

@@ -42,6 +42,8 @@ _REPRESENTATIVE = [
     "vocab_oov_stats",
     "multimodal_frame_sample",
     "multimodal_resample",
+    # round 7: real PPM image decode (replaced the sha256 placeholder)
+    "multimodal_image_decode",
     "shard_manifest",
     # round 4 families: two-phase selection (single-rank, multi-rank,
     # global rank + ntile, un-keyed rank+sum, prefix sum) and the

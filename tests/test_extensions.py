@@ -383,13 +383,51 @@ def test_fake_frame_sample_shapes(spark):
     assert 3 not in by_doc
 
 
-def test_fake_decode_deterministic(spark):
-    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
-    row = M.fake_decode(M.with_binary_payload(df)).collect()[0]
-    d = hashlib.sha256(b"hello").digest()
-    assert row["width"] == 64 + d[0] % 192
-    assert row["height"] == 64 + d[1] % 192
-    assert abs(row["mean_intensity"] - d[2] / 255.0) < 1e-12
+def _ppm_expect(text: str):
+    """Reference PPM payload + per-channel stats, computed straight
+    from the documented layout (the golden twin of with_ppm_payload)."""
+    raw = text.encode("utf-8")
+    n = len(raw)
+    w, h = 4 + n % 5, 4 + (n // 7) % 5
+    npix = w * h * 3
+    raster = bytes(raw[j % n] if n else 0 for j in range(npix))
+    payload = f"P6\n{w} {h}\n255\n".encode() + raster
+    chans = [
+        [raster[j] for j in range(npix) if j % 3 == c] for c in range(3)
+    ]
+    return payload, w, h, [sum(c) / len(c) for c in chans], max(raster)
+
+
+def test_ppm_payload_and_decode_golden(spark):
+    df = spark.createDataFrame(
+        # ASCII, multi-byte UTF-8, and empty text (all-zero raster)
+        [(1, "hello"), (2, "héllo!"), (3, "")],
+        "doc_id long, text string",
+    )
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in M.with_ppm_payload(df).collect()
+    }
+    rows = {r["doc_id"]: r for r in M.ppm_decode(M.with_ppm_payload(df)).collect()}
+    for doc_id, text in [(1, "hello"), (2, "héllo!"), (3, "")]:
+        payload, w, h, means, mx = _ppm_expect(text)
+        assert payloads[doc_id] == payload  # byte-exact container
+        r = rows[doc_id]
+        assert (r["width"], r["height"], r["maxval"]) == (w, h, 255)
+        assert r["n_px_bytes"] == w * h * 3
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == tuple(means)
+        assert r["max_px"] == mx
+
+
+def test_ppm_decode_handles_comment_headers(spark):
+    # netpbm allows '#' comment lines inside the header; the parser
+    # must skip them (payloads from real tools often carry one)
+    raster = bytes(range(48))
+    payload = b"P6\n# made by a real tool\n4 4\n255\n" + raster
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, payload binary")
+    row = M.ppm_decode(df).collect()[0]
+    assert (row["width"], row["height"], row["max_px"]) == (4, 4, 47)
+    assert row["mean_r"] == sum(range(0, 48, 3)) / 16.0
 
 
 def test_pcm_resample_roundtrip_decodes(spark):
