@@ -5,12 +5,19 @@ sf dir, compares row count, column names, and an order-insensitive
 value hash (floats rounded). Usage:
 
     python scripts/crosscheck.py [sf_dir] [query ...]
+    python scripts/crosscheck.py --json OUT.json [sf_dir] [query ...]
+
+--json records a machine-readable artifact (per-query status + rows +
+wall seconds, plus corpus metadata) — the round-7 CROSSCHECK_SF1.json
+correctness-at-scale evidence is produced this way.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,8 +45,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(QUERIES)
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or list(QUERIES)
     spark = get_spark("crosscheck")
     con = duckdb.connect()
     for t in TABLES:
@@ -52,31 +64,47 @@ def main() -> int:
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     failures = 0
+    results: dict[str, dict] = {}
+
+    def record(name: str, status: str, rows: int | None, t0: float, detail: str = ""):
+        results[name] = {
+            "status": status,
+            "rows": rows,
+            "sec": round(time.monotonic() - t0, 3),
+            **({"detail": detail[:400]} if detail else {}),
+        }
+
     for name in names:
         q = QUERIES[name]
+        t0 = time.monotonic()
         try:
             sdf = q.spark(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            record(name, "spark_error", None, t0, str(e))
             failures += 1
             continue
         finally:
             cache.release()  # per-query cache ownership (cache.py)
         if q.oracle is None:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            record(name, "rows_only", len(sdf), t0)
             continue
         try:
             odf = con.execute(q.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
+            record(name, "oracle_error", len(sdf), t0, str(e))
             failures += 1
             continue
         s, o = _normalize(sdf), _normalize(odf)
         if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} oracle={list(o.columns)}")
+            record(name, "columns_differ", len(s), t0)
             failures += 1
         elif len(s) != len(o):
             print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
+            record(name, "rows_differ", len(s), t0, f"oracle={len(o)}")
             failures += 1
         else:
             try:
@@ -93,10 +121,32 @@ def main() -> int:
                     s, o, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
                 )
                 print(f"OK   {name}: {len(s)} rows")
+                record(name, "ok", len(s), t0)
             except Exception as e:  # noqa: BLE001
                 print(f"FAIL {name}: values differ: {str(e)[:400]}")
+                record(name, "values_differ", len(s), t0, str(e))
                 failures += 1
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if json_out:
+        table_rows = {
+            t: con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+            for t in TABLES
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        }
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "table_rows": table_rows,
+                    "n_queries": len(names),
+                    "n_passed": len(names) - failures,
+                    "n_failed": failures,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
