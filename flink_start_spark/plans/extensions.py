@@ -457,28 +457,42 @@ _SQDIST = lambda a, b: (  # noqa: E731
     f"FOR i IN range(1, len({a}) + 1)])"
 )
 
-#: pairs-per-row budget for the catalog's cell-scoped ANN instances
-#: (ann_topk_ivf / semdedup_flags / knn_label_purity). The auto rule
-#: max(16, n // 128) equals the legacy pinned-16 layout at every driver
-#: test SF (500-2000 vectors, so historical hashes are unchanged) and
-#: holds E[|cell|] ~ 128 as the corpus grows — 156 cells at the
-#: 20k-vector sf1 corpus — keeping the |cell|^2 pair stage linear in n.
-#: The round-6 sf-pair knee (knn_label_purity ratio 8.1 at pinned 16
-#: cells vs 1.69 at held density) was exactly this knob left unturned.
+#: pairs-per-row budget for the catalog's PAIR-STAGE cell-scoped
+#: instances (semdedup_flags / knn_label_purity, whose dominant cost is
+#: the |cell|^2 within-cell self-join). The auto rule max(16, n // 128)
+#: equals the legacy pinned-16 layout at every driver test SF (500-2000
+#: vectors, so historical hashes are unchanged) and holds E[|cell|]
+#: ~ 128 as the corpus grows — 156 cells at the 20k-vector sf1 corpus —
+#: keeping the pair stage linear in n. The round-6 sf-pair knee
+#: (knn_label_purity ratio 8.1 at pinned 16 cells vs 1.69 at held
+#: density) was exactly this knob left unturned.
+#:
+#: ann_topk_ivf deliberately does NOT use this value: a SEARCH-stage
+#: operator's dominant corpus-sized cost is the assignment scan
+#: (O(n * n_cells) map-only work), while its probe cost is bounded by
+#: the QUERY count (q * n_probe * per_cell) — so bigger cells are
+#: strictly cheaper there, and it keeps the library default
+#: per_cell=1000 (round-7 measurement: per_cell=128 read sf-pair 5.45
+#: from the 156-cell assignment scan; per_cell=1000 keeps 20 cells).
 CATALOG_PER_CELL = 128
 
-#: Oracle twin of similarity.auto_n_cells + deterministic_centroids:
-#: rank vectors by (md5(id), id), keep the first
-#: greatest(16, n // per_cell) as cell centers. row_number-filter form
-#: rather than ORDER BY/LIMIT so the bound can be a scalar subquery —
-#: the oracle scales its cell count with the corpus exactly like the
-#: Spark side's one count() does.
-_CENT_CTE = f"""cent AS (
+
+def _cent_cte(per_cell: int) -> str:
+    """Oracle twin of similarity.auto_n_cells + deterministic_centroids:
+    rank vectors by (md5(id), id), keep the first
+    greatest(16, n // per_cell) as cell centers. row_number-filter form
+    rather than ORDER BY/LIMIT so the bound can be a scalar subquery —
+    the oracle scales its cell count with the corpus exactly like the
+    Spark side's one count() does."""
+    return f"""cent AS (
       SELECT cell, center FROM (
         SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
                embedding AS center
         FROM embeddings)
-      WHERE cell < greatest(16, (SELECT count(*) FROM embeddings) // {CATALOG_PER_CELL}))"""
+      WHERE cell < greatest(16, (SELECT count(*) FROM embeddings) // {per_cell}))"""
+
+
+_CENT_CTE = _cent_cte(CATALOG_PER_CELL)
 
 def _rp_band_sql(col: str, band: int, bits: int = 8, dim: int = 64) -> str:
     """DuckDB twin of vector.py::rp_sign_bits: the same md5-derived
@@ -535,7 +549,7 @@ def q_ann_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ann_topk_ivf",
     f"""
-    WITH {_CENT_CTE},
+    WITH {_cent_cte(S.CELL_TARGET_ROWS)},
     assigned AS (
       SELECT vec_id AS c_id, embedding AS cv, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,
@@ -560,27 +574,26 @@ def q_ann_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description=(
         "IVF ANN top-k: deterministic-sample coarse quantizer "
-        "(max(16, n/128) cells = the vectors whose md5(id) ranks "
+        "(max(16, n/1000) cells = the vectors whose md5(id) ranks "
         "lowest; argmin-squared-L2 assignment) + 2-probe search. "
         "Cell-id equi-join topology: ~n_probe/n_cells of the corpus "
-        "scored per query; the auto-scaled cell count holds cell "
-        "density ~128 so the topology stays sub-linear at any corpus "
-        "size. Centroid build + assignment are the ingest-time "
-        "precompute_cells() step; deterministic sampling (not k-means) "
-        "keeps every stage bit-mirrorable in the oracle, which scales "
-        "its cell count with the same count(*) rule."
+        "scored per query. Search-stage cost model: probe cost is "
+        "query-bounded (q * n_probe * cell size), so the auto rule "
+        "uses the large library-default cell budget to keep the "
+        "O(n * n_cells) assignment scan cheap — unlike the pair-stage "
+        "operators (semdedup/knn), which hold cells small. Centroid "
+        "build + assignment are the ingest-time precompute_cells() "
+        "step; deterministic sampling (not k-means) keeps every stage "
+        "bit-mirrorable in the oracle, which scales its cell count "
+        "with the same count(*) rule."
     ),
     tags=("similarity", "extension", "ivf"),
 )
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.ivf_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 10),
-        k=3,
-        n_probe=2,
-        per_cell=CATALOG_PER_CELL,
-    )
+    # library-default per_cell=1000 (NOT CATALOG_PER_CELL): search-stage
+    # cost model — see the CATALOG_PER_CELL docstring
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_probe=2)
 
 
 @_register(
