@@ -398,6 +398,95 @@ def _ppm_expect(text: str):
     return payload, w, h, [sum(c) / len(c) for c in chans], max(raster)
 
 
+def _two_level_expect(vecs: dict[int, list[float]], n_cells: int):
+    """Pure-python mirror of deterministic_centroids +
+    assign_cells_two_level: md5-ranked centroids, first-sqrt(k) cells
+    as super-centroids, centroid->super and vector->super->cell argmin
+    with the identical (sq_dist, id) tie-break."""
+    import math
+
+    ranked = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    centers = {c: vecs[i] for c, i in enumerate(ranked[:n_cells])}
+    n_super = max(1, math.isqrt(n_cells))
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cent_super = {
+        c: min(range(n_super), key=lambda s: (d2(v, centers[s]), s))
+        for c, v in centers.items()
+    }
+    members = {}
+    for c, s in cent_super.items():
+        members.setdefault(s, []).append(c)
+    out = {}
+    for i, v in vecs.items():
+        live = sorted(members)
+        s = min(live, key=lambda s_: (d2(v, centers[s_]), s_))
+        out[i] = min(members[s], key=lambda c: (d2(v, centers[c]), c))
+    return out
+
+
+def test_two_level_assignment_mirrors_rule_exactly(spark):
+    # 40 deterministic pseudo-random 4-dim vectors, 9 cells -> 3
+    # supers; dim 0 carries i/40 so every vector is DISTINCT (the
+    # exact-recovery claim below is only its-own-cell for distinct
+    # centers — duplicated centers tie-break to the smaller cell id,
+    # which the duplicate-center test pins separately)
+    vecs = {
+        i: [i / 40.0] + [((i * 37 + d * 11) % 17) / 7.0 - 1.1 for d in range(3)]
+        for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cents = S.deterministic_centroids(df, n_cells=9)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in S.assign_cells_two_level(df, cents).collect()
+    }
+    assert got == _two_level_expect(vecs, 9)
+    # exact-recovery invariant: vectors equal to a centroid get that
+    # centroid's own cell (both levels see flat-identical distances)
+    ranked = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    for cell, vid in enumerate(ranked[:9]):
+        assert got[vid] == cell
+
+
+def test_two_level_assignment_duplicate_centers_no_gap(spark):
+    # duplicate centers force a super-centroid to tie-break into a
+    # SMALLER sid's group, leaving its own sid without a member row —
+    # the sid-matched lookup must neither crash (ANSI out-of-bounds)
+    # nor misroute; the python mirror pins the expected cells
+    base = [1.0, 0.0, 0.0]
+    vecs = {i: base[:] for i in range(4)}  # centroids 0..3 all identical
+    vecs.update({i: [0.0, float(i), 1.0] for i in range(4, 12)})
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cents = S.deterministic_centroids(df, n_cells=4)  # 2 supers
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in S.assign_cells_two_level(df, cents).collect()
+    }
+    assert got == _two_level_expect(vecs, 4)
+
+
+def test_two_level_assignment_partition_invariant(spark):
+    vecs = {
+        i: [((i * 13 + d * 7) % 23) / 9.0 for d in range(4)] for i in range(60)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cents = S.deterministic_centroids(df, n_cells=16)
+    a = {r["vec_id"]: r["cell"]
+         for r in S.assign_cells_two_level(df.repartition(7), cents).collect()}
+    b = {r["vec_id"]: r["cell"]
+         for r in S.assign_cells_two_level(df.coalesce(1), cents).collect()}
+    assert a == b and len(a) == 60
+
+
 def test_ppm_payload_and_decode_golden(spark):
     df = spark.createDataFrame(
         # ASCII, multi-byte UTF-8, and empty text (all-zero raster)
