@@ -310,8 +310,28 @@ def ppm_decode(df: DataFrame) -> DataFrame:
                     if pos == start:
                         raise ValueError(f"doc {doc_id}: malformed header")
                     vals.append(int(b[start:pos]))
-                pos += 1  # exactly one whitespace byte after maxval
                 w, h, maxval = vals
+                # contract checks BEFORE touching the raster, each with
+                # a doc-addressed error (a silent misparse would emit
+                # plausible-but-wrong stats): maxval > 255 means
+                # 2-byte-BE samples per the netpbm spec — out of this
+                # decoder's 1-byte contract, so refuse rather than read
+                # the raster at the wrong stride; zero dims would make
+                # raster.max() raise numpy's opaque zero-size error;
+                # the single byte after maxval must be whitespace.
+                if not (0 < maxval <= 255):
+                    raise ValueError(
+                        f"doc {doc_id}: maxval {maxval} outside the "
+                        "1-byte-sample contract (1..255)"
+                    )
+                if w < 1 or h < 1:
+                    raise ValueError(f"doc {doc_id}: empty raster {w}x{h}")
+                if not b[pos : pos + 1].isspace():
+                    raise ValueError(
+                        f"doc {doc_id}: expected whitespace after maxval, "
+                        f"got {b[pos:pos + 1]!r}"
+                    )
+                pos += 1  # exactly one whitespace byte after maxval
                 raster = np.frombuffer(
                     b[pos : pos + w * h * 3], dtype=np.uint8
                 )

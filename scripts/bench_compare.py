@@ -82,6 +82,14 @@ def main() -> None:
                 "map in one artifact; compare its quiet-window twin "
                 "(BENCH_FULL.json at the same HEAD) for attribution"
             )
+        else:
+            # never exit silently: the round-close docs are required to
+            # quote a verdict line, so say WHY one can't be computed
+            print(
+                "verdict: none — missing/zero 'value' in "
+                f"{'old' if not ov else 'new'} artifact; cannot form the "
+                "totals-only ratio"
+            )
         return
     oq, nq = old["queries"], new["queries"]
     om = old.get("queries_median", {})
@@ -116,8 +124,13 @@ def main() -> None:
         p90 = ratios[(len(ratios) * 9) // 10]
         spread = p90 / p10 if p10 else float("inf")
         shifted = med > 1.15 or med < 1 / 1.15
+        # outliers are measured RELATIVE TO the median shift (max of
+        # r/med, med/r): the absolute form max(r, 1/r) > med*1.5 made
+        # every query of a uniform DEFLATION an "outlier" (1/0.72 >
+        # 0.72*1.5) so that branch was unreachable, and hid genuine
+        # improvements under an inflation shift
         outliers = [r for r in out["regressed"] + out["improved"]
-                    if max(r[3], 1 / r[3] if r[3] else 1) > med * 1.5]
+                    if r[3] and max(r[3] / med, med / r[3]) > 1.5]
         if shifted and spread <= 1.6 and not outliers:
             verdict = (
                 f"UNIFORM {'INFLATION' if med > 1 else 'DEFLATION'} "

@@ -47,9 +47,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: crosscheck.py [--json OUT.json] [sf_dir] [query ...]")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     names = argv[1:] or list(QUERIES)
     spark = get_spark("crosscheck")

@@ -508,6 +508,24 @@ def test_ppm_payload_and_decode_golden(spark):
         assert r["max_px"] == mx
 
 
+def test_ppm_decode_rejects_out_of_contract_headers(spark):
+    # each spec-shaped-but-out-of-contract header must raise a
+    # doc-addressed error, never misparse into plausible stats:
+    # maxval 65535 = 2-byte samples (wrong stride), zero dims = opaque
+    # numpy zero-size crash, non-whitespace separator = shifted raster
+    cases = {
+        "maxval": b"P6\n4 4\n65535\n" + bytes(96),
+        "empty raster": b"P6\n0 4\n255\n",
+        "whitespace after maxval": b"P6\n4 4\n255X" + bytes(48),
+    }
+    for msg, payload in cases.items():
+        df = spark.createDataFrame(
+            [(9, bytearray(payload))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=msg):
+            M.ppm_decode(df).collect()
+
+
 def test_ppm_decode_handles_comment_headers(spark):
     # netpbm allows '#' comment lines inside the header; the parser
     # must skip them (payloads from real tools often carry one)
