@@ -696,6 +696,7 @@ def assign_cells_two_level(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_super: int | None = None,
+    super_probe: int = 1,
 ) -> DataFrame:
     """Hierarchical (two-level) nearest-centroid assignment — the
     ≥10^8-vector form of :func:`assign_cells_maponly`.
@@ -722,12 +723,16 @@ def assign_cells_two_level(
       pure codegen'd projection, no row expansion, no shuffle.
 
     APPROXIMATE by design: a vector near a super-cell boundary can
-    land in a different cell than flat argmin (recall/cost dial, like
-    n_probe). Exact-recovery invariant: any vector EQUAL to a centroid
-    lands in a cell whose center is bit-equal to it — its OWN cell when
-    centers are distinct; with duplicated centers the (d2, id)
-    tie-break picks the smallest-id copy, exactly as flat assignment
-    does. The catalog's oracle-checked
+    land in a different cell than flat argmin. ``super_probe`` is the
+    recall/cost dial (the coarse-level nprobe): argmin over the
+    members of the ``p`` NEAREST super-cells instead of one —
+    O(n * (sqrt(k) + p*sqrt(k))) work, agreement with flat argmin
+    rising toward 1 as p grows (p = n_super IS flat argmin, since
+    every cell's members get scanned). Exact-recovery invariant at
+    any p: any vector EQUAL to a centroid lands in a cell whose
+    center is bit-equal to it — its OWN cell when centers are
+    distinct; with duplicated centers the (d2, id) tie-break picks
+    the smallest-id copy, exactly as flat assignment does. The catalog's oracle-checked
     instances keep flat assignment (their corpora are far below the
     crossover); this operator is the documented scale path, pinned by
     invariants in tests/test_extensions.py.
@@ -799,10 +804,26 @@ def assign_cells_two_level(
             i.alias("pos"),
         ),
     )
-    members = F.element_at(
-        F.col("_supers"),
-        (F.array_min(sup_scored)["pos"] + 1).cast("int"),
-    )["members"]
+    if super_probe <= 1:
+        members = F.element_at(
+            F.col("_supers"),
+            (F.array_min(sup_scored)["pos"] + 1).cast("int"),
+        )["members"]
+    else:
+        # p nearest supers: slice of the (d2, pos)-sorted scores, then
+        # flatten their member lists. _supers inside the lambda is a
+        # plain broadcast-field reference (cheap per element) — the
+        # no-expensive-expression-in-lambda rule above is about
+        # recomputing argmins, not column access.
+        top = F.slice(F.array_sort(sup_scored), 1, super_probe)
+        members = F.flatten(
+            F.transform(
+                top,
+                lambda t: F.element_at(
+                    F.col("_supers"), (t["pos"] + 1).cast("int")
+                )["members"],
+            )
+        )
     mem_scored = F.transform(
         members,
         lambda m: F.struct(

@@ -78,17 +78,25 @@ def main() -> None:
         "two-level (sqrt supers + members)",
         lambda: S.assign_cells_two_level(emb, cents),
     )
-
-    agree = (
-        flat.select("vec_id", F.col("cell").alias("a"))
-        .join(two.select("vec_id", F.col("cell").alias("b")), "vec_id")
-        .select(F.avg((F.col("a") == F.col("b")).cast("double")).alias("agree"))
-        .first()["agree"]
+    t_p2, two_p2 = timed(
+        "two-level super_probe=2",
+        lambda: S.assign_cells_two_level(emb, cents, super_probe=2),
     )
+
+    def agreement(df):
+        return (
+            flat.select("vec_id", F.col("cell").alias("a"))
+            .join(df.select("vec_id", F.col("cell").alias("b")), "vec_id")
+            .select(F.avg((F.col("a") == F.col("b")).cast("double")).alias("x"))
+            .first()["x"]
+        )
+
     print(
-        f"n={n} dim={dim} n_cells={n_cells}: flat {t_flat:.2f}s, "
-        f"two-level {t_two:.2f}s ({t_flat / max(t_two, 1e-9):.1f}x), "
-        f"agreement {agree:.4f}"
+        f"n={n} dim={dim} n_cells={n_cells}: flat {t_flat:.2f}s; "
+        f"two-level p=1 {t_two:.2f}s ({t_flat / max(t_two, 1e-9):.1f}x, "
+        f"agreement {agreement(two):.4f}); "
+        f"p=2 {t_p2:.2f}s ({t_flat / max(t_p2, 1e-9):.1f}x, "
+        f"agreement {agreement(two_p2):.4f})"
     )
 
 

@@ -398,11 +398,12 @@ def _ppm_expect(text: str):
     return payload, w, h, [sum(c) / len(c) for c in chans], max(raster)
 
 
-def _two_level_expect(vecs: dict[int, list[float]], n_cells: int):
+def _two_level_expect(vecs: dict[int, list[float]], n_cells: int, probe: int = 1):
     """Pure-python mirror of deterministic_centroids +
     assign_cells_two_level: md5-ranked centroids, first-sqrt(k) cells
     as super-centroids, centroid->super and vector->super->cell argmin
-    with the identical (sq_dist, id) tie-break."""
+    with the identical (sq_dist, id) tie-break; ``probe`` nearest
+    supers' members are unioned before the final argmin."""
     import math
 
     ranked = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
@@ -422,8 +423,9 @@ def _two_level_expect(vecs: dict[int, list[float]], n_cells: int):
     out = {}
     for i, v in vecs.items():
         live = sorted(members)
-        s = min(live, key=lambda s_: (d2(v, centers[s_]), s_))
-        out[i] = min(members[s], key=lambda c: (d2(v, centers[c]), c))
+        top = sorted(live, key=lambda s_: (d2(v, centers[s_]), s_))[:probe]
+        cand = [c for s_ in top for c in members[s_]]
+        out[i] = min(cand, key=lambda c: (d2(v, centers[c]), c))
     return out
 
 
@@ -470,6 +472,33 @@ def test_two_level_assignment_duplicate_centers_no_gap(spark):
         for r in S.assign_cells_two_level(df, cents).collect()
     }
     assert got == _two_level_expect(vecs, 4)
+
+
+def test_two_level_super_probe_mirrors_and_converges_to_flat(spark):
+    vecs = {
+        i: [i / 50.0] + [((i * 29 + d * 13) % 19) / 8.0 for d in range(3)]
+        for i in range(50)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cents = S.deterministic_centroids(df, n_cells=9)  # 3 supers
+    got_p2 = {
+        r["vec_id"]: r["cell"]
+        for r in S.assign_cells_two_level(df, cents, super_probe=2).collect()
+    }
+    assert got_p2 == _two_level_expect(vecs, 9, probe=2)
+    # probing ALL supers scans every cell's members -> must equal flat
+    # argmin exactly (same (d2, cell) tie-break)
+    got_all = {
+        r["vec_id"]: r["cell"]
+        for r in S.assign_cells_two_level(df, cents, super_probe=3).collect()
+    }
+    flat = {
+        r["vec_id"]: r["cell"]
+        for r in S.assign_cells_maponly(df, cents).collect()
+    }
+    assert got_all == flat
 
 
 def test_two_level_assignment_partition_invariant(spark):
