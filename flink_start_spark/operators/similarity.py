@@ -262,6 +262,7 @@ def precompute_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     per_cell: int = CELL_TARGET_ROWS,
+    assign_fn=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Ingest-time IVF build: returns ``(assigned, centroids)``.
 
@@ -270,10 +271,19 @@ def precompute_cells(
     bucketed by ``cell``, centroids as a tiny broadcast table); query
     time then pays only :func:`ivf_topk_precomputed` — probe + one
     cell-id equi-join — never a training pass.
+
+    ``assign_fn(candidates, centroids, id_col, vec_col)`` swaps the
+    assignment strategy: the default is the exact flat argmin
+    (:func:`assign_cells_maponly`, what every oracle-checked catalog
+    instance uses); pass :func:`assign_cells_two_level` past the
+    ~10^8-vector crossover where the flat scan's O(n * n_cells) work
+    is the bill. Every downstream operator (SemDeDup, k-NN audit, IVF
+    search) is agnostic to how the ``cell`` column was produced.
     """
     centroids = deterministic_centroids(candidates, n_cells, id_col, vec_col, per_cell)
     C.track(centroids)
-    assigned = assign_cells_maponly(candidates, centroids, id_col, vec_col)
+    assign = assign_fn if assign_fn is not None else assign_cells_maponly
+    assigned = assign(candidates, centroids, id_col, vec_col)
     return assigned, centroids
 
 
@@ -352,6 +362,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     per_cell: int = CELL_TARGET_ROWS,
+    assign_fn=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k, self-contained form: build the
     coarse quantizer (:func:`deterministic_centroids`), assign cells,
@@ -364,7 +375,9 @@ def ivf_topk(
     exactly — unlike the earlier k-means variant, which could only be
     rows-only-checked.
     """
-    assigned, centroids = precompute_cells(candidates, n_cells, id_col, vec_col, per_cell)
+    assigned, centroids = precompute_cells(
+        candidates, n_cells, id_col, vec_col, per_cell, assign_fn
+    )
     return ivf_topk_precomputed(
         assigned, centroids, queries, k, n_probe, id_col, vec_col
     )
@@ -503,6 +516,7 @@ def semdedup_flags(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     per_cell: int = CELL_TARGET_ROWS,
+    assign_fn=None,
 ) -> DataFrame:
     """SemDeDup (Abbas '23): semantic dedup by clustering embeddings,
     then pruning, within each cluster, vectors whose cosine to another
@@ -531,7 +545,7 @@ def semdedup_flags(
     flag. Emitting flags (not the filtered corpus) keeps the row count
     stable and lets downstream stages choose drop vs. downweight.
     """
-    assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell)
+    assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell, assign_fn)
     # Both sides of the self-join and the final projection read it.
     assigned = C.track(assigned)
     # Norms are per-row, not per-pair: computing them in the keyed
@@ -850,6 +864,7 @@ def knn_label_purity(
     vec_col: str = "embedding",
     label_col: str = "label",
     per_cell: int = CELL_TARGET_ROWS,
+    assign_fn=None,
 ) -> DataFrame:
     """Embedding-quality audit: for every vector, the fraction of its
     k nearest neighbors (cosine, within its IVF cell) that share its
@@ -874,7 +889,7 @@ def knn_label_purity(
     folds, bit-identical to the oracle's list_sum). Vectors alone in
     their cell emit n_neighbors = 0 and null purity.
     """
-    assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell)
+    assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell, assign_fn)
     labeled = C.track(
         assigned.join(emb.select(id_col, label_col), id_col)
     )

@@ -501,6 +501,38 @@ def test_two_level_super_probe_mirrors_and_converges_to_flat(spark):
     assert got_all == flat
 
 
+def test_semdedup_with_two_level_assign_fn(spark):
+    # the assign_fn hook end-to-end: SemDeDup over two-level cells.
+    # With probe-all the assignment IS flat argmin, so the whole
+    # operator output must equal the default bit-for-bit; with p=1 the
+    # schema/contract holds (approximate cells, same survivor rule).
+    vecs = {
+        i: [i / 30.0] + [((i * 31 + d * 7) % 13) / 6.0 for d in range(3)]
+        for i in range(30)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    probe_all = lambda c, cents, ic, vc: S.assign_cells_two_level(  # noqa: E731
+        c, cents, ic, vc, super_probe=10**6
+    )
+    base = {
+        tuple(r) for r in S.semdedup_flags(df, n_cells=9, threshold=0.9).collect()
+    }
+    via_two = {
+        tuple(r)
+        for r in S.semdedup_flags(
+            df, n_cells=9, threshold=0.9, assign_fn=probe_all
+        ).collect()
+    }
+    assert via_two == base and len(base) == 30
+    approx = S.semdedup_flags(
+        df, n_cells=9, threshold=0.9, assign_fn=S.assign_cells_two_level
+    ).collect()
+    assert len(approx) == 30
+    assert {r["vec_id"] for r in approx} == set(vecs)
+
+
 def test_two_level_assignment_partition_invariant(spark):
     vecs = {
         i: [((i * 13 + d * 7) % 23) / 9.0 for d in range(4)] for i in range(60)
