@@ -299,6 +299,16 @@ def main() -> None:
         "for the 0.1->1 decade so the 0.01->0.1 artifact survives; the "
         "full bench embeds both)",
     )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="artifact filename override. Default keeps the historical "
+        "names (BENCH_FULL.json for full runs, BENCH_SUBSET.json for "
+        "--queries subsets). The round-end QUIET run writes "
+        "BENCH_QUIET.json via this flag so the driver's own bench run "
+        "(which always writes BENCH_FULL.json) cannot clobber the "
+        "quiet-window evidence (round-7 verdict item 3)",
+    )
     args = ap.parse_args()
     if args.sf_pair:
         spark = get_spark("flink_start_spark_bench")
@@ -414,7 +424,9 @@ def main() -> None:
     # The driver records only the last ~2000 chars of stdout; the full
     # per-query line exceeds that, so it goes FIRST (and to a file),
     # and the final line is a compact totals JSON guaranteed to fit.
-    out_name = "BENCH_FULL.json" if args.queries is None else "BENCH_SUBSET.json"
+    out_name = args.out or (
+        "BENCH_FULL.json" if args.queries is None else "BENCH_SUBSET.json"
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         json.dump(full, f)
     print(json.dumps(full))

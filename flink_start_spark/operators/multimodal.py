@@ -340,6 +340,16 @@ def ppm_decode(df: DataFrame) -> DataFrame:
                         f"doc {doc_id}: truncated raster "
                         f"({raster.size} of {w * h * 3} bytes)"
                     )
+                if len(b) - pos > w * h * 3:
+                    # refuse-rather-than-misparse both directions: an
+                    # oversized payload means the header lied about the
+                    # dims (or the container carries junk) — stats over
+                    # a silently-cropped raster would be plausible but
+                    # wrong, the same failure mode as a truncated read
+                    raise ValueError(
+                        f"doc {doc_id}: {len(b) - pos - w * h * 3} trailing "
+                        f"bytes after the {w * h * 3}-byte raster"
+                    )
                 rgb = raster.reshape(-1, 3).astype(np.int64)
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)

@@ -181,7 +181,7 @@ def auto_n_cells(candidates: DataFrame, per_cell: int = CELL_TARGET_ROWS) -> int
     (plans/extensions.py::CATALOG_PER_CELL) and the oracles mirror it
     with the same ``greatest(16, count(*) // per_cell)`` scalar
     subquery, so hashes track the rule at every corpus size."""
-    return max(16, candidates.count() // per_cell)
+    return max(16, C.memo_count(candidates) // per_cell)
 
 
 def deterministic_centroids(
@@ -753,7 +753,15 @@ def assign_cells_two_level(
     """
     import math
 
-    n_cells = centroids.count()
+    # The count() plus the two centroid-side joins below each run the
+    # centroids lineage. Callers arriving via precompute_cells pass an
+    # already-tracked (persisted) table; direct callers with derived
+    # uncached lineage get the same discipline here so the lineage is
+    # computed once (round-7 ADVICE). Same cache-ownership contract as
+    # everywhere: C.release() after materializing the result.
+    if not centroids.is_cached:
+        centroids = C.track(centroids)
+    n_cells = C.memo_count(centroids)
     if n_super is None:
         n_super = max(1, math.isqrt(n_cells))
     supers = centroids.filter(F.col("cell") < n_super).select(

@@ -64,3 +64,43 @@ def test_release_empties_cache_manager(spark, name):
 def test_release_is_idempotent_and_safe_without_tracked(spark):
     assert cache.release() == 0
     assert cache.release() == 0
+
+
+# ---------------------------------------------------------------------------
+# memo_count: the session-scoped corpus-count memo behind auto_n_cells
+# (round-7 verdict item 2 — one eager count per IVF query per bench run
+# became a uniform embedding-family creep; the memo keys the count on
+# the CANONICALIZED analyzed plan so repeated load_table calls hit).
+
+
+def test_memo_count_hits_across_fresh_loads(spark):
+    from flink_start_spark.sources.catalog import load_table
+
+    cache.clear_count_memo()
+    a = load_table(spark, "embeddings", SF_DIR)
+    b = load_table(spark, "embeddings", SF_DIR)  # new DataFrame, new expr ids
+    n1 = cache.memo_count(a)
+    before = dict(cache._COUNT_MEMO)
+    n2 = cache.memo_count(b)
+    assert n1 == n2 == a.count()
+    # second call was a memo hit: same single entry, not a second key
+    assert dict(cache._COUNT_MEMO) == before and len(before) == 1
+
+
+def test_memo_count_distinguishes_filters_and_paths(spark):
+    from pyspark.sql import functions as F
+
+    from flink_start_spark.sources.catalog import load_table
+
+    cache.clear_count_memo()
+    emb = load_table(spark, "embeddings", SF_DIR)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    n_all = cache.memo_count(emb)
+    n_half = cache.memo_count(half)
+    assert n_half < n_all  # a filtered plan must NOT collide with its base
+    assert n_half == half.count()
+    docs = load_table(spark, "documents", SF_DIR)
+    assert cache.memo_count(docs) == docs.count()
+    assert len(cache._COUNT_MEMO) == 3
+    cache.clear_count_memo()
+    assert len(cache._COUNT_MEMO) == 0

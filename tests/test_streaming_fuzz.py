@@ -347,7 +347,7 @@ def test_fuzz_parity_upsert(spark, fuzz_case, tmp_path):
         _stream(spark, src), store, str(tmp_path / "ckpt"),
         key_cols=["user_id"], order_cols=["arrival"],
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "upsert sink did not finish in 120s"
     got = {
         (r["user_id"], r["arrival"], r["activity"], r["ts"], r["value"])
         for r in spark.read.parquet(store).collect()
