@@ -492,7 +492,98 @@ def _cent_cte(per_cell: int) -> str:
       WHERE cell < greatest(16, (SELECT count(*) FROM embeddings) // {per_cell}))"""
 
 
-_CENT_CTE = _cent_cte(CATALOG_PER_CELL)
+#: coarse-level nprobe for the shipped two-level (hierarchical)
+#: assignment in the PAIR-STAGE instances. 1 = the configuration whose
+#: 9.8x assignment speedup (200k vectors x 1562 cells) and halved
+#: semdedup sf1 wall-clock (3.82s -> 1.90s) were measured in round 7;
+#: the config-fuzz lane sweeps 1..4 with the oracle mirroring the same
+#: literal.
+CATALOG_SUPER_PROBE = 1
+
+
+def _two_level_ctes(per_cell: int, super_probe: int, carry: tuple[str, ...] = ()) -> str:
+    """Oracle twin of similarity.assign_cells_two_level (the shipped
+    assignment for the pair-stage IVF instances since round 8): after
+    the md5-ranked quantizer (``cent``), take the first
+    ``max(1, isqrt(n_cells))`` cells as SUPER-centroids, assign every
+    centroid to its nearest super by the (sq_dist, sid) argmin, then
+    per vector: nearest ``super_probe`` LIVE supers (supers that own at
+    least one centroid — tie-break (d2, sid), the same total order as
+    the Spark side's (d2, position) over the sid-sorted live array),
+    then the (d2, cell) argmin over those supers' member centroids.
+
+    ``n_cells`` is the ACTUAL centroid row count
+    ``least(n, greatest(16, n // per_cell))`` — `deterministic_
+    centroids` LIMITs to min(n, rule), and the Spark side's
+    ``centroids.count()`` sees that minimum, so the oracle must too.
+    ``carry`` = extra embeddings columns threaded through to the final
+    ``assigned`` CTE (e.g. ``("label",)`` for the purity audit).
+    """
+    cols = "".join(f", {c}" for c in carry)
+    ecols = "".join(f", e.{c}" for c in carry)
+    vcols = "".join(f", v.{c}" for c in carry)
+    n_super = (
+        "greatest(1, cast(floor(sqrt(least("
+        "(SELECT count(*) FROM embeddings), "
+        f"greatest(16, (SELECT count(*) FROM embeddings) // {per_cell})"
+        "))) AS BIGINT))"
+    )
+    return f"""{_cent_cte(per_cell)},
+    sup AS (
+      SELECT cell AS sid, center AS s_center FROM cent
+      WHERE cell < {n_super}),
+    cmem AS (
+      SELECT cell, center, sid FROM (
+        SELECT c.cell, c.center, s.sid,
+               row_number() OVER (PARTITION BY c.cell
+                                  ORDER BY {_SQDIST('c.center', 's.s_center')}, s.sid) AS rk
+        FROM cent c CROSS JOIN sup s) WHERE rk = 1),
+    live AS (
+      SELECT sid, s_center FROM sup
+      WHERE sid IN (SELECT sid FROM cmem)),
+    vsup AS (
+      SELECT vec_id, embedding{cols}, sid FROM (
+        SELECT e.vec_id, e.embedding{ecols}, s.sid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQDIST('e.embedding', 's.s_center')}, s.sid) AS rk
+        FROM embeddings e CROSS JOIN live s) WHERE rk <= {super_probe}),
+    assigned AS (
+      SELECT vec_id, embedding{cols}, cell FROM (
+        SELECT v.vec_id, v.embedding{vcols}, m.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_SQDIST('v.embedding', 'm.center')}, m.cell) AS rk
+        FROM vsup v JOIN cmem m USING (sid)) WHERE rk = 1)"""
+
+
+def _two_level_assign_fn(super_probe: int = CATALOG_SUPER_PROBE):
+    """The Spark-side twin: an ``assign_fn`` for precompute_cells that
+    routes assignment through similarity.assign_cells_two_level at the
+    given coarse-level probe count."""
+
+    def assign(candidates, centroids, id_col, vec_col):
+        return S.assign_cells_two_level(
+            candidates, centroids, id_col, vec_col, super_probe=super_probe
+        )
+
+    return assign
+
+
+def semdedup_flags_sql(
+    per_cell: int = CATALOG_PER_CELL, super_probe: int = CATALOG_SUPER_PROBE
+) -> str:
+    """semdedup_flags oracle at arbitrary (per_cell, super_probe) — the
+    catalog registers the shipped literals; the config-fuzz lane
+    (scripts/fuzz_config.py) rebuilds both engines at random knobs."""
+    return f"""
+    WITH {_two_level_ctes(per_cell, super_probe)},
+    p AS (
+      SELECT b.vec_id, {_COS.replace("qv", "a.embedding").replace("cv", "b.embedding")} AS c
+      FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id),
+    m AS (SELECT vec_id, max(c) AS max_cosine_smaller FROM p GROUP BY vec_id)
+    SELECT a.vec_id, a.cell::BIGINT AS cell, m.max_cosine_smaller,
+           coalesce(m.max_cosine_smaller >= 0.99, false) AS pruned
+    FROM assigned a LEFT JOIN m USING (vec_id)
+    """
 
 def _rp_band_sql(col: str, band: int, bits: int = 8, dim: int = 64) -> str:
     """DuckDB twin of vector.py::rp_sign_bits: the same md5-derived
@@ -546,10 +637,13 @@ def q_ann_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, bands=2, bits=8)
 
 
-@_register(
-    "ann_topk_ivf",
-    f"""
-    WITH {_cent_cte(S.CELL_TARGET_ROWS)},
+def ann_topk_ivf_sql(per_cell: int = S.CELL_TARGET_ROWS) -> str:
+    """ann_topk_ivf oracle at an arbitrary per_cell (flat assignment —
+    the search-stage instance keeps the O(n*n_cells) scan small by
+    holding cells LARGE; see the CATALOG_PER_CELL docstring). The
+    config-fuzz lane rebuilds both engines at random per_cell."""
+    return f"""
+    WITH {_cent_cte(per_cell)},
     assigned AS (
       SELECT vec_id AS c_id, embedding AS cv, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,
@@ -571,7 +665,12 @@ def q_ann_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored)
     WHERE rank <= 3
-    """,
+    """
+
+
+@_register(
+    "ann_topk_ivf",
+    ann_topk_ivf_sql(),
     description=(
         "IVF ANN top-k: deterministic-sample coarse quantizer "
         "(max(16, n/1000) cells = the vectors whose md5(id) ranks "
@@ -1340,22 +1439,7 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "semdedup_flags",
-    f"""
-    WITH {_CENT_CTE},
-    assigned AS (
-      SELECT vec_id, embedding, cell FROM (
-        SELECT e.vec_id, e.embedding, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_SQDIST('e.embedding', 'c.center')}, c.cell) AS rk
-        FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
-    p AS (
-      SELECT b.vec_id, {_COS.replace("qv", "a.embedding").replace("cv", "b.embedding")} AS c
-      FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id),
-    m AS (SELECT vec_id, max(c) AS max_cosine_smaller FROM p GROUP BY vec_id)
-    SELECT a.vec_id, a.cell::BIGINT AS cell, m.max_cosine_smaller,
-           coalesce(m.max_cosine_smaller >= 0.99, false) AS pruned
-    FROM assigned a LEFT JOIN m USING (vec_id)
-    """,
+    semdedup_flags_sql(),
     description=(
         "SemDeDup (Abbas '23) semantic dedup: cluster embeddings with "
         "the ingest-time IVF quantizer, then within each cell flag "
@@ -1363,13 +1447,23 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(keep-smallest-id survivor rule). Pairwise cost is bounded by "
         "the cell size — the auto-scaled cell count (max(16, n/128), "
         "mirrored in the oracle) holds cell density ~128 as the corpus "
-        "grows, so the cell-keyed self-join stays linear at 100 TB."
+        "grows, so the cell-keyed self-join stays linear at 100 TB. "
+        "Assignment is the TWO-LEVEL coarse quantizer (FAISS-style "
+        "super-centroid tree, O(n*sqrt(n_cells)) instead of the flat "
+        "scan's O(n*n_cells) = O(n^2/per_cell) — the round-7 measured "
+        "growth term, erased): the oracle mirrors the deterministic "
+        "nested argmin super-CTE for super-CTE."
     ),
     tags=("similarity", "extension", "pipeline", "dedup"),
 )
 def q_semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.semdedup_flags(emb, threshold=0.99, per_cell=CATALOG_PER_CELL)
+    return S.semdedup_flags(
+        emb,
+        threshold=0.99,
+        per_cell=CATALOG_PER_CELL,
+        assign_fn=_two_level_assign_fn(),
+    )
 
 
 def _kmeans_oracle(k: int, iters: int) -> str:
@@ -1691,16 +1785,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_AB = _COS.replace("qv", "a.embedding").replace("cv", "b.embedding")
 
 
-@_register(
-    "knn_label_purity",
-    f"""
-    WITH {_CENT_CTE},
-    assigned AS (
-      SELECT vec_id, embedding, label, cell FROM (
-        SELECT e.vec_id, e.embedding, e.label, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_SQDIST('e.embedding', 'c.center')}, c.cell) AS rk
-        FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+def knn_label_purity_sql(
+    per_cell: int = CATALOG_PER_CELL, super_probe: int = CATALOG_SUPER_PROBE
+) -> str:
+    """knn_label_purity oracle at arbitrary (per_cell, super_probe) —
+    shipped literals registered below; the config-fuzz lane rebuilds
+    both engines at random knobs."""
+    return f"""
+    WITH {_two_level_ctes(per_cell, super_probe, ("label",))},
     pairs AS (
       SELECT a.vec_id AS a_id, a.label AS a_label,
              b.vec_id AS b_id, b.label AS b_label,
@@ -1721,7 +1813,12 @@ _COS_AB = _COS.replace("qv", "a.embedding").replace("cv", "b.embedding")
            coalesce(p.n_neighbors, 0)::BIGINT AS n_neighbors,
            p.same_label_frac
     FROM assigned l LEFT JOIN purity p ON p.a_id = l.vec_id
-    """,
+    """
+
+
+@_register(
+    "knn_label_purity",
+    knn_label_purity_sql(),
     description=(
         "k-NN label-purity audit: per vector, the fraction of its 5 "
         "nearest cell-mates (cosine) sharing its label — the embedding-"
@@ -1730,15 +1827,19 @@ _COS_AB = _COS.replace("qv", "a.embedding").replace("cv", "b.embedding")
         "(the same neighborhoods SemDeDup/IVF search operate on), and "
         "the auto-scaled cell count (max(16, n/128)) holds cell density "
         "~128, so the pairwise stage stays linear as the corpus grows. "
-        "Oracle mirrors quantizer (including the count(*)-driven cell "
-        "count), assignment, and the 6-dp cosine total order "
-        "CTE-for-CTE."
+        "Assignment is the two-level coarse quantizer (shipped default "
+        "since round 8 — O(n*sqrt(n_cells)) instead of the flat scan); "
+        "the oracle mirrors quantizer, super-centroid tree, both "
+        "argmin tie-breaks, and the 6-dp cosine total order CTE-for-"
+        "CTE, including the count(*)-driven cell and super counts."
     ),
     tags=("similarity", "extension", "audit"),
 )
 def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.knn_label_purity(emb, k=5, per_cell=CATALOG_PER_CELL)
+    return S.knn_label_purity(
+        emb, k=5, per_cell=CATALOG_PER_CELL, assign_fn=_two_level_assign_fn()
+    )
 
 
 @_register(
