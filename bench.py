@@ -474,8 +474,10 @@ def _pair_mode(spark, args) -> None:
     names = args.queries or list(QUERIES)
     load_start = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
     # warm up JVM/codegen + python worker pool once per SF dir
-    for d in (a_dir, b_dir):
-        _run_once(spark, names[0], d)
+    warm = next((n for n in names if n in QUERIES), None)
+    if warm is not None:
+        for d in (a_dir, b_dir):
+            _run_once(spark, warm, d)
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
@@ -485,17 +487,25 @@ def _pair_mode(spark, args) -> None:
     def _mins(fn) -> float:
         return round(min(fn() for _ in range(args.runs)), 3)
 
+    streaming_map = dict(STREAMING_BENCHES)
     for name in names:
+        if name in streaming_map:  # streaming entries are addressable too
+            continue
         t_a = _mins(lambda: _run_once(spark, name, a_dir))
         t_b = _mins(lambda: _run_once(spark, name, b_dir))
         per_q[name] = {"t_a": t_a, "t_b": t_b, "ratio": round(t_b / max(t_a, 1e-6), 2)}
-    if args.queries is None:
-        for sname, fn in STREAMING_BENCHES:
-            t_a = _mins(lambda: fn(spark, a_dir))
-            t_b = _mins(lambda: fn(spark, b_dir))
-            per_q[sname] = {
-                "t_a": t_a, "t_b": t_b, "ratio": round(t_b / max(t_a, 1e-6), 2)
-            }
+    stream_names = (
+        [n for n in names if n in streaming_map]
+        if args.queries is not None
+        else [n for n, _ in STREAMING_BENCHES]
+    )
+    for sname in stream_names:
+        fn = streaming_map[sname]
+        t_a = _mins(lambda: fn(spark, a_dir))
+        t_b = _mins(lambda: fn(spark, b_dir))
+        per_q[sname] = {
+            "t_a": t_a, "t_b": t_b, "ratio": round(t_b / max(t_a, 1e-6), 2)
+        }
 
     threshold = data_ratio * PAIR_SLACK
     flagged = sorted(
