@@ -58,19 +58,34 @@ def stream_events(
     # source's basePath at the parent directory.
     if os.path.isfile(path_dir) and not path_dir.endswith("]"):
         path_dir = f"{path_dir[:-1]}[{path_dir[-1]}]"
-    # The driver's parquet stores TIMESTAMP(NANOS) → bigint under
-    # nanosAsLong (see sources/catalog.py); streaming needs the explicit
-    # read schema, then the same normalization.
-    nanos_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    df = reader.schema(nanos_schema).parquet(path_dir)
-    # exact integer arithmetic with FLOOR semantics — the same pmod
-    # form as the batch loader (sources/catalog.py): bare `div`
-    # truncates toward zero and would shift pre-1970 sub-microsecond
-    # values 1 us late relative to the batch path and the oracle's
-    # epoch_ns // 1000, breaking streaming/batch window parity
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    # Streaming needs an EXPLICIT read schema, and the physical type of
+    # `ts` differs by writer: the driver's parquet stores
+    # TIMESTAMP(NANOS) → bigint under nanosAsLong (see
+    # sources/catalog.py), while a Spark-written events table (the
+    # synthesized sf1 corpus) stores a real timestamp type the reader
+    # would reject under a pinned `ts long` schema
+    # (PARQUET_COLUMN_DATA_TYPE_MISMATCH). Probe the footer with one
+    # batch-schema read — metadata only, no data scan — and branch.
+    probe = dict(spark.read.parquet(path_dir).dtypes)
+    if probe.get("ts") == "bigint":
+        nanos_schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        df = reader.schema(nanos_schema).parquet(path_dir)
+        # exact integer arithmetic with FLOOR semantics — the same pmod
+        # form as the batch loader (sources/catalog.py): bare `div`
+        # truncates toward zero and would shift pre-1970 sub-microsecond
+        # values 1 us late relative to the batch path and the oracle's
+        # epoch_ns // 1000, breaking streaming/batch window parity
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    ts_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
     )
+    return reader.schema(ts_schema).parquet(path_dir)
 
 
 def stream_user_activity(
