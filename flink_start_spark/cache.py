@@ -71,7 +71,7 @@ def memo_count(df: DataFrame) -> int:
     """``df.count()`` memoized for the session on the CANONICALIZED
     analyzed plan (expression ids normalized, so two ``load_table``
     calls over the same path produce the same key even though their
-    attribute ids differ).
+    attribute ids differ) PLUS the scanned file list.
 
     Why: the auto-scaled quantizer (``similarity.auto_n_cells``) needs
     one corpus ``count()`` EAGERLY at plan-build time, and a catalog
@@ -81,6 +81,19 @@ def memo_count(df: DataFrame) -> int:
     (round-7 verdict item 2: the eager counts showed up as a uniform
     embedding-family creep in the quiet bench).
 
+    Why the file list is part of the key: the canonicalized plan
+    string prints a parquet relation as ``Relation [none#0L,...]
+    parquet`` — schema only, NO PATH — so two same-schema corpora at
+    different paths (sf0.1 and sf1 in one bench process) canonicalize
+    identically and the second would silently reuse the first's count.
+    Round-8 regression: the sf-pair bench crossed SF dirs in one
+    session, the sf1 IVF queries got sf0.1's count, auto_n_cells
+    collapsed 156 cells to 16, and the cell-bounded pair stage went
+    quadratic (semdedup_flags 24 s instead of ~6 s at sf1). Plans with
+    NO file source (in-memory test frames — ``LocalRelation`` also
+    prints schema-only) are never memoized: their count is cheap and
+    two distinct literal frames must not collide.
+
     Contract: inputs are immutable for the life of the session — the
     standard Spark assumption (a file overwritten under a path Spark
     has already scanned is undefined behavior anyway). Keyed per
@@ -89,9 +102,13 @@ def memo_count(df: DataFrame) -> int:
     in-place within one session must call :func:`clear_count_memo`.
     """
     try:
+        files = df.inputFiles()
+        if not files:
+            return df.count()
         key = (
             id(df.sparkSession),
             df._jdf.queryExecution().analyzed().canonicalized().toString(),
+            tuple(sorted(files)),
         )
     except Exception:  # py4j/internal API drift — fall back to a plain count
         return df.count()

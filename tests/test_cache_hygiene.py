@@ -104,3 +104,39 @@ def test_memo_count_distinguishes_filters_and_paths(spark):
     assert len(cache._COUNT_MEMO) == 3
     cache.clear_count_memo()
     assert len(cache._COUNT_MEMO) == 0
+
+
+def test_memo_count_distinguishes_same_schema_paths(spark):
+    """Round-8 regression: a parquet relation canonicalizes to a
+    schema-only string (no path), so same-schema corpora at DIFFERENT
+    paths collided and the second silently reused the first's count —
+    at sf1 that collapsed auto_n_cells from 156 cells to 16 and made
+    the cell-bounded pair stage quadratic (semdedup 24 s vs ~6 s). The
+    scanned file list is now part of the memo key."""
+    from flink_start_spark.sources.catalog import load_table
+
+    cache.clear_count_memo()
+    small = load_table(spark, "embeddings", SF_DIR)
+    # sf0.1 is the nearest SF where embeddings actually grows (2000
+    # rows vs 500) — sf0.01 ties at 500 and couldn't catch the bug
+    big = load_table(spark, "embeddings", "/root/testdata/sf0.1")
+    n_small = cache.memo_count(small)
+    n_big = cache.memo_count(big)
+    assert n_small == small.count()
+    assert n_big == big.count()
+    assert n_small != n_big  # distinct corpora, distinct memo entries
+    assert len(cache._COUNT_MEMO) == 2
+    cache.clear_count_memo()
+
+
+def test_memo_count_never_memoizes_fileless_plans(spark):
+    """In-memory frames (LocalRelation) also canonicalize schema-only;
+    two distinct literal frames must not poison each other — file-less
+    plans are counted directly, never memoized."""
+    cache.clear_count_memo()
+    a = spark.createDataFrame([(i,) for i in range(5)], "vec_id long")
+    b = spark.createDataFrame([(i,) for i in range(9)], "vec_id long")
+    assert cache.memo_count(a) == 5
+    assert cache.memo_count(b) == 9
+    assert len(cache._COUNT_MEMO) == 0  # nothing memoized for either
+    cache.clear_count_memo()
