@@ -353,12 +353,20 @@ def _streaming_throughput_mode(spark, args) -> None:
             .option("checkpointLocation", ckpt)
             .start()
         )
+        err = None
         try:
             time.sleep(args.stream_seconds)
+            exc = q.exception()  # crashed mid-window? don't fabricate
+            err = str(exc) if exc is not None else None
             progresses = [json.loads(p.json) for p in q.recentProgress]
         finally:
             q.stop()
             q.awaitTermination(60)
+        if err is not None:
+            results[name] = {"rows_per_sec": None, "error": err[:400]}
+            print(json.dumps({"family": name, "error": err[:200]}),
+                  file=sys.stderr)
+            continue
         rps_meas, n_batches = _steady_state_rows_per_sec(progresses)
         results[name] = {
             "rows_per_sec": rps_meas,
@@ -372,7 +380,9 @@ def _streaming_throughput_mode(spark, args) -> None:
     # design in streaming/upsert.py) — throughput-measured through the
     # same merge on a processing-time trigger; the per-batch store
     # rewrite is the operator's cost model, so it is IN the number.
-    if args.queries is None or "upsert" in (args.queries or []):
+    # mirror the loop's truthiness: an EMPTY --queries list means "all
+    # families" there, so it must include upsert here too
+    if not args.queries or "upsert" in args.queries:
         import tempfile
 
         from flink_start_spark.streaming.upsert import latest_per_key
@@ -404,21 +414,32 @@ def _streaming_throughput_mode(spark, args) -> None:
             .option("checkpointLocation", ckpt)
             .start()
         )
+        err = None
         try:
             time.sleep(args.stream_seconds)
+            exc = q.exception()
+            err = str(exc) if exc is not None else None
             progresses = [json.loads(p.json) for p in q.recentProgress]
         finally:
             q.stop()
             q.awaitTermination(60)
-        rps_meas, n_batches = _steady_state_rows_per_sec(progresses)
-        results["upsert"] = {
-            "rows_per_sec": rps_meas,
-            "steady_batches": n_batches,
-            "input_bound": bool(
-                rps_meas is not None and rps_meas > 0.9 * args.rate_rps
-            ),
-        }
-        print(json.dumps({"family": "upsert", **results["upsert"]}), file=sys.stderr)
+        if err is not None:
+            results["upsert"] = {"rows_per_sec": None, "error": err[:400]}
+            print(json.dumps({"family": "upsert", "error": err[:200]}),
+                  file=sys.stderr)
+        else:
+            rps_meas, n_batches = _steady_state_rows_per_sec(progresses)
+            results["upsert"] = {
+                "rows_per_sec": rps_meas,
+                "steady_batches": n_batches,
+                "input_bound": bool(
+                    rps_meas is not None and rps_meas > 0.9 * args.rate_rps
+                ),
+            }
+            print(
+                json.dumps({"family": "upsert", **results["upsert"]}),
+                file=sys.stderr,
+            )
     load_end = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
     out = {
         "metric": "streaming_steady_state_rows_per_sec",
@@ -473,8 +494,14 @@ def _pair_mode(spark, args) -> None:
     data_ratio = sf_b / sf_a
     names = args.queries or list(QUERIES)
     load_start = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
-    # warm up JVM/codegen + python worker pool once per SF dir
+    # warm up JVM/codegen + python worker pool once per SF dir; a
+    # streaming-only --queries subset still needs the warm-up (the
+    # first sample would otherwise absorb JVM/codegen/state-store
+    # startup and deflate its ratio), so fall back to a cheap fixed
+    # batch entry
     warm = next((n for n in names if n in QUERIES), None)
+    if warm is None and QUERIES:
+        warm = "dedup_exact" if "dedup_exact" in QUERIES else next(iter(QUERIES))
     if warm is not None:
         for d in (a_dir, b_dir):
             _run_once(spark, warm, d)

@@ -96,17 +96,22 @@ def memo_count(df: DataFrame) -> int:
 
     Contract: inputs are immutable for the life of the session — the
     standard Spark assumption (a file overwritten under a path Spark
-    has already scanned is undefined behavior anyway). Keyed per
-    SparkSession instance so a stopped-and-recreated session (the
-    vanilla gate) never reads a stale entry; tests that rewrite a path
-    in-place within one session must call :func:`clear_count_memo`.
+    has already scanned is undefined behavior anyway). Keyed on the
+    SparkContext applicationId (unique per context incarnation) so a
+    stopped-and-recreated session (the vanilla gate) never reads a
+    stale entry; tests that rewrite a path in-place within one session
+    must call :func:`clear_count_memo`.
     """
     try:
         files = df.inputFiles()
         if not files:
             return df.count()
         key = (
-            id(df.sparkSession),
+            # applicationId, not id(session): a stopped-and-GC'd
+            # session's address can be recycled by CPython, which would
+            # resurrect a stale count in the successor session;
+            # applicationId is unique per SparkContext incarnation
+            df.sparkSession.sparkContext.applicationId,
             df._jdf.queryExecution().analyzed().canonicalized().toString(),
             tuple(sorted(files)),
         )

@@ -65,27 +65,41 @@ def stream_events(
     # synthesized sf1 corpus) stores a real timestamp type the reader
     # would reject under a pinned `ts long` schema
     # (PARQUET_COLUMN_DATA_TYPE_MISMATCH). Probe the footer with one
-    # batch-schema read — metadata only, no data scan — and branch.
-    probe = dict(spark.read.parquet(path_dir).dtypes)
-    if probe.get("ts") == "bigint":
-        nanos_schema = (
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
+    # batch-schema read — metadata only, no data scan — and branch. An
+    # EMPTY / not-yet-populated directory (the canonical file-stream
+    # pattern: start the query, then let a producer fill the dir) has
+    # no footer to probe — fall back to the driver-corpus nanos schema,
+    # the contract the pre-probe code pinned.
+    try:
+        probe = dict(spark.read.parquet(path_dir).dtypes)
+    except Exception:
+        probe = {"ts": "bigint"}
+    if probe.get("ts", "").startswith("timestamp"):
+        # covers timestamp AND timestamp_ntz: the batch loader
+        # (sources/catalog.py) normalizes NTZ→LTZ with an explicit
+        # cast; mirror it so streaming/batch window parity holds for
+        # NTZ-writer corpora too
+        ts_schema = (
+            f"event_id long, ts {probe['ts']}, user_id long, "
+            "event_type string, value double, props string"
         )
-        df = reader.schema(nanos_schema).parquet(path_dir)
-        # exact integer arithmetic with FLOOR semantics — the same pmod
-        # form as the batch loader (sources/catalog.py): bare `div`
-        # truncates toward zero and would shift pre-1970 sub-microsecond
-        # values 1 us late relative to the batch path and the oracle's
-        # epoch_ns // 1000, breaking streaming/batch window parity
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-        )
-    ts_schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
+        df = reader.schema(ts_schema).parquet(path_dir)
+        if probe["ts"] == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+    nanos_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
     )
-    return reader.schema(ts_schema).parquet(path_dir)
+    df = reader.schema(nanos_schema).parquet(path_dir)
+    # exact integer arithmetic with FLOOR semantics — the same pmod
+    # form as the batch loader (sources/catalog.py): bare `div`
+    # truncates toward zero and would shift pre-1970 sub-microsecond
+    # values 1 us late relative to the batch path and the oracle's
+    # epoch_ns // 1000, breaking streaming/batch window parity
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    )
 
 
 def stream_user_activity(

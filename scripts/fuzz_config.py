@@ -120,9 +120,15 @@ def main() -> int:
     seeds = [int(a) for a in argv] or [1]
     spark = get_spark("fuzz_config")
     con = duckdb.connect()
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(emb_path):
+        # Spark-written table (the synthesized sf1 corpus): a directory
+        # of part files rather than one parquet file — same handling as
+        # crosscheck.py
+        emb_path = os.path.join(emb_path, "*.parquet")
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
-        f"read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')"
+        f"read_parquet('{emb_path}')"
     )
     failures = 0
     n = 0

@@ -294,3 +294,57 @@ def test_stream_events_parquet_matches_batch(spark):
         .count()
     )
     assert got == expected
+
+
+def test_stream_events_starts_on_empty_dir(spark, tmp_path):
+    """Round-8 review finding: the footer-probe branch must not break
+    the canonical file-stream pattern — start the query over an empty
+    landing dir, let a producer fill it later. No footer to probe →
+    fall back to the pinned driver-corpus nanos schema."""
+    from flink_start_spark.streaming import stream_events
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    stream = stream_events(spark, str(landing))  # must not raise
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "empty-dir stream did not finish"
+    assert q.exception() is None
+
+
+def test_stream_events_reads_ntz_writer(spark, tmp_path):
+    """Round-8 review finding: a TIMESTAMP_NTZ-writer events table (the
+    case the batch loader's NTZ→LTZ cast exists for) must stream too,
+    with ts normalized to the session-zoned type for window parity."""
+    import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    from flink_start_spark.streaming import stream_events
+
+    path = str(tmp_path / "events_ntz.parquet")
+    spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 3), 7, "signup", 1.0, "{}"),
+            (2, datetime.datetime(2024, 1, 1, 0, 0, 9), 8, "click", 2.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(path)
+    stream = stream_events(spark, path)
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ntz_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ntz"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.table("ntz_sink").orderBy("event_id").collect()
+    assert [r["event_id"] for r in rows] == [1, 2]
+    assert rows[0]["ts"] is not None
