@@ -738,11 +738,20 @@ def assign_cells_two_level(
 
     APPROXIMATE by design: a vector near a super-cell boundary can
     land in a different cell than flat argmin. ``super_probe`` is the
-    recall/cost dial (the coarse-level nprobe): argmin over the
-    members of the ``p`` NEAREST super-cells instead of one —
+    ASSIGNMENT-FIDELITY dial (the coarse-level nprobe): argmin over
+    the members of the ``p`` NEAREST super-cells instead of one —
     O(n * (sqrt(k) + p*sqrt(k))) work, agreement with flat argmin
     rising toward 1 as p grows (p = n_super IS flat argmin, since
-    every cell's members get scanned). Exact-recovery invariant at
+    every cell's members get scanned). It is NOT a pair-recall dial
+    for the downstream cell-keyed self-joins: measured against exact
+    all-pairs ground truth on the sf1 corpus at a deliberately loose
+    threshold (0.8 — boundary-hugging pairs), SemDeDup flag recall
+    reads flat 0.386, p=1 0.317, p=2 0.297, p=3 0.301 — raising p
+    moves assignments toward flat but splits as many boundary pairs
+    as it joins, and the dominant recall cost is the within-cell
+    restriction itself (the SemDeDup paper's design point). At the
+    0.99 operating threshold near-identical vectors share distances
+    to every centroid and co-locate under any consistent argmin. Exact-recovery invariant at
     any p: any vector EQUAL to a centroid lands in a cell whose
     center is bit-equal to it — its OWN cell when centers are
     distinct; with duplicated centers the (d2, id) tie-break picks
