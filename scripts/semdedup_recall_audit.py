@@ -1,0 +1,117 @@
+"""Exact-ground-truth recall audit for the SemDeDup cell topologies.
+
+The cell-keyed self-join (semdedup_flags) only scores WITHIN-cell
+pairs — by design (Abbas '23: pairwise cost bounded by |cell|). This
+audit measures what that costs, separating the two approximation
+layers the shipped catalog instance stacks:
+
+  1. the within-cell restriction itself (flat argmin assignment), and
+  2. the two-level coarse-quantizer tree on top (the O(n*sqrt(k))
+     scale path, shipped default since round 8) at super_probe 1..P.
+
+Ground truth is a blocked-numpy ALL-PAIRS cosine scan (no candidate
+pruning at all): a vector is exact-flagged iff some smaller-id vector
+has cosine >= threshold. Feasible to ~10^5 vectors locally; this is
+an AUDIT tool, not a pipeline operator — the pipeline-scale recall
+instrument for the banded families is the lsh_recall_audit catalog
+entry.
+
+Round-8 measurement (sf1 corpus, 20k vectors, threshold 0.8 — chosen
+because the corpus has no >=0.99 pairs, so these are boundary-hugging
+worst cases; per_cell=128 -> 156 cells):
+
+    exact flagged: 249
+    flat      recall 0.386   (fp 0)
+    two p=1   recall 0.317   (fp 0)
+    two p=2   recall 0.297   (fp 0)
+    two p=3   recall 0.301   (fp 0)
+
+Readings: the dominant recall cost is the within-cell restriction
+(the paper's design point), not the tree; and super_probe is an
+assignment-fidelity dial, not a pair-recall dial (raising it splits
+as many boundary pairs as it joins). At the 0.99 operating threshold
+near-identical vectors share distances to every centroid and
+co-locate under any consistent argmin.
+
+Usage:
+    python scripts/semdedup_recall_audit.py [SF_DIR] [THRESHOLD] [MAX_PROBE]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_start_spark import cache as C
+from flink_start_spark.operators import similarity as S
+from flink_start_spark.plans.extensions import (
+    CATALOG_PER_CELL,
+    _two_level_assign_fn,
+)
+from flink_start_spark.session import get_spark
+from flink_start_spark.sources.catalog import load_table
+
+
+def exact_flags(ids: np.ndarray, X: np.ndarray, thr: float, block: int = 2000):
+    """Smaller-id-neighbor-above-threshold flag per vector, by blocked
+    all-pairs cosine (rows are L2-normalized first)."""
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n = len(ids)
+    out = np.zeros(n, dtype=bool)
+    for i in range(0, n, block):
+        sims = Xn[i : i + block] @ Xn.T
+        for r in range(sims.shape[0]):
+            gi = i + r
+            js = np.where(sims[r] >= thr)[0]
+            out[gi] = any(ids[j] < ids[gi] for j in js if j != gi)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    thr = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
+    max_probe = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    spark = get_spark("semdedup_recall_audit")
+    emb = load_table(spark, "embeddings", sf_dir)
+    pdf = (
+        emb.select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = pdf.vec_id.to_numpy()
+    X = np.vstack(pdf.embedding.values).astype(np.float64)
+    truth = pd.DataFrame({"vec_id": ids, "exact": exact_flags(ids, X, thr)})
+    n_exact = int(truth.exact.sum())
+    print(f"corpus {sf_dir}: n={len(ids)} threshold={thr} exact_flagged={n_exact}")
+
+    def audit(tag: str, assign_fn) -> None:
+        got = (
+            S.semdedup_flags(
+                emb, threshold=thr, per_cell=CATALOG_PER_CELL, assign_fn=assign_fn
+            )
+            .select("vec_id", "pruned")
+            .toPandas()
+        )
+        C.release()
+        spark.catalog.clearCache()
+        m = got.merge(truth, on="vec_id")
+        tp = int((m.pruned & m.exact).sum())
+        fp = int((m.pruned & ~m.exact).sum())
+        rec = tp / n_exact if n_exact else float("nan")
+        print(f"{tag:10s} tp={tp} fp={fp} recall={rec:.3f}")
+
+    audit("flat", None)
+    for p in range(1, max_probe + 1):
+        audit(f"two p={p}", _two_level_assign_fn(p))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
