@@ -342,6 +342,37 @@ def _streaming_throughput_mode(spark, args) -> None:
     ).write.format("noop").mode("overwrite").save()
     load_start = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
     results: dict[str, dict] = {}
+
+    def _measure(name: str, q) -> None:
+        """ONE measurement protocol for every family (incl. upsert):
+        sleep the window, fail loudly if the query crashed mid-window
+        (a dead query's recentProgress residue would otherwise read as
+        a plausible steady-state number), else record the batch-size-
+        weighted steady-state rate."""
+        err = None
+        try:
+            time.sleep(args.stream_seconds)
+            exc = q.exception()
+            err = str(exc) if exc is not None else None
+            progresses = [json.loads(p.json) for p in q.recentProgress]
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        if err is not None:
+            results[name] = {"rows_per_sec": None, "error": err[:400]}
+            print(json.dumps({"family": name, "error": err[:200]}),
+                  file=sys.stderr)
+            return
+        rps_meas, n_batches = _steady_state_rows_per_sec(progresses)
+        results[name] = {
+            "rows_per_sec": rps_meas,
+            "steady_batches": n_batches,
+            "input_bound": bool(
+                rps_meas is not None and rps_meas > 0.9 * args.rate_rps
+            ),
+        }
+        print(json.dumps({"family": name, **results[name]}), file=sys.stderr)
+
     for name, (build, mode) in _throughput_builders(spark, args.rate_rps).items():
         if args.queries and name not in args.queries:
             continue
@@ -353,29 +384,7 @@ def _streaming_throughput_mode(spark, args) -> None:
             .option("checkpointLocation", ckpt)
             .start()
         )
-        err = None
-        try:
-            time.sleep(args.stream_seconds)
-            exc = q.exception()  # crashed mid-window? don't fabricate
-            err = str(exc) if exc is not None else None
-            progresses = [json.loads(p.json) for p in q.recentProgress]
-        finally:
-            q.stop()
-            q.awaitTermination(60)
-        if err is not None:
-            results[name] = {"rows_per_sec": None, "error": err[:400]}
-            print(json.dumps({"family": name, "error": err[:200]}),
-                  file=sys.stderr)
-            continue
-        rps_meas, n_batches = _steady_state_rows_per_sec(progresses)
-        results[name] = {
-            "rows_per_sec": rps_meas,
-            "steady_batches": n_batches,
-            "input_bound": bool(
-                rps_meas is not None and rps_meas > 0.9 * args.rate_rps
-            ),
-        }
-        print(json.dumps({"family": name, **results[name]}), file=sys.stderr)
+        _measure(name, q)
     # upsert: foreachBatch latest-per-key parquet store (availableNow by
     # design in streaming/upsert.py) — throughput-measured through the
     # same merge on a processing-time trigger; the per-batch store
@@ -414,32 +423,7 @@ def _streaming_throughput_mode(spark, args) -> None:
             .option("checkpointLocation", ckpt)
             .start()
         )
-        err = None
-        try:
-            time.sleep(args.stream_seconds)
-            exc = q.exception()
-            err = str(exc) if exc is not None else None
-            progresses = [json.loads(p.json) for p in q.recentProgress]
-        finally:
-            q.stop()
-            q.awaitTermination(60)
-        if err is not None:
-            results["upsert"] = {"rows_per_sec": None, "error": err[:400]}
-            print(json.dumps({"family": "upsert", "error": err[:200]}),
-                  file=sys.stderr)
-        else:
-            rps_meas, n_batches = _steady_state_rows_per_sec(progresses)
-            results["upsert"] = {
-                "rows_per_sec": rps_meas,
-                "steady_batches": n_batches,
-                "input_bound": bool(
-                    rps_meas is not None and rps_meas > 0.9 * args.rate_rps
-                ),
-            }
-            print(
-                json.dumps({"family": "upsert", **results["upsert"]}),
-                file=sys.stderr,
-            )
+        _measure("upsert", q)
     load_end = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
     out = {
         "metric": "streaming_steady_state_rows_per_sec",
