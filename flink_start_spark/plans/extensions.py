@@ -494,10 +494,15 @@ def _cent_cte(per_cell: int) -> str:
 
 #: coarse-level nprobe for the shipped two-level (hierarchical)
 #: assignment in the PAIR-STAGE instances. 1 = the configuration whose
-#: 9.8x assignment speedup (200k vectors x 1562 cells) and halved
-#: semdedup sf1 wall-clock (3.82s -> 1.90s) were measured in round 7;
-#: the config-fuzz lane sweeps 1..4 with the oracle mirroring the same
-#: literal.
+#: payoff is measured at SCALED cell counts, where the flat
+#: O(n*n_cells) assignment scan is the bill: end-to-end semdedup_flags
+#: on 200k vectors x 1562 cells reads 47.3s two-level vs 485.1s flat
+#: (10.3x, round-8 HEAD; assignment-only demo: scripts/
+#: assign_scale_demo.py). At toy cell counts (16 cells below sf1) the
+#: tree ADDS ~0.5-1s of fixed stages — the documented trade. The
+#: config-fuzz lane sweeps super_probe 1..4 with the oracle mirroring
+#: the same literal; super_probe is an assignment-fidelity dial, not a
+#: pair-recall dial (see assign_cells_two_level).
 CATALOG_SUPER_PROBE = 1
 
 
