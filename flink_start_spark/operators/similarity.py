@@ -517,6 +517,7 @@ def semdedup_flags(
     vec_col: str = "embedding",
     per_cell: int = CELL_TARGET_ROWS,
     assign_fn=None,
+    cell_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas '23): semantic dedup by clustering embeddings,
     then pruning, within each cluster, vectors whose cosine to another
@@ -544,7 +545,22 @@ def semdedup_flags(
     smaller-id cell-mate (null when alone in its cell), and the pruned
     flag. Emitting flags (not the filtered corpus) keeps the row count
     stable and lets downstream stages choose drop vs. downweight.
+
+    ``cell_probe > 1`` multi-assigns each vector to its ``p`` nearest
+    cells before the self-join — the RECALL dial for boundary pairs
+    the single-cell restriction splits (the dominant recall cost,
+    measured in scripts/semdedup_recall_audit.py): a pair is scored if
+    it shares ANY probed cell, candidate work grows ~p^2-fold, and
+    ``p >= n_cells`` degrades gracefully to EXACT all-pairs semantics.
+    The emitted ``cell`` column stays the p=1 argmin cell (``_crk=1``),
+    so the output schema and row count are probe-invariant. Works with
+    either assignment strategy: flat (default) or via an ``assign_fn``
+    whose output carries ``_crk`` (see ``_two_level_assign_fn``).
     """
+    if cell_probe > 1 and assign_fn is None:
+        assign_fn = lambda c, cen, i, v: assign_cells_maponly(  # noqa: E731
+            c, cen, i, v, cell_probe=cell_probe
+        )
     assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell, assign_fn)
     # Both sides of the self-join and the final projection read it.
     assigned = C.track(assigned)
@@ -578,8 +594,17 @@ def semdedup_flags(
     mx = scored.groupBy(id_col).agg(
         F.max("_cos").alias("max_cosine_smaller")
     )
+    # Multi-probe assignments carry one row per (vector, probed cell);
+    # the canonical output row is the argmin (_crk = 1) cell. A pair
+    # sharing two probed cells scores twice into the SAME max — the
+    # groupBy above is the dedup.
+    canon = (
+        assigned.filter(F.col("_crk") == 1)
+        if "_crk" in assigned.columns
+        else assigned
+    )
     return (
-        assigned.select(id_col, F.col("cell").cast("bigint").alias("cell"))
+        canon.select(id_col, F.col("cell").cast("bigint").alias("cell"))
         .join(mx, id_col, "left")
         .select(
             id_col,
@@ -664,11 +689,34 @@ def kmeans_lloyd(
     )
 
 
+def _probe_exploded(
+    base: DataFrame, scored, id_col: str, vec_col: str, cell_probe: int
+) -> DataFrame:
+    """Shared multi-probe tail for the assignment projections: take the
+    ``cell_probe`` lexicographically smallest ``(d2, cell)`` structs —
+    ``slice(array_sort(scored), 1, p)`` is exactly ``rank <= p`` under
+    the same total order ``array_min`` uses for p=1 — and explode to
+    one row per (vector, probed cell) with the 1-based probe rank in
+    ``_crk`` (``_crk = 1`` is the argmin cell every single-probe caller
+    sees). Still a pure projection + map-side explode: the p-fold row
+    expansion happens where the data already is, no shuffle."""
+    top = F.slice(F.array_sort(scored), 1, cell_probe)
+    return base.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(top).alias("_pos", "_sc")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_sc")["cell"].alias("cell"),
+        (F.col("_pos") + 1).cast("int").alias("_crk"),
+    )
+
+
 def assign_cells_maponly(
     candidates: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_probe: int = 1,
 ) -> DataFrame:
     """Nearest-centroid assignment as a PURE PROJECTION: pack the k
     centroids into one broadcast array row, then per input row compute
@@ -682,6 +730,16 @@ def assign_cells_maponly(
     k-fold BNLJ expand + groupBy collapse — at 100 TB the assignment
     stage becomes scan-speed map work. `assign_cells` remains the
     relational formulation the IVF oracle mirrors CTE-for-CTE.
+
+    ``cell_probe > 1`` is the PAIR-RECALL dial (multi-assignment, the
+    standard multi-probe answer to boundary pairs the within-cell
+    restriction splits): each vector lands in its ``p`` nearest cells
+    and the output carries ``_crk`` (1-based probe rank; ``_crk = 1``
+    is the p=1 argmin cell). Downstream cell-keyed self-joins then see
+    every pair that shares ANY probed cell — candidate work grows
+    ~p^2-fold per cell, the documented trade. ``p >= n_cells`` recovers
+    EXACT all-pairs semantics (every vector in every cell) — the
+    invariant tests/test_extensions.py pins.
     """
     packed = centroids.agg(
         F.array_sort(F.collect_list(F.struct("cell", "center"))).alias("_cents")
@@ -693,14 +751,13 @@ def assign_cells_maponly(
             c["cell"].alias("cell"),
         ),
     )
-    return (
-        candidates.select(id_col, vec_col)
-        .crossJoin(F.broadcast(packed))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.array_min(scored)["cell"].alias("cell"),
-        )
+    base = candidates.select(id_col, vec_col).crossJoin(F.broadcast(packed))
+    if cell_probe > 1:
+        return _probe_exploded(base, scored, id_col, vec_col, cell_probe)
+    return base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_min(scored)["cell"].alias("cell"),
     )
 
 
@@ -711,9 +768,17 @@ def assign_cells_two_level(
     vec_col: str = "embedding",
     n_super: int | None = None,
     super_probe: int = 1,
+    cell_probe: int = 1,
 ) -> DataFrame:
     """Hierarchical (two-level) nearest-centroid assignment — the
     ≥10^8-vector form of :func:`assign_cells_maponly`.
+
+    ``cell_probe > 1`` multi-assigns each vector to its ``p`` nearest
+    MEMBER cells (same ``_crk``-carrying contract as
+    :func:`assign_cells_maponly` — the pair-recall dial), ranked over
+    the probed supers' member centroids; with ``super_probe = 1`` the
+    probe set is capped by that super's member count, so raise
+    ``super_probe`` alongside ``cell_probe`` when the tree is in play.
 
     Flat assignment is O(n * n_cells) distance work; with the
     auto-scaled cell count (n_cells ~ n/per_cell) that is O(n^2 /
@@ -755,10 +820,13 @@ def assign_cells_two_level(
     any p: any vector EQUAL to a centroid lands in a cell whose
     center is bit-equal to it — its OWN cell when centers are
     distinct; with duplicated centers the (d2, id) tie-break picks
-    the smallest-id copy, exactly as flat assignment does. The catalog's oracle-checked
-    instances keep flat assignment (their corpora are far below the
-    crossover); this operator is the documented scale path, pinned by
-    invariants in tests/test_extensions.py.
+    the smallest-id copy, exactly as flat assignment does. Since round 8
+    this IS the shipped assignment for the pair-stage catalog instances
+    (semdedup_flags, knn_label_purity — plans/extensions.py wires it via
+    ``assign_fn`` with a DuckDB oracle mirroring the same nested argmin);
+    the search-stage instance (ann_topk_ivf) keeps flat assignment, whose
+    large-cell cost model sits below the crossover. Pinned by invariants
+    in tests/test_extensions.py.
     """
     import math
 
@@ -862,14 +930,13 @@ def assign_cells_two_level(
             m["cell"].alias("cell"),
         ),
     )
-    return (
-        candidates.select(id_col, vec_col)
-        .crossJoin(F.broadcast(packed))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.array_min(mem_scored)["cell"].alias("cell"),
-        )
+    base = candidates.select(id_col, vec_col).crossJoin(F.broadcast(packed))
+    if cell_probe > 1:
+        return _probe_exploded(base, mem_scored, id_col, vec_col, cell_probe)
+    return base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_min(mem_scored)["cell"].alias("cell"),
     )
 
 

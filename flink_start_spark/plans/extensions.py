@@ -506,7 +506,12 @@ def _cent_cte(per_cell: int) -> str:
 CATALOG_SUPER_PROBE = 1
 
 
-def _two_level_ctes(per_cell: int, super_probe: int, carry: tuple[str, ...] = ()) -> str:
+def _two_level_ctes(
+    per_cell: int,
+    super_probe: int,
+    carry: tuple[str, ...] = (),
+    cell_probe: int = 1,
+) -> str:
     """Oracle twin of similarity.assign_cells_two_level (the shipped
     assignment for the pair-stage IVF instances since round 8): after
     the md5-ranked quantizer (``cent``), take the first
@@ -553,41 +558,82 @@ def _two_level_ctes(per_cell: int, super_probe: int, carry: tuple[str, ...] = ()
                                   ORDER BY {_SQDIST('e.embedding', 's.s_center')}, s.sid) AS rk
         FROM embeddings e CROSS JOIN live s) WHERE rk <= {super_probe}),
     assigned AS (
-      SELECT vec_id, embedding{cols}, cell FROM (
+      SELECT vec_id, embedding{cols}, cell, rk AS crk FROM (
         SELECT v.vec_id, v.embedding{vcols}, m.cell,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {_SQDIST('v.embedding', 'm.center')}, m.cell) AS rk
-        FROM vsup v JOIN cmem m USING (sid)) WHERE rk = 1)"""
+        FROM vsup v JOIN cmem m USING (sid)) WHERE rk <= {cell_probe})"""
 
 
-def _two_level_assign_fn(super_probe: int = CATALOG_SUPER_PROBE):
+def _two_level_assign_fn(
+    super_probe: int = CATALOG_SUPER_PROBE, cell_probe: int = 1
+):
     """The Spark-side twin: an ``assign_fn`` for precompute_cells that
     routes assignment through similarity.assign_cells_two_level at the
-    given coarse-level probe count."""
+    given coarse-level probe count (``cell_probe`` is the
+    multi-assignment recall dial, mirrored by the oracle's
+    ``rk <= cell_probe`` in the ``assigned`` CTE)."""
 
     def assign(candidates, centroids, id_col, vec_col):
         return S.assign_cells_two_level(
-            candidates, centroids, id_col, vec_col, super_probe=super_probe
+            candidates,
+            centroids,
+            id_col,
+            vec_col,
+            super_probe=super_probe,
+            cell_probe=cell_probe,
         )
 
     return assign
 
 
 def semdedup_flags_sql(
-    per_cell: int = CATALOG_PER_CELL, super_probe: int = CATALOG_SUPER_PROBE
+    per_cell: int = CATALOG_PER_CELL,
+    super_probe: int = CATALOG_SUPER_PROBE,
+    cell_probe: int = 1,
 ) -> str:
-    """semdedup_flags oracle at arbitrary (per_cell, super_probe) — the
-    catalog registers the shipped literals; the config-fuzz lane
-    (scripts/fuzz_config.py) rebuilds both engines at random knobs."""
+    """semdedup_flags oracle at arbitrary (per_cell, super_probe,
+    cell_probe) — the catalog registers the shipped literals; the
+    config-fuzz lane (scripts/fuzz_config.py) rebuilds both engines at
+    random knobs. ``cell_probe`` mirrors the multi-assignment recall
+    dial: pairs are scored over ANY shared probed cell (the max() in
+    ``m`` dedupes pairs sharing two), the emitted row per vector is its
+    argmin (crk = 1) cell."""
     return f"""
-    WITH {_two_level_ctes(per_cell, super_probe)},
+    WITH {_two_level_ctes(per_cell, super_probe, cell_probe=cell_probe)},
     p AS (
       SELECT b.vec_id, {_COS.replace("qv", "a.embedding").replace("cv", "b.embedding")} AS c
       FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id),
     m AS (SELECT vec_id, max(c) AS max_cosine_smaller FROM p GROUP BY vec_id)
     SELECT a.vec_id, a.cell::BIGINT AS cell, m.max_cosine_smaller,
            coalesce(m.max_cosine_smaller >= 0.99, false) AS pruned
-    FROM assigned a LEFT JOIN m USING (vec_id)
+    FROM (SELECT vec_id, cell FROM assigned WHERE crk = 1) a LEFT JOIN m USING (vec_id)
+    """
+
+
+def semdedup_flags_flat_sql(per_cell: int, cell_probe: int = 1) -> str:
+    """semdedup_flags oracle for the FLAT assignment path (``assign_fn
+    = None``) at arbitrary (per_cell, cell_probe) — the config-fuzz
+    lane's mirror for ``semdedup_flags(emb, per_cell=..,
+    cell_probe=..)``. Assignment is the plain (d2, cell) rank over ALL
+    centroids with ``rk <= cell_probe`` (similarity.assign_cells_
+    maponly's multi-probe slice is exactly this rank), pairs score over
+    any shared probed cell, output row = argmin cell."""
+    return f"""
+    WITH {_cent_cte(per_cell)},
+    assigned AS (
+      SELECT vec_id, embedding, cell, rk AS crk FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQDIST('e.embedding', 'c.center')}, c.cell) AS rk
+        FROM embeddings e CROSS JOIN cent c) WHERE rk <= {cell_probe}),
+    p AS (
+      SELECT b.vec_id, {_COS.replace("qv", "a.embedding").replace("cv", "b.embedding")} AS c
+      FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id),
+    m AS (SELECT vec_id, max(c) AS max_cosine_smaller FROM p GROUP BY vec_id)
+    SELECT a.vec_id, a.cell::BIGINT AS cell, m.max_cosine_smaller,
+           coalesce(m.max_cosine_smaller >= 0.99, false) AS pruned
+    FROM (SELECT vec_id, cell FROM assigned WHERE crk = 1) a LEFT JOIN m USING (vec_id)
     """
 
 def _rp_band_sql(col: str, band: int, bits: int = 8, dim: int = 64) -> str:

@@ -7,9 +7,12 @@ randomizes CONFIGURATION shape — the knobs the round-7/8 surface added:
 draws independent knobs per query and runs BOTH engines at the same
 literals:
 
-  - semdedup_flags   per_cell in [32, 4000] log-uniform, super_probe in [1, 4]
-  - knn_label_purity per_cell in [32, 4000] log-uniform, super_probe in [1, 4]
-  - ann_topk_ivf     per_cell in [32, 4000] log-uniform (flat assignment)
+  - semdedup_flags       per_cell in [32, 4000] log-uniform, super_probe in [1, 4],
+                         cell_probe in [1, 3] (multi-assignment recall dial, round 8)
+  - semdedup_flags_flat  per_cell in [32, 4000] log-uniform, cell_probe in [1, 3]
+                         (flat assignment path: assign_fn=None + cell_probe)
+  - knn_label_purity     per_cell in [32, 4000] log-uniform, super_probe in [1, 4]
+  - ann_topk_ivf         per_cell in [32, 4000] log-uniform (flat assignment)
 
 Spark runs the operator with the drawn knobs (two-level assign_fn for
 the pair-stage instances, exactly like the shipped catalog entries);
@@ -44,6 +47,7 @@ from flink_start_spark.plans.extensions import (
     _two_level_assign_fn,
     ann_topk_ivf_sql,
     knn_label_purity_sql,
+    semdedup_flags_flat_sql,
     semdedup_flags_sql,
 )
 from flink_start_spark.session import get_spark
@@ -63,7 +67,15 @@ def _cases(seed: int):
     rng = random.Random(seed)
     yield (
         "semdedup_flags",
-        {"per_cell": _draw_per_cell(rng), "super_probe": rng.randint(1, 4)},
+        {
+            "per_cell": _draw_per_cell(rng),
+            "super_probe": rng.randint(1, 4),
+            "cell_probe": rng.randint(1, 3),
+        },
+    )
+    yield (
+        "semdedup_flags_flat",
+        {"per_cell": _draw_per_cell(rng), "cell_probe": rng.randint(1, 3)},
     )
     yield (
         "knn_label_purity",
@@ -80,7 +92,16 @@ def _run_spark(spark, sf_dir: str, name: str, knobs: dict) -> pd.DataFrame:
                 emb,
                 threshold=0.99,
                 per_cell=knobs["per_cell"],
-                assign_fn=_two_level_assign_fn(knobs["super_probe"]),
+                assign_fn=_two_level_assign_fn(
+                    knobs["super_probe"], knobs["cell_probe"]
+                ),
+            )
+        elif name == "semdedup_flags_flat":
+            df = S.semdedup_flags(
+                emb,
+                threshold=0.99,
+                per_cell=knobs["per_cell"],
+                cell_probe=knobs["cell_probe"],
             )
         elif name == "knn_label_purity":
             df = S.knn_label_purity(
@@ -104,7 +125,11 @@ def _run_spark(spark, sf_dir: str, name: str, knobs: dict) -> pd.DataFrame:
 
 def _oracle_sql(name: str, knobs: dict) -> str:
     if name == "semdedup_flags":
-        return semdedup_flags_sql(knobs["per_cell"], knobs["super_probe"])
+        return semdedup_flags_sql(
+            knobs["per_cell"], knobs["super_probe"], knobs["cell_probe"]
+        )
+    if name == "semdedup_flags_flat":
+        return semdedup_flags_flat_sql(knobs["per_cell"], knobs["cell_probe"])
     if name == "knn_label_purity":
         return knn_label_purity_sql(knobs["per_cell"], knobs["super_probe"])
     return ann_topk_ivf_sql(knobs["per_cell"])

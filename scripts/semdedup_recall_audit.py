@@ -33,6 +33,11 @@ as many boundary pairs as it joins). At the 0.99 operating threshold
 near-identical vectors share distances to every centroid and
 co-locate under any consistent argmin.
 
+Round-8 addition: ``cell_probe`` (multi-cell assignment, the recall
+dial that attacks layer 1 directly — a vector lands in its p nearest
+cells, a pair is scored if it shares ANY of them) is audited in the
+same sweep, on both the flat and two-level assignment paths.
+
 Usage:
     python scripts/semdedup_recall_audit.py [SF_DIR] [THRESHOLD] [MAX_PROBE]
 """
@@ -91,10 +96,10 @@ def main() -> int:
     n_exact = int(truth.exact.sum())
     print(f"corpus {sf_dir}: n={len(ids)} threshold={thr} exact_flagged={n_exact}")
 
-    def audit(tag: str, assign_fn) -> None:
+    def audit_kwargs(tag: str, kwargs: dict) -> None:
         got = (
             S.semdedup_flags(
-                emb, threshold=thr, per_cell=CATALOG_PER_CELL, assign_fn=assign_fn
+                emb, threshold=thr, per_cell=CATALOG_PER_CELL, **kwargs
             )
             .select("vec_id", "pruned")
             .toPandas()
@@ -107,9 +112,20 @@ def main() -> int:
         rec = tp / n_exact if n_exact else float("nan")
         print(f"{tag:10s} tp={tp} fp={fp} recall={rec:.3f}")
 
+    def audit(tag: str, assign_fn) -> None:
+        audit_kwargs(tag, dict(assign_fn=assign_fn))
+
     audit("flat", None)
     for p in range(1, max_probe + 1):
         audit(f"two p={p}", _two_level_assign_fn(p))
+    # the cell_probe recall dial, flat and two-level paths
+    for cp in range(2, max_probe + 2):
+        audit_kwargs(f"flat cp={cp}", dict(cell_probe=cp))
+    for cp in range(2, max_probe + 2):
+        audit_kwargs(
+            f"two cp={cp}",
+            dict(assign_fn=_two_level_assign_fn(1, cp)),
+        )
     return 0
 
 

@@ -33,6 +33,7 @@ from flink_start_spark.plans.extensions import (  # noqa: E402
     _two_level_assign_fn,
     ann_topk_ivf_sql,
     knn_label_purity_sql,
+    semdedup_flags_flat_sql,
     semdedup_flags_sql,
 )
 from flink_start_spark.sources.catalog import load_table  # noqa: E402
@@ -72,6 +73,46 @@ def test_semdedup_knobs_mirror(spark, con, per_cell, super_probe):
     finally:
         cache.release()
     _check(sdf, con.execute(semdedup_flags_sql(per_cell, super_probe)).df())
+
+
+@pytest.mark.parametrize(
+    "per_cell,super_probe,cell_probe", [(32, 1, 2), (96, 2, 3)]
+)
+def test_semdedup_cell_probe_knobs_mirror(
+    spark, con, per_cell, super_probe, cell_probe
+):
+    # the round-8 recall dial through the TWO-LEVEL path: multi-probe
+    # member ranking on the Spark side vs rk <= cell_probe in the
+    # oracle's assigned CTE
+    emb = load_table(spark, "embeddings", SF_DIR)
+    try:
+        sdf = S.semdedup_flags(
+            emb,
+            threshold=0.99,
+            per_cell=per_cell,
+            assign_fn=_two_level_assign_fn(super_probe, cell_probe),
+        ).toPandas()
+    finally:
+        cache.release()
+    _check(
+        sdf,
+        con.execute(
+            semdedup_flags_sql(per_cell, super_probe, cell_probe)
+        ).df(),
+    )
+
+
+@pytest.mark.parametrize("per_cell,cell_probe", [(32, 2), (128, 3)])
+def test_semdedup_flat_cell_probe_knobs_mirror(spark, con, per_cell, cell_probe):
+    # the same dial through the FLAT assignment path (assign_fn=None)
+    emb = load_table(spark, "embeddings", SF_DIR)
+    try:
+        sdf = S.semdedup_flags(
+            emb, threshold=0.99, per_cell=per_cell, cell_probe=cell_probe
+        ).toPandas()
+    finally:
+        cache.release()
+    _check(sdf, con.execute(semdedup_flags_flat_sql(per_cell, cell_probe)).df())
 
 
 @pytest.mark.parametrize("per_cell,super_probe", [(32, 2), (128, 4)])

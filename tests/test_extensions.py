@@ -533,6 +533,96 @@ def test_semdedup_with_two_level_assign_fn(spark):
     assert {r["vec_id"] for r in approx} == set(vecs)
 
 
+def _probe_vecs(n: int):
+    return {
+        i: [i / float(n)] + [((i * 23 + d * 5) % 11) / 5.0 for d in range(3)]
+        for i in range(n)
+    }
+
+
+def test_multiprobe_assignment_mirrors_rank_rule(spark):
+    # flat cell_probe=2: one row per (vector, probed cell), _crk = rank
+    # under the same (d2, cell) total order array_min uses for p=1
+    vecs = _probe_vecs(36)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cents = S.deterministic_centroids(df, n_cells=8)
+    centers = {r["cell"]: r["center"] for r in cents.collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    expect = {}
+    for i, v in vecs.items():
+        ranked = sorted(centers, key=lambda c: (d2(v, centers[c]), c))
+        expect.update({(i, c): rk + 1 for rk, c in enumerate(ranked[:2])})
+    got = {
+        (r["vec_id"], r["cell"]): r["_crk"]
+        for r in S.assign_cells_maponly(df, cents, cell_probe=2).collect()
+    }
+    assert got == expect
+    # the _crk = 1 slice IS the single-probe assignment
+    single = {
+        (r["vec_id"], r["cell"]): 1
+        for r in S.assign_cells_maponly(df, cents).collect()
+    }
+    assert {k: v for k, v in got.items() if v == 1} == single
+    # two-level probe-all-supers at cell_probe=2 must match flat p=2
+    got_two = {
+        (r["vec_id"], r["cell"]): r["_crk"]
+        for r in S.assign_cells_two_level(
+            df, cents, super_probe=10**6, cell_probe=2
+        ).collect()
+    }
+    assert got_two == expect
+
+
+def test_semdedup_cell_probe_monotone_and_exact_recovery(spark):
+    # cell_probe is the pair-recall dial: p=1 == default bit-for-bit,
+    # pruned sets grow monotonically with p (a pair sharing the rank-1
+    # cell still shares it at p=2), and p >= n_cells recovers EXACT
+    # all-pairs semantics (every vector in every cell)
+    vecs = _probe_vecs(30)
+    # plant a boundary near-dup pair: 29's vector nearly equals 7's
+    vecs[29] = [x + 1e-4 for x in vecs[7]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    thr = 0.95
+
+    def flags(p):
+        out = S.semdedup_flags(df, n_cells=9, threshold=thr, cell_probe=p)
+        rows = out.collect()
+        assert len(rows) == 30 and {r["vec_id"] for r in rows} == set(vecs)
+        return {r["vec_id"] for r in rows if r["pruned"]}
+
+    base = {
+        r["vec_id"]
+        for r in S.semdedup_flags(df, n_cells=9, threshold=thr).collect()
+        if r["pruned"]
+    }
+    p1, p2, pall = flags(1), flags(2), flags(9)
+    assert p1 == base
+    assert p1 <= p2 <= pall
+    # exact ground truth: smaller-id neighbor with cosine >= thr
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    exact = {
+        j
+        for j in vecs
+        for i in vecs
+        if i < j and cos(vecs[i], vecs[j]) >= thr
+    }
+    assert pall == exact
+
+
 def test_two_level_assignment_partition_invariant(spark):
     vecs = {
         i: [((i * 13 + d * 7) % 23) / 9.0 for d in range(4)] for i in range(60)
