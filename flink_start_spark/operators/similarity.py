@@ -949,6 +949,7 @@ def knn_label_purity(
     label_col: str = "label",
     per_cell: int = CELL_TARGET_ROWS,
     assign_fn=None,
+    cell_probe: int = 1,
 ) -> DataFrame:
     """Embedding-quality audit: for every vector, the fraction of its
     k nearest neighbors (cosine, within its IVF cell) that share its
@@ -972,7 +973,18 @@ def knn_label_purity(
     the same total order on both engines (dot/norm are fixed-order
     folds, bit-identical to the oracle's list_sum). Vectors alone in
     their cell emit n_neighbors = 0 and null purity.
+
+    ``cell_probe > 1`` widens the candidate pool to the vector's ``p``
+    nearest cells (multi-assignment, same dial as
+    :func:`semdedup_flags`) — neighbor recall rises toward exact k-NN,
+    candidate work grows ~p^2-fold. A pair sharing two probed cells is
+    deduped (its cosine is identical either way) before the top-k rank
+    so a neighbor is never counted twice.
     """
+    if cell_probe > 1 and assign_fn is None:
+        assign_fn = lambda c, cen, i, v: assign_cells_maponly(  # noqa: E731
+            c, cen, i, v, cell_probe=cell_probe
+        )
     assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell, assign_fn)
     labeled = C.track(
         assigned.join(emb.select(id_col, label_col), id_col)
@@ -1004,6 +1016,13 @@ def knn_label_purity(
             ).alias("_cos"),
         )
     )
+    if "_crk" in assigned.columns:
+        # multi-probe: the same (a, b) pair appears once per shared
+        # probed cell — collapse before ranking (max of identical
+        # cosines is deterministic)
+        pairs = pairs.groupBy("_a_id", "_a_label", "_b_id", "_b_label").agg(
+            F.max("_cos").alias("_cos")
+        )
     w = Window.partitionBy("_a_id").orderBy(F.col("_cos").desc(), F.col("_b_id"))
     top = pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
     purity = top.groupBy(
@@ -1016,8 +1035,13 @@ def knn_label_purity(
         ).alias("same_label_frac"),
     )
     # Left join back so cell-singleton vectors stay in the report.
+    canon = (
+        labeled.filter(F.col("_crk") == 1)
+        if "_crk" in labeled.columns
+        else labeled
+    )
     return (
-        labeled.select(id_col, label_col)
+        canon.select(id_col, label_col)
         .join(purity, [id_col, label_col], "left")
         .select(
             id_col,

@@ -1837,19 +1837,35 @@ _COS_AB = _COS.replace("qv", "a.embedding").replace("cv", "b.embedding")
 
 
 def knn_label_purity_sql(
-    per_cell: int = CATALOG_PER_CELL, super_probe: int = CATALOG_SUPER_PROBE
+    per_cell: int = CATALOG_PER_CELL,
+    super_probe: int = CATALOG_SUPER_PROBE,
+    cell_probe: int = 1,
 ) -> str:
-    """knn_label_purity oracle at arbitrary (per_cell, super_probe) —
-    shipped literals registered below; the config-fuzz lane rebuilds
-    both engines at random knobs."""
-    return f"""
-    WITH {_two_level_ctes(per_cell, super_probe, ("label",))},
-    pairs AS (
+    """knn_label_purity oracle at arbitrary (per_cell, super_probe,
+    cell_probe) — shipped literals registered below; the config-fuzz
+    lane rebuilds both engines at random knobs. With ``cell_probe > 1``
+    a pair sharing two probed cells is collapsed (max of identical
+    cosines) before the top-k rank, mirroring the Spark side."""
+    if cell_probe > 1:
+        pairs_cte = f"""pairs AS (
+      SELECT a_id, a_label, b_id, b_label, max(cos) AS cos FROM (
+        SELECT a.vec_id AS a_id, a.label AS a_label,
+               b.vec_id AS b_id, b.label AS b_label,
+               {_COS_AB} AS cos
+        FROM assigned a JOIN assigned b USING (cell)
+        WHERE a.vec_id <> b.vec_id) GROUP BY 1, 2, 3, 4)"""
+        final_src = "(SELECT vec_id, label FROM assigned WHERE crk = 1)"
+    else:
+        pairs_cte = f"""pairs AS (
       SELECT a.vec_id AS a_id, a.label AS a_label,
              b.vec_id AS b_id, b.label AS b_label,
              {_COS_AB} AS cos
       FROM assigned a JOIN assigned b USING (cell)
-      WHERE a.vec_id <> b.vec_id),
+      WHERE a.vec_id <> b.vec_id)"""
+        final_src = "assigned"
+    return f"""
+    WITH {_two_level_ctes(per_cell, super_probe, ("label",), cell_probe)},
+    {pairs_cte},
     top AS (
       SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY a_id
@@ -1863,7 +1879,7 @@ def knn_label_purity_sql(
     SELECT l.vec_id, l.label,
            coalesce(p.n_neighbors, 0)::BIGINT AS n_neighbors,
            p.same_label_frac
-    FROM assigned l LEFT JOIN purity p ON p.a_id = l.vec_id
+    FROM {final_src} l LEFT JOIN purity p ON p.a_id = l.vec_id
     """
 
 

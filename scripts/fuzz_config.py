@@ -11,7 +11,8 @@ literals:
                          cell_probe in [1, 3] (multi-assignment recall dial, round 8)
   - semdedup_flags_flat  per_cell in [32, 4000] log-uniform, cell_probe in [1, 3]
                          (flat assignment path: assign_fn=None + cell_probe)
-  - knn_label_purity     per_cell in [32, 4000] log-uniform, super_probe in [1, 4]
+  - knn_label_purity     per_cell in [32, 4000] log-uniform, super_probe in [1, 4],
+                         cell_probe in [1, 3]
   - ann_topk_ivf         per_cell in [32, 4000] log-uniform (flat assignment)
 
 Spark runs the operator with the drawn knobs (two-level assign_fn for
@@ -79,7 +80,11 @@ def _cases(seed: int):
     )
     yield (
         "knn_label_purity",
-        {"per_cell": _draw_per_cell(rng), "super_probe": rng.randint(1, 4)},
+        {
+            "per_cell": _draw_per_cell(rng),
+            "super_probe": rng.randint(1, 4),
+            "cell_probe": rng.randint(1, 3),
+        },
     )
     yield ("ann_topk_ivf", {"per_cell": _draw_per_cell(rng)})
 
@@ -108,7 +113,9 @@ def _run_spark(spark, sf_dir: str, name: str, knobs: dict) -> pd.DataFrame:
                 emb,
                 k=5,
                 per_cell=knobs["per_cell"],
-                assign_fn=_two_level_assign_fn(knobs["super_probe"]),
+                assign_fn=_two_level_assign_fn(
+                    knobs["super_probe"], knobs["cell_probe"]
+                ),
             )
         else:
             df = S.ivf_topk(
@@ -131,7 +138,9 @@ def _oracle_sql(name: str, knobs: dict) -> str:
     if name == "semdedup_flags_flat":
         return semdedup_flags_flat_sql(knobs["per_cell"], knobs["cell_probe"])
     if name == "knn_label_purity":
-        return knn_label_purity_sql(knobs["per_cell"], knobs["super_probe"])
+        return knn_label_purity_sql(
+            knobs["per_cell"], knobs["super_probe"], knobs["cell_probe"]
+        )
     return ann_topk_ivf_sql(knobs["per_cell"])
 
 

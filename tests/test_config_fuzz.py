@@ -130,6 +130,29 @@ def test_knn_purity_knobs_mirror(spark, con, per_cell, super_probe):
     _check(sdf, con.execute(knn_label_purity_sql(per_cell, super_probe)).df())
 
 
+@pytest.mark.parametrize("per_cell,super_probe,cell_probe", [(48, 2, 2)])
+def test_knn_purity_cell_probe_knobs_mirror(
+    spark, con, per_cell, super_probe, cell_probe
+):
+    # multi-probe neighbor pool: pair dedup before top-k on both engines
+    emb = load_table(spark, "embeddings", SF_DIR)
+    try:
+        sdf = S.knn_label_purity(
+            emb,
+            k=5,
+            per_cell=per_cell,
+            assign_fn=_two_level_assign_fn(super_probe, cell_probe),
+        ).toPandas()
+    finally:
+        cache.release()
+    _check(
+        sdf,
+        con.execute(
+            knn_label_purity_sql(per_cell, super_probe, cell_probe)
+        ).df(),
+    )
+
+
 @pytest.mark.parametrize("per_cell", [32, 250])
 def test_ann_ivf_knobs_mirror(spark, con, per_cell):
     emb = load_table(spark, "embeddings", SF_DIR)
