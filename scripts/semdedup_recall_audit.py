@@ -18,7 +18,29 @@ entry.
 
 Round-8 measurement (sf1 corpus, 20k vectors, threshold 0.8 — chosen
 because the corpus has no >=0.99 pairs, so these are boundary-hugging
-worst cases; per_cell=128 -> 156 cells):
+worst cases; per_cell=128 -> 156 cells; fp = 0 in EVERY row below):
+
+    exact flagged: 249
+    flat                 recall 0.386
+    two sp=1             recall 0.317
+    two sp=2             recall 0.297
+    two sp=3             recall 0.301
+    flat cp=2            recall 0.707
+    flat cp=3            recall 0.859
+    flat cp=4            recall 0.948
+    two sp=1 cp=2        recall 0.466
+    two sp=1 cp=3..4     recall 0.494   (capped: one super's members)
+    two sp=2 cp=2        recall 0.582
+    two sp=2 cp=3        recall 0.763
+    two sp=3 cp=3        recall 0.783
+
+Readings: cell_probe is the dial that actually buys pair recall —
+super_probe alone cannot (it splits as many boundary pairs as it
+joins), but it UNLOCKS cell_probe under the two-level tree by widening
+the member pool the p cells are drawn from (sp=1 caps cp at 0.494;
+sp=2 lifts cp=3 to 0.763, within 0.1 of flat cp=3's 0.859 while
+keeping the O(n*sqrt(k)) assignment scan). Candidate pair work grows
+~cell_probe^2-fold — the budget knob stays per_cell.
 
     exact flagged: 249
     flat      recall 0.386   (fp 0)
