@@ -557,7 +557,14 @@ def semdedup_flags(
     either assignment strategy: flat (default) or via an ``assign_fn``
     whose output carries ``_crk`` (see ``_two_level_assign_fn``).
     """
-    if cell_probe > 1 and assign_fn is None:
+    if cell_probe > 1:
+        if assign_fn is not None:
+            raise ValueError(
+                "cell_probe > 1 with an explicit assign_fn is ambiguous — "
+                "bake the probe depth into the assign_fn instead (e.g. "
+                "assign_cells_two_level(..., cell_probe=p) or "
+                "plans.extensions._two_level_assign_fn(sp, p))"
+            )
         assign_fn = lambda c, cen, i, v: assign_cells_maponly(  # noqa: E731
             c, cen, i, v, cell_probe=cell_probe
         )
@@ -981,7 +988,14 @@ def knn_label_purity(
     deduped (its cosine is identical either way) before the top-k rank
     so a neighbor is never counted twice.
     """
-    if cell_probe > 1 and assign_fn is None:
+    if cell_probe > 1:
+        if assign_fn is not None:
+            raise ValueError(
+                "cell_probe > 1 with an explicit assign_fn is ambiguous — "
+                "bake the probe depth into the assign_fn instead (e.g. "
+                "assign_cells_two_level(..., cell_probe=p) or "
+                "plans.extensions._two_level_assign_fn(sp, p))"
+            )
         assign_fn = lambda c, cen, i, v: assign_cells_maponly(  # noqa: E731
             c, cen, i, v, cell_probe=cell_probe
         )
