@@ -354,6 +354,16 @@ def _streaming_throughput_mode(spark, args) -> None:
             time.sleep(args.stream_seconds)
             exc = q.exception()
             err = str(exc) if exc is not None else None
+            if err is None and not q.isActive:
+                # a JVM Error (e.g. StackOverflowError) kills the
+                # execution thread WITHOUT surfacing through
+                # q.exception() — the residue would read as a plausible
+                # steady-state number (observed once: regex
+                # StackOverflowError mid-window left 1 steady batch)
+                err = (
+                    "query terminated mid-window with no recorded "
+                    "exception (JVM Error killed the execution thread)"
+                )
             progresses = [json.loads(p.json) for p in q.recentProgress]
         finally:
             q.stop()
