@@ -359,9 +359,15 @@ def _streaming_throughput_mode(spark, args) -> None:
                 # execution thread WITHOUT surfacing through
                 # q.exception() — the residue would read as a plausible
                 # steady-state number (observed once: regex
-                # StackOverflowError mid-window left 1 steady batch)
+                # StackOverflowError mid-window left 1 steady batch).
+                # Re-read exception() first: a NORMAL exception landing
+                # between the first read and the isActive check is
+                # recoverable and beats the generic message.
+                exc = q.exception()
                 err = (
-                    "query terminated mid-window with no recorded "
+                    str(exc)
+                    if exc is not None
+                    else "query terminated mid-window with no recorded "
                     "exception (JVM Error killed the execution thread)"
                 )
             progresses = [json.loads(p.json) for p in q.recentProgress]

@@ -509,6 +509,30 @@ def quantize_int8(
     )
 
 
+def _resolve_probe_assign_fn(assign_fn, cell_probe: int):
+    """Shared probe-depth resolution for the cell-scoped operator entry
+    points (semdedup_flags, knn_label_purity): cell_probe must be a
+    positive int; cell_probe > 1 builds the flat multi-probe
+    assignment, and combining it with an explicit assign_fn raises
+    (bake the depth into the fn — silent ignore was the alternative;
+    same reasoning rejects cell_probe < 1 rather than silently running
+    the single-probe path)."""
+    if cell_probe < 1:
+        raise ValueError(f"cell_probe must be >= 1, got {cell_probe}")
+    if cell_probe == 1:
+        return assign_fn
+    if assign_fn is not None:
+        raise ValueError(
+            "cell_probe > 1 with an explicit assign_fn is ambiguous — "
+            "bake the probe depth into the assign_fn instead (e.g. "
+            "assign_cells_two_level(..., cell_probe=p) or "
+            "plans.extensions._two_level_assign_fn(sp, p))"
+        )
+    return lambda c, cen, i, v: assign_cells_maponly(
+        c, cen, i, v, cell_probe=cell_probe
+    )
+
+
 def semdedup_flags(
     emb: DataFrame,
     n_cells: int | None = None,
@@ -557,17 +581,7 @@ def semdedup_flags(
     either assignment strategy: flat (default) or via an ``assign_fn``
     whose output carries ``_crk`` (see ``_two_level_assign_fn``).
     """
-    if cell_probe > 1:
-        if assign_fn is not None:
-            raise ValueError(
-                "cell_probe > 1 with an explicit assign_fn is ambiguous — "
-                "bake the probe depth into the assign_fn instead (e.g. "
-                "assign_cells_two_level(..., cell_probe=p) or "
-                "plans.extensions._two_level_assign_fn(sp, p))"
-            )
-        assign_fn = lambda c, cen, i, v: assign_cells_maponly(  # noqa: E731
-            c, cen, i, v, cell_probe=cell_probe
-        )
+    assign_fn = _resolve_probe_assign_fn(assign_fn, cell_probe)
     assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell, assign_fn)
     # Both sides of the self-join and the final projection read it.
     assigned = C.track(assigned)
@@ -988,17 +1002,7 @@ def knn_label_purity(
     deduped (its cosine is identical either way) before the top-k rank
     so a neighbor is never counted twice.
     """
-    if cell_probe > 1:
-        if assign_fn is not None:
-            raise ValueError(
-                "cell_probe > 1 with an explicit assign_fn is ambiguous — "
-                "bake the probe depth into the assign_fn instead (e.g. "
-                "assign_cells_two_level(..., cell_probe=p) or "
-                "plans.extensions._two_level_assign_fn(sp, p))"
-            )
-        assign_fn = lambda c, cen, i, v: assign_cells_maponly(  # noqa: E731
-            c, cen, i, v, cell_probe=cell_probe
-        )
+    assign_fn = _resolve_probe_assign_fn(assign_fn, cell_probe)
     assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell, assign_fn)
     labeled = C.track(
         assigned.join(emb.select(id_col, label_col), id_col)

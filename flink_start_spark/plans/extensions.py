@@ -587,6 +587,22 @@ def _two_level_assign_fn(
     return assign
 
 
+#: shared pair/flag tail of the semdedup oracles: pairs over ANY shared
+#: probed cell (max() dedupes a pair sharing two), flag at 0.99, one
+#: output row per vector from its argmin (crk = 1) cell. Both builders
+#: (two-level and flat) compose their `assigned` CTE with THIS tail so
+#: a pair-stage change can never drift them apart.
+_SEMDEDUP_TAIL = f"""
+    p AS (
+      SELECT b.vec_id, {_COS.replace("qv", "a.embedding").replace("cv", "b.embedding")} AS c
+      FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id),
+    m AS (SELECT vec_id, max(c) AS max_cosine_smaller FROM p GROUP BY vec_id)
+    SELECT a.vec_id, a.cell::BIGINT AS cell, m.max_cosine_smaller,
+           coalesce(m.max_cosine_smaller >= 0.99, false) AS pruned
+    FROM (SELECT vec_id, cell FROM assigned WHERE crk = 1) a LEFT JOIN m USING (vec_id)
+    """
+
+
 def semdedup_flags_sql(
     per_cell: int = CATALOG_PER_CELL,
     super_probe: int = CATALOG_SUPER_PROBE,
@@ -599,16 +615,11 @@ def semdedup_flags_sql(
     dial: pairs are scored over ANY shared probed cell (the max() in
     ``m`` dedupes pairs sharing two), the emitted row per vector is its
     argmin (crk = 1) cell."""
-    return f"""
-    WITH {_two_level_ctes(per_cell, super_probe, cell_probe=cell_probe)},
-    p AS (
-      SELECT b.vec_id, {_COS.replace("qv", "a.embedding").replace("cv", "b.embedding")} AS c
-      FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id),
-    m AS (SELECT vec_id, max(c) AS max_cosine_smaller FROM p GROUP BY vec_id)
-    SELECT a.vec_id, a.cell::BIGINT AS cell, m.max_cosine_smaller,
-           coalesce(m.max_cosine_smaller >= 0.99, false) AS pruned
-    FROM (SELECT vec_id, cell FROM assigned WHERE crk = 1) a LEFT JOIN m USING (vec_id)
-    """
+    return (
+        f"""
+    WITH {_two_level_ctes(per_cell, super_probe, cell_probe=cell_probe)},"""
+        + _SEMDEDUP_TAIL
+    )
 
 
 def semdedup_flags_flat_sql(per_cell: int, cell_probe: int = 1) -> str:
@@ -619,22 +630,17 @@ def semdedup_flags_flat_sql(per_cell: int, cell_probe: int = 1) -> str:
     centroids with ``rk <= cell_probe`` (similarity.assign_cells_
     maponly's multi-probe slice is exactly this rank), pairs score over
     any shared probed cell, output row = argmin cell."""
-    return f"""
+    return (
+        f"""
     WITH {_cent_cte(per_cell)},
     assigned AS (
       SELECT vec_id, embedding, cell, rk AS crk FROM (
         SELECT e.vec_id, e.embedding, c.cell,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_SQDIST('e.embedding', 'c.center')}, c.cell) AS rk
-        FROM embeddings e CROSS JOIN cent c) WHERE rk <= {cell_probe}),
-    p AS (
-      SELECT b.vec_id, {_COS.replace("qv", "a.embedding").replace("cv", "b.embedding")} AS c
-      FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id),
-    m AS (SELECT vec_id, max(c) AS max_cosine_smaller FROM p GROUP BY vec_id)
-    SELECT a.vec_id, a.cell::BIGINT AS cell, m.max_cosine_smaller,
-           coalesce(m.max_cosine_smaller >= 0.99, false) AS pruned
-    FROM (SELECT vec_id, cell FROM assigned WHERE crk = 1) a LEFT JOIN m USING (vec_id)
-    """
+        FROM embeddings e CROSS JOIN cent c) WHERE rk <= {cell_probe}),"""
+        + _SEMDEDUP_TAIL
+    )
 
 def _rp_band_sql(col: str, band: int, bits: int = 8, dim: int = 64) -> str:
     """DuckDB twin of vector.py::rp_sign_bits: the same md5-derived

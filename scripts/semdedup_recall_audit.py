@@ -40,25 +40,15 @@ joins), but it UNLOCKS cell_probe under the two-level tree by widening
 the member pool the p cells are drawn from (sp=1 caps cp at 0.494;
 sp=2 lifts cp=3 to 0.763, within 0.1 of flat cp=3's 0.859 while
 keeping the O(n*sqrt(k)) assignment scan). Candidate pair work grows
-~cell_probe^2-fold — the budget knob stays per_cell.
+~cell_probe^2-fold — the budget knob stays per_cell. (At the 0.99
+operating threshold near-identical vectors share distances to every
+centroid and co-locate under any consistent argmin, so the shipped
+catalog point needs no probe.)
 
-    exact flagged: 249
-    flat      recall 0.386   (fp 0)
-    two p=1   recall 0.317   (fp 0)
-    two p=2   recall 0.297   (fp 0)
-    two p=3   recall 0.301   (fp 0)
-
-Readings: the dominant recall cost is the within-cell restriction
-(the paper's design point), not the tree; and super_probe is an
-assignment-fidelity dial, not a pair-recall dial (raising it splits
-as many boundary pairs as it joins). At the 0.99 operating threshold
-near-identical vectors share distances to every centroid and
-co-locate under any consistent argmin.
-
-Round-8 addition: ``cell_probe`` (multi-cell assignment, the recall
-dial that attacks layer 1 directly — a vector lands in its p nearest
-cells, a pair is scored if it shares ANY of them) is audited in the
-same sweep, on both the flat and two-level assignment paths.
+The sweep regenerates the table above (all rows except sp=1 cp=4,
+which only confirms the sp=1 cap): flat, two-level at super_probe
+1..MAX_PROBE, flat cell_probe 2..MAX_PROBE+1, and the
+(super_probe, cell_probe) grid over {1,2,3} x {2,3}.
 
 Usage:
     python scripts/semdedup_recall_audit.py [SF_DIR] [THRESHOLD] [MAX_PROBE]
@@ -139,15 +129,18 @@ def main() -> int:
 
     audit("flat", None)
     for p in range(1, max_probe + 1):
-        audit(f"two p={p}", _two_level_assign_fn(p))
-    # the cell_probe recall dial, flat and two-level paths
+        audit(f"two sp={p}", _two_level_assign_fn(p))
+    # the cell_probe recall dial: flat path, then the (sp, cp) grid
+    # under the two-level tree (sp=1 caps cp at one super's members;
+    # the docstring table's sp=2/3 rows come from this grid)
     for cp in range(2, max_probe + 2):
         audit_kwargs(f"flat cp={cp}", dict(cell_probe=cp))
-    for cp in range(2, max_probe + 2):
-        audit_kwargs(
-            f"two cp={cp}",
-            dict(assign_fn=_two_level_assign_fn(1, cp)),
-        )
+    for sp in (1, 2, 3):
+        for cp in (2, 3):
+            audit_kwargs(
+                f"two sp={sp} cp={cp}",
+                dict(assign_fn=_two_level_assign_fn(sp, cp)),
+            )
     return 0
 
 
