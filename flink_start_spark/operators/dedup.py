@@ -30,8 +30,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_start_spark import cache as C
+from flink_start_spark.functions import lsh_scale as LS
 from flink_start_spark.functions import texthash as TH
 from flink_start_spark.sources.catalog import fan_out
+
+
+def _auto_minhash(df: DataFrame, num_hashes, bands) -> tuple[int, int]:
+    """Resolve the word-family MinHash width: explicit (num_hashes,
+    bands) pass through; both-None engages the corpus-size ladder
+    (functions/lsh_scale.py — one memoized ``count(*)``, an
+    empty-schema pruned scan on parquet input, the auto_n_cells cost
+    contract). Passing only one of the two raises — silently defaulting
+    the other half of an AND/OR construction changes its collision
+    curve behind the caller's back."""
+    if (num_hashes is None) != (bands is None):
+        raise ValueError(
+            "pass both num_hashes and bands, or neither (corpus-scaled auto)"
+        )
+    if num_hashes is None:
+        num_hashes, bands = LS.minhash_params(C.memo_count(df))
+    return num_hashes, bands
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -60,14 +78,24 @@ def minhash_band_rows(
     df: DataFrame,
     content_col: str,
     id_col: str,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, band, key) MinHash band rows — the shared signature stage
     behind the self-join (:func:`minhash_candidate_pairs`) and the
     delta-vs-corpus join (:func:`incremental_dedup_flags`). UNTRACKED:
-    callers persist according to their reference pattern."""
+    callers persist according to their reference pattern.
+
+    Defaults engage the corpus-size ladder (functions/lsh_scale.py):
+    16 hashes / 4 bands below ~1.2e7 documents (measured: at that
+    width the candidate stage is 93%-precise and grows LINEARLY
+    through the 50k-doc sf1 decade — 2,833 candidates vs 2,716 true
+    pairs), widening midpoint-preservingly (6x8, 8x16, ...) once the
+    measured quadratic background term (~8.3e-8 * N^2 false
+    candidates) would cross the corpus size. The DuckDB oracles mirror
+    the rule as a count(*) scalar subquery."""
+    num_hashes, bands = _auto_minhash(df, num_hashes, bands)
     if bands < 1 or num_hashes % bands != 0:
         # truncating division silently drops signature positions
         # (weakening the advertised AND/OR collision curve), and
@@ -132,8 +160,8 @@ def minhash_candidate_pairs(
     df: DataFrame,
     content_col: str,
     id_col: str,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH candidate pairs: documents agreeing on >=1 MinHash band.
@@ -174,8 +202,8 @@ def minhash_near_dups(
     content_col: str,
     id_col: str,
     threshold: float = 0.5,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_n: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates confirmed by exact Jaccard
@@ -192,6 +220,101 @@ def minhash_near_dups(
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn("jaccard", F.round(TH.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def char_ngram_near_dups(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    gram_n: int = 8,
+) -> DataFrame:
+    """Character n-gram Jaccard near-dup pairs: the MinHash-LSH
+    machinery of :func:`minhash_near_dups` over the CHARACTER-gram
+    feature space — robust to tokenization, catches small edits word
+    shingles miss. Texts shorter than ``gram_n`` are excluded (no full
+    gram exists).
+
+    Defaults ride the char-family corpus ladder (lsh_scale.py —
+    2 bands x 8 rows below ~1.2e7 documents; char grams from a small
+    alphabet are far less selective than word shingles, hence the
+    8-wide AND at level 0). The rule keys on the count of ``df`` AS
+    GIVEN (pass the raw table; the >=gram_n exclusion happens inside,
+    so the memoized count stays an empty-schema pruned scan and the
+    oracle's ``count(*) FROM documents`` mirrors it exactly).
+    """
+    if (num_hashes is None) != (bands is None):
+        raise ValueError(
+            "pass both num_hashes and bands, or neither (corpus-scaled auto)"
+        )
+    if num_hashes is None:
+        num_hashes, bands = LS.char_minhash_params(C.memo_count(df))
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
+    rows = num_hashes // bands
+    n_seeds = -(-num_hashes // TH._CHUNKS_PER_MD5)
+    docs = fan_out(df.filter(F.length(content_col) >= gram_n))
+    # char grams via the same O(n) slice trick as word shingles: the
+    # substring start index must not be referenced from a lambda
+    # persisted: referenced by both candidate-join sides (via pairs) and
+    # both sides of the Jaccard confirm — one gram-pipeline pass, not four
+    grams = docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.filter(
+                TH.char_grams(F.col(content_col), gram_n),
+                lambda g: F.length(g) == gram_n,
+            )
+        ).alias("_g"),
+    )
+    grams = C.track(grams)
+    pairs = grams.select(
+        F.col(id_col),
+        *[
+            F.transform(F.col("_g"), TH.salted_digest_fn(seed)).alias(f"_d{seed}")
+            for seed in range(n_seeds)
+        ],
+    ).select(
+        F.col(id_col),
+        TH.minhash_from_digest_arrays(
+            [F.col(f"_d{s}") for s in range(n_seeds)], num_hashes
+        ).alias("_sig"),
+    )
+    keys = pairs.select(
+        F.col(id_col),
+        *[TH.band_key(F.col("_sig"), b, rows).alias(f"_k{b}") for b in range(bands)],
+    )
+    # persist: the self-join would otherwise run digests+signature twice
+    stack_args = ", ".join(f"{b}, _k{b}" for b in range(bands))
+    stacked = C.track(
+        keys.selectExpr(id_col, f"stack({bands}, {stack_args}) AS (band, key)")
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    g2 = grams.select(F.col(id_col), F.col("_g").alias("grams"))
+    return (
+        cand.join(g2.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "ga"), "id_a")
+        .join(g2.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "gb"), "id_b")
+        .withColumn("jaccard", F.round(TH.jaccard(F.col("ga"), F.col("gb")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -832,8 +955,8 @@ def incremental_dedup_flags(
     id_col: str,
     delta_pct: int = 20,
     threshold: float = 0.5,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_n: int = 3,
 ) -> DataFrame:
     """Incremental dedup — the production shape when a DELTA batch

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_start_spark import cache as C
+from flink_start_spark.functions import lsh_scale as LS
 from flink_start_spark.functions import vector as V
 
 
@@ -386,10 +387,11 @@ def ivf_topk(
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
-    bands: int = 2,
-    bits: int = 8,
+    bands: int | None = None,
+    bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via banded sign-LSH + cosine confirm.
 
@@ -397,12 +399,28 @@ def lsh_near_dup_pairs(
     (band b uses coordinates [b*bits, (b+1)*bits)); confirmed by exact
     cosine >= threshold. Output: id_a, id_b, cosine (rounded 6).
 
+    Sign-bit band keys SATURATE: the key space is 2^bits per band, so
+    at fixed width candidates grow ~ bands * n^2 / 2^bits (measured at
+    the 20k-vector sf1 corpus: 1.57M candidates at 2x8 for an 11.5k-
+    pair output). The ``bands``/``bits`` defaults therefore engage the
+    occupancy ladder (functions/lsh_scale.py::sign_params — one
+    memoized count(*)): +2 bits / +1 band per 4x of corpus beyond
+    ~8 vectors/bucket, clamped at bands*bits <= dim; at sf1 that is
+    (4 bands, 12 bits) = 197k candidates (8x fewer) with AND/OR recall
+    at the cosine-0.95 near-dup design point RISING (0.73 vs 0.67).
+    Past the dim clamp the scale path is :func:`rp_lsh_topk`'s
+    rp_sign_bits (random projections — unbounded plane count).
+
     Recall/cost dial: more bands -> higher recall, more candidates.
     With near-orthogonal random embeddings recall at moderate thresholds
     is low by construction — production embeddings cluster, which is
     precisely when LSH recall becomes useful. The oracle applies the
     identical bucketing, so correctness is exact regardless.
     """
+    if (bands is None) != (bits is None):
+        raise ValueError("pass both bands and bits, or neither (corpus-scaled auto)")
+    if bands is None:
+        bands, bits = LS.sign_params(C.memo_count(df), dim)
     # Persisted base projection (id, vec, band keys) = ONE scan of the
     # input relation; bands flattened to rows with stack() so candidate
     # generation is a single (band, key) hash self-join — an OR-of-bands

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_start_spark import cache as C
+from flink_start_spark.functions import lsh_scale as LS
 from flink_start_spark.functions import texthash as TH
 from flink_start_spark.functions import vector as V
 from flink_start_spark.operators import dedup as D
@@ -96,13 +97,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and the cluster-granular split (leakage_safe_split).
 _COMPONENT_CTES = f"""
     WITH RECURSIVE {_SHINGLE_CTE},
-    sig AS (SELECT doc_id,
-              [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
-                         FOR s IN shingles]) FOR k IN range(16)] AS sig
-            FROM shd),
-    bands AS (SELECT doc_id, b,
-                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
-              FROM sig, range(4) t(b)),
+    {LS.minhash_band_ctes("SELECT count(*) FROM documents")},
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
     pairs AS (
@@ -205,19 +200,12 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "char_ngram_jaccard_pairs",
-    """
+    f"""
     WITH cg AS (
       SELECT doc_id,
              list_distinct([substr(text, i, 8) FOR i IN range(1, length(text) - 6)]) AS grams
       FROM documents WHERE length(text) >= 8),
-    sig AS (SELECT doc_id,
-              [list_min([substr(md5((k // 4)::VARCHAR || '|' || g), (k % 4) * 8 + 1, 8)
-                         FOR g IN grams]) FOR k IN range(16)] AS sig
-            FROM cg),
-    bands AS (SELECT doc_id, b,
-                md5(sig[b*8+1] || '|' || sig[b*8+2] || '|' || sig[b*8+3] || '|' || sig[b*8+4]
-                    || '|' || sig[b*8+5] || '|' || sig[b*8+6] || '|' || sig[b*8+7] || '|' || sig[b*8+8]) AS key
-              FROM sig, range(2) t(b)),
+    {LS.minhash_band_ctes("SELECT count(*) FROM documents", family="char", src="cg", elem_col="grams")},
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
     SELECT id_a, id_b,
@@ -231,64 +219,22 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Character 8-gram Jaccard near-dup pairs: catches small edits and "
         "reorderings word shingles miss (robust to tokenization). Same "
         "MinHash-LSH candidate machinery over the character-gram feature "
-        "space, tuned 2 bands x 8 rows: char grams from a small alphabet "
-        "are far less selective than word shingles, and 4-row bands "
-        "admitted ~312k candidate pairs at 5k docs (J^4 too permissive) "
-        "vs ~10^2 at J^8. Exact char-gram Jaccard confirm >= 0.5."
+        "space, tuned 2 bands x 8 rows at the tested decades: char grams "
+        "from a small alphabet are far less selective than word shingles, "
+        "and 4-row bands admitted ~312k candidate pairs at 5k docs (J^4 "
+        "too permissive) vs ~10^2 at J^8. Band width rides the same "
+        "count(*)-driven ladder as the word family (lsh_scale.py; the "
+        "rule keys on the RAW documents count — an empty-schema pruned "
+        "scan — because the >=8-char exclusion is noise at the ladder's "
+        "64x granularity). Measured at sf1: 2,608 candidates for 50k "
+        "docs, 10x-linear, so level 0 is correct through ~1.2e7 docs. "
+        "Exact char-gram Jaccard confirm >= 0.5."
     ),
     tags=("dedup", "extension", "lsh"),
 )
 def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, "documents", sf_dir).filter(F.length("text") >= 8))
-    # char 8-grams via the same O(n) slice trick as word shingles: the
-    # substring start index must not be referenced from a lambda
-    # persisted: referenced by both candidate-join sides (via pairs) and
-    # both sides of the Jaccard confirm — one gram-pipeline pass, not four
-    grams = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(TH.char_grams(F.col("text"), 8), lambda g: F.length(g) == 8)
-        ).alias("_g"),
-    )
-    grams = C.track(grams)
-    pairs = grams.select(
-        "doc_id",
-        *[
-            F.transform(F.col("_g"), TH.salted_digest_fn(seed)).alias(f"_d{seed}")
-            for seed in range(4)
-        ],
-    ).select(
-        "doc_id",
-        TH.minhash_from_digest_arrays([F.col(f"_d{s}") for s in range(4)], 16).alias(
-            "_sig"
-        ),
-    )
-    keys = pairs.select(
-        "doc_id", *[TH.band_key(F.col("_sig"), b, 8).alias(f"_k{b}") for b in range(2)]
-    )
-    # persist: the self-join would otherwise run digests+signature twice
-    stacked = C.track(
-        keys.selectExpr("doc_id", "stack(2, 0, _k0, 1, _k1) AS (band, key)")
-    )
-    a, b = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    g2 = grams.select("doc_id", F.col("_g").alias("grams"))
-    return (
-        cand.join(g2.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
-        .join(g2.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
-        .withColumn("jaccard", F.round(TH.jaccard(F.col("ga"), F.col("gb")), 6))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
-    )
+    docs = load_table(spark, "documents", sf_dir)
+    return D.char_ngram_near_dups(docs, "text", "doc_id", threshold=0.5)
 
 
 _WINNOW_CTE = """
@@ -831,36 +777,63 @@ def q_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "embedding_near_dup_lsh",
-    f"""
-    WITH keyed AS (
-      SELECT vec_id, embedding,
-             list_sum([CASE WHEN embedding[i + 1] >= 0 THEN 1 << i ELSE 0 END
-                       FOR i IN range(0, 8)])::BIGINT AS band0,
-             list_sum([CASE WHEN embedding[i + 1] >= 0 THEN 1 << (i - 8) ELSE 0 END
-                       FOR i IN range(8, 16)])::BIGINT AS band1
-      FROM embeddings),
+def embedding_near_dup_sql(
+    target_occ: int = LS.SIGN_TARGET_OCC, dim: int = 64, threshold: float = 0.4
+) -> str:
+    """embedding_near_dup_lsh oracle at arbitrary (target_occ, dim,
+    threshold) — the catalog registers the shipped literals; the
+    config-fuzz lane rebuilds both engines at random target_occ to
+    exercise the sign-LSH occupancy ladder's non-default branches."""
+    return f"""
+    WITH {LS.sign_param_cte("SELECT count(*) FROM embeddings", dim=dim, target_occ=target_occ)},
+    ke AS (SELECT vec_id, embedding, unnest(range(spp.nb)) AS band
+           FROM embeddings, spp),
+    keyed AS (
+      SELECT vec_id, band,
+             list_sum([CASE WHEN embedding[band * spp.bits + i + 1] >= 0
+                            THEN 1 << i ELSE 0 END
+                       FOR i IN range(spp.bits)])::BIGINT AS key
+      FROM ke, spp),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM keyed a JOIN keyed b
-        ON a.vec_id < b.vec_id AND (a.band0 = b.band0 OR a.band1 = b.band1)),
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
     scored AS (
       SELECT id_a, id_b, {_COS.replace('qv', 'x.embedding').replace('cv', 'y.embedding')} AS cosine
-      FROM cand JOIN keyed x ON x.vec_id = id_a JOIN keyed y ON y.vec_id = id_b)
-    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
-    """,
+      FROM cand JOIN embeddings x ON x.vec_id = id_a
+                JOIN embeddings y ON y.vec_id = id_b)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@_register(
+    "embedding_near_dup_lsh",
+    embedding_near_dup_sql(),
     description=(
-        "Embedding near-dup pairs via banded sign-LSH (2 bands × 8 "
-        "sign-bits) + cosine ≥ 0.4 confirm. Spark plans one hash join "
-        "per band then dedups (never a quadratic OR-join); the oracle's "
-        "OR form defines the same candidate set."
+        "Embedding near-dup pairs via banded sign-LSH + cosine ≥ 0.4 "
+        "confirm. Spark plans one hash join per band then dedups (never "
+        "a quadratic OR-join); the oracle applies identical bucketing. "
+        "Sign-bit keys SATURATE (2^bits values per band), so (bands, "
+        "bits) ride the count(*)-driven occupancy ladder "
+        "(lsh_scale.py::sign_params, mirrored here as a scalar-subquery "
+        "staircase): (2,8) ≤ 2048 vectors, (3,10), then (4,12) — which "
+        "FIRES at the 20k-vector sf1 corpus, cutting candidates 1.57M → "
+        "197k (8x) while recall at the cosine-0.95 near-dup design "
+        "point RISES — planted-pair measurement, 1000 pairs in a 20k "
+        "isotropic corpus: 0.665 (2,8) → 0.725 (4,12) → 0.814 (5,12), "
+        "pytest-pinned in tests/test_lsh_scale.py. Measured recall on "
+        "sf1's structural-noise pairs (no planted near-dups there) by "
+        "cosine stratum, (2,8) → (4,12): 0.8s: 0.26 → 0.18; 0.7s: "
+        "0.16 → 0.09; 0.4s: 0.05 → 0.015 — loose-threshold retrieval "
+        "belongs to ann_topk_*, not the near-dup miner. Past "
+        "bands*bits = dim the documented handoff is rp_sign_bits "
+        "(unbounded plane count)."
     ),
     tags=("similarity", "extension", "lsh"),
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.lsh_near_dup_pairs(emb, threshold=0.4, bands=2, bits=8)
+    return S.lsh_near_dup_pairs(emb, threshold=0.4)
 
 
 # ---------------------------------------------------------------------
@@ -1792,13 +1765,7 @@ def q_ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag AS (SELECT doc_id,
                ({{bucket}}) < 20 AS is_delta
              FROM documents),
-    sig AS (SELECT doc_id,
-              [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
-                         FOR s IN shingles]) FOR k IN range(16)] AS sig
-            FROM shd),
-    bandrows AS (SELECT doc_id, b,
-                   md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
-                 FROM sig, range(4) t(b)),
+    {LS.minhash_band_ctes("SELECT count(*) FROM documents", bands="bandrows")},
     d AS (SELECT doc_id AS d_id, b, key FROM bandrows JOIN flag USING (doc_id) WHERE is_delta),
     c AS (SELECT doc_id AS c_id, b, key FROM bandrows JOIN flag USING (doc_id) WHERE NOT is_delta),
     cand AS (SELECT DISTINCT d_id, c_id FROM d JOIN c ON d.b = c.b AND d.key = c.key),

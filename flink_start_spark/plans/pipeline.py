@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_start_spark import cache as C
+from flink_start_spark.functions import lsh_scale as _LS
 from flink_start_spark.operators import curation as CU
 from flink_start_spark.operators import text as TX
 from flink_start_spark.plans.catalog import _register
@@ -63,16 +64,12 @@ shd AS (SELECT doc_id, list_distinct(shingles) AS sh, shingles FROM sh)
 
 #: MinHash LSH pipeline as reusable CTE text (shared by the near-dup
 #: query in extensions.py and the contrastive-triplet miner below):
-#: shingles → 16 salted minhashes → 4 bands → candidate pairs →
-#: Jaccard-confirmed positives at threshold 0.5.
+#: shingles → corpus-scaled salted minhashes/bands (lsh_scale.py's
+#: count(*)-driven ladder: 16 hashes / 4 bands below ~1.2e7 docs,
+#: byte-identical to the historical literal form there) → candidate
+#: pairs → Jaccard-confirmed positives at threshold 0.5.
 _MINHASH_POS_CTE = f"""{_SHINGLE_CTE},
-    sig AS (SELECT doc_id,
-              [list_min([substr(md5((k // 4)::VARCHAR || '|' || s), (k % 4) * 8 + 1, 8)
-                         FOR s IN shingles]) FOR k IN range(16)] AS sig
-            FROM shd),
-    bands AS (SELECT doc_id, b,
-                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS key
-              FROM sig, range(4) t(b)),
+    {_LS.minhash_band_ctes("SELECT count(*) FROM documents")},
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
     pos AS (SELECT id_a, id_b,
