@@ -738,10 +738,17 @@ def _probe_exploded(
     one row per (vector, probed cell) with the 1-based probe rank in
     ``_crk`` (``_crk = 1`` is the argmin cell every single-probe caller
     sees). Still a pure projection + map-side explode: the p-fold row
-    expansion happens where the data already is, no shuffle."""
+    expansion happens where the data already is, no shuffle.
+
+    posexplode_outer, not posexplode (round-9 ADVICE): with an EMPTY
+    centroid relation the p=1 path (array_min) keeps the row with a
+    null cell while a plain posexplode would drop it — outer keeps the
+    two probe depths edge-case-symmetric (unreachable today, since
+    deterministic_centroids never yields zero rows on non-empty input,
+    but symmetry is free)."""
     top = F.slice(F.array_sort(scored), 1, cell_probe)
     return base.select(
-        F.col(id_col), F.col(vec_col), F.posexplode(top).alias("_pos", "_sc")
+        F.col(id_col), F.col(vec_col), F.posexplode_outer(top).alias("_pos", "_sc")
     ).select(
         F.col(id_col),
         F.col(vec_col),

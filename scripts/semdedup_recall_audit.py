@@ -133,10 +133,12 @@ def main() -> int:
     # the cell_probe recall dial: flat path, then the (sp, cp) grid
     # under the two-level tree (sp=1 caps cp at one super's members;
     # the docstring table's sp=2/3 rows come from this grid)
+    # grid bounds follow MAX_PROBE (round-9 ADVICE: the fixed {1,2,3} x
+    # {2,3} grid silently ignored a larger CLI argument)
     for cp in range(2, max_probe + 2):
         audit_kwargs(f"flat cp={cp}", dict(cell_probe=cp))
-    for sp in (1, 2, 3):
-        for cp in (2, 3):
+    for sp in range(1, max_probe + 1):
+        for cp in range(2, max_probe + 1):
             audit_kwargs(
                 f"two sp={sp} cp={cp}",
                 dict(assign_fn=_two_level_assign_fn(sp, cp)),
