@@ -555,18 +555,20 @@ def _two_level_assign_fn(
     return assign
 
 
-#: shared pair/flag tail of the semdedup oracles: pairs over ANY shared
-#: probed cell (max() dedupes a pair sharing two), flag at 0.99, one
-#: output row per vector from its argmin (crk = 1) cell. Both builders
-#: (two-level and flat) compose their `assigned` CTE with THIS tail so
-#: a pair-stage change can never drift them apart.
-_SEMDEDUP_TAIL = f"""
+def _semdedup_tail(threshold: float = 0.99) -> str:
+    """Shared pair/flag tail of the semdedup oracles: pairs over ANY
+    shared probed cell (max() dedupes a pair sharing two), flag at
+    ``threshold``, one output row per vector from its argmin (crk = 1)
+    cell. Both builders (two-level and flat) compose their ``assigned``
+    CTE with THIS tail so a pair-stage change can never drift them
+    apart; the recall audit re-uses it at its stress threshold."""
+    return f"""
     p AS (
       SELECT b.vec_id, {_COS.replace("qv", "a.embedding").replace("cv", "b.embedding")} AS c
       FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id),
     m AS (SELECT vec_id, max(c) AS max_cosine_smaller FROM p GROUP BY vec_id)
     SELECT a.vec_id, a.cell::BIGINT AS cell, m.max_cosine_smaller,
-           coalesce(m.max_cosine_smaller >= 0.99, false) AS pruned
+           coalesce(m.max_cosine_smaller >= {threshold}, false) AS pruned
     FROM (SELECT vec_id, cell FROM assigned WHERE crk = 1) a LEFT JOIN m USING (vec_id)
     """
 
@@ -575,6 +577,7 @@ def semdedup_flags_sql(
     per_cell: int = CATALOG_PER_CELL,
     super_probe: int = CATALOG_SUPER_PROBE,
     cell_probe: int = CATALOG_CELL_PROBE,
+    threshold: float = 0.99,
 ) -> str:
     """semdedup_flags oracle at arbitrary (per_cell, super_probe,
     cell_probe) — the catalog registers the shipped literals; the
@@ -586,7 +589,7 @@ def semdedup_flags_sql(
     return (
         f"""
     WITH {_two_level_ctes(per_cell, super_probe, cell_probe=cell_probe)},"""
-        + _SEMDEDUP_TAIL
+        + _semdedup_tail(threshold)
     )
 
 
@@ -607,7 +610,7 @@ def semdedup_flags_flat_sql(per_cell: int, cell_probe: int = 1) -> str:
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_SQDIST('e.embedding', 'c.center')}, c.cell) AS rk
         FROM embeddings e CROSS JOIN cent c) WHERE rk <= {cell_probe}),"""
-        + _SEMDEDUP_TAIL
+        + _semdedup_tail()
     )
 
 
@@ -2052,6 +2055,146 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_ex == 0, F.lit(None).cast("double"))
         .otherwise(F.round(n_both.cast("double") / n_ex, 6))
         .alias("lsh_recall"),
+    )
+
+
+#: semdedup_recall_audit knobs. Sample size is FIXED (md5-ranked), not
+#: a percentage: the exact stage scores sample x corpus pairs, so a
+#: fixed sample keeps the audit LINEAR in corpus size (a pct sample
+#: would be quadratic — the blowup this audit polices elsewhere).
+SEMDEDUP_AUDIT_SAMPLE = 256
+#: the audit measures at the 0.8 STRESS threshold, not the 0.99
+#: operating point: the test corpora have no >=0.99 pairs (the audit
+#: would trivially read NULL recall), while 0.8 pairs hug cell
+#: boundaries — the worst case for the within-cell restriction and
+#: exactly where the sp/cp dials act (scripts/semdedup_recall_audit.py
+#: measured the full dial table; this query is its continuous,
+#: oracle-checked headline row).
+SEMDEDUP_AUDIT_THRESHOLD = 0.8
+
+
+def semdedup_recall_audit_sql(
+    sample_n: int = SEMDEDUP_AUDIT_SAMPLE,
+    threshold: float = SEMDEDUP_AUDIT_THRESHOLD,
+    per_cell: int = CATALOG_PER_CELL,
+    super_probe: int = CATALOG_SUPER_PROBE,
+    cell_probe: int = CATALOG_CELL_PROBE,
+) -> str:
+    """semdedup_recall_audit oracle: the shipped semdedup pipeline
+    (same builder the semdedup_flags oracle uses, at the audit
+    threshold) measured against an EXACT smaller-id-neighbor flag over
+    an md5-ranked ``sample_n`` query sample scored against the whole
+    corpus — recall/false-flag counts in one row."""
+    flags = semdedup_flags_sql(per_cell, super_probe, cell_probe, threshold)
+    cos_se = _COS.replace("qv", "s.embedding").replace("cv", "e.embedding")
+    return f"""
+    WITH flags AS ({flags}),
+    smp AS (SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY md5('sda|' || vec_id::VARCHAR), vec_id) AS rk
+        FROM embeddings) WHERE rk <= {sample_n}),
+    exf AS (SELECT s.vec_id, max({cos_se}) AS mx
+            FROM smp s JOIN embeddings e ON e.vec_id < s.vec_id
+            GROUP BY s.vec_id),
+    j AS (SELECT s.vec_id,
+                 coalesce(x.mx >= {threshold}, false) AS exact_flag,
+                 f.pruned
+          FROM smp s LEFT JOIN exf x ON x.vec_id = s.vec_id
+          JOIN flags f ON f.vec_id = s.vec_id)
+    SELECT count(*)::BIGINT AS n_sampled,
+           coalesce(sum(CASE WHEN exact_flag THEN 1 ELSE 0 END), 0)::BIGINT AS n_exact_flagged,
+           coalesce(sum(CASE WHEN pruned THEN 1 ELSE 0 END), 0)::BIGINT AS n_flagged,
+           coalesce(sum(CASE WHEN exact_flag AND pruned THEN 1 ELSE 0 END), 0)::BIGINT AS n_both,
+           coalesce(sum(CASE WHEN pruned AND NOT exact_flag THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_false_flags,
+           CASE WHEN coalesce(sum(CASE WHEN exact_flag THEN 1 ELSE 0 END), 0) = 0 THEN NULL
+                ELSE round(sum(CASE WHEN exact_flag AND pruned THEN 1 ELSE 0 END)::DOUBLE
+                           / sum(CASE WHEN exact_flag THEN 1 ELSE 0 END), 6)
+           END AS flag_recall
+    FROM j
+    """
+
+
+@_register(
+    "semdedup_recall_audit",
+    semdedup_recall_audit_sql(),
+    description=(
+        "Approximation-quality audit for the SemDeDup cell topology "
+        "(round-9 promotion of scripts/semdedup_recall_audit.py into "
+        "the oracle-checked catalog, the lsh_recall_audit precedent): "
+        "recall of the SHIPPED pipeline (two-level quantizer, "
+        "super_probe=2/cell_probe=2, auto-scaled cells) against EXACT "
+        "smaller-id-neighbor flags at the 0.8 stress threshold, over "
+        "a fixed md5-ranked 256-vector query sample scored against "
+        "the WHOLE corpus. The fixed sample keeps the exact stage "
+        "LINEAR in corpus size (sample x corpus via one broadcast — "
+        "one scan, no shuffle of the big side), so the audit runs as "
+        "a continuous data-quality check at any scale. Within-cell "
+        "flags are structurally a subset of exact flags (max over a "
+        "pair subset), so n_false_flags != 0 means engine drift — the "
+        "invariant mirror of lsh_recall_audit's n_lsh = n_both."
+    ),
+    tags=("similarity", "extension", "audit", "dedup"),
+)
+def q_semdedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    thr = SEMDEDUP_AUDIT_THRESHOLD
+    flags = S.semdedup_flags(
+        emb,
+        threshold=thr,
+        per_cell=CATALOG_PER_CELL,
+        assign_fn=_two_level_assign_fn(),
+    ).select(F.col("vec_id").alias("s_id"), "pruned")
+    smp = (
+        emb.select(
+            F.md5(F.concat(F.lit("sda|"), F.col("vec_id").cast("string"))).alias("_h"),
+            "vec_id",
+            "embedding",
+        )
+        .orderBy("_h", "vec_id")
+        .limit(SEMDEDUP_AUDIT_SAMPLE)
+        .select(F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec"))
+    )
+    # tracked: referenced by the exact-stage join AND the final join
+    smp = C.track(smp)
+    # exact stage: sample x corpus via broadcast (256 rows — bounded),
+    # smaller-id restriction in the join condition; groupBy collapses
+    # map-side, so the shuffle carries one row per sampled vector
+    ex = (
+        emb.join(F.broadcast(smp), F.col("vec_id") < F.col("s_id"))
+        .groupBy("s_id")
+        .agg(
+            F.max(F.round(V.cosine(F.col("s_vec"), F.col("embedding")), 6)).alias(
+                "_mx"
+            )
+        )
+    )
+    j = (
+        smp.select("s_id")
+        .join(ex, "s_id", "left")
+        .join(flags, "s_id")
+        .select(
+            F.coalesce(F.col("_mx") >= thr, F.lit(False)).alias("exact_flag"),
+            "pruned",
+        )
+    )
+    n_ex = F.coalesce(F.sum(F.when(F.col("exact_flag"), 1).otherwise(0)), F.lit(0))
+    n_fl = F.coalesce(F.sum(F.when(F.col("pruned"), 1).otherwise(0)), F.lit(0))
+    n_both = F.coalesce(
+        F.sum(F.when(F.col("exact_flag") & F.col("pruned"), 1).otherwise(0)), F.lit(0)
+    )
+    n_fp = F.coalesce(
+        F.sum(F.when(F.col("pruned") & ~F.col("exact_flag"), 1).otherwise(0)), F.lit(0)
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        n_ex.cast("long").alias("n_exact_flagged"),
+        n_fl.cast("long").alias("n_flagged"),
+        n_both.cast("long").alias("n_both"),
+        n_fp.cast("long").alias("n_false_flags"),
+        F.when(n_ex == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(n_both.cast("double") / n_ex, 6))
+        .alias("flag_recall"),
     )
 
 

@@ -1,6 +1,6 @@
 """Seeded randomized oracle-gate fuzzing: generate a corpus whose every
 value is drawn from a MIX of normal and degenerate pools, then run the
-full 135-query Spark-vs-DuckDB hash gate over it.
+full catalog-wide (136-query at round 9) Spark-vs-DuckDB hash gate over it.
 
     python scripts/fuzz_corpus.py <seed> [out_dir]      # build only
     python scripts/fuzz_corpus.py <seed> --check        # build + gate

@@ -27,6 +27,10 @@ _ALLOWED_NESTED_LOOP = {
     "ann_cosine_topk",
     "ann_topk_ivf",
     "semdedup_flags",
+    # exact stage = fixed 256-row md5-ranked sample broadcast against
+    # the corpus (linear in N, smaller-id condition in the join), plus
+    # the semdedup pipeline's own allowlisted centroid broadcasts
+    "semdedup_recall_audit",
     "kmeans_clusters",
     "knn_label_purity",
     # 1-row corpus-total broadcasts (crossJoin of global count rows)
