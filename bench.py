@@ -47,6 +47,63 @@ def _run_once(spark, name: str, sf_dir: str) -> float:
     return dt
 
 
+def _ruler(spark) -> dict:
+    """Fixed synthetic calibration ruler (round-9 verdict item 3): the
+    same code measured in different windows/days kept reading 1.3-1.5x
+    apart from host drift the guest cannot see in loadavg (round-8
+    forensics: hypervisor memory overcommit shows up ONLY as cold
+    first-touch fault latency). Three SF-independent probes, timed
+    before and after every sweep and stored in the artifact, so
+    bench_compare can report ruler-normalized ratios alongside raw:
+
+    - ``spark_sec`` — a seeded 10M-row md5 + groupBy aggregate through
+      the same noop sink as the sweep (CPU + shuffle + codegen, the
+      workload's shape, zero data dependence);
+    - ``warm_gbps`` — memcpy bandwidth on pre-faulted buffers;
+    - ``cold_gbps`` — the same copy into FRESH pages (first-touch
+      faults — the overcommit signal; measured range on this host:
+      ~0.02-0.2 degraded, whole-GB/s healthy).
+
+    Callers must run one UNTIMED ``_ruler`` first in each session: the
+    probe's own plan pays codegen/JIT on first execution (measured
+    4.36 s cold vs 1.91 s warm — a 2.3x artifact that would otherwise
+    pollute ``ruler_before`` of every fresh session).
+    """
+    import numpy as np
+
+    t0 = time.perf_counter()
+    (
+        spark.range(10_000_000)
+        .repartition(32)
+        .selectExpr("id % 997 AS k", "md5(cast(id AS string)) AS h")
+        .groupBy("k")
+        .agg({"h": "max", "k": "count"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    spark_sec = time.perf_counter() - t0
+    nbytes = 256 * 1024 * 1024
+    src = np.ones(nbytes // 8, dtype=np.float64)
+    dst = np.ones_like(src)  # pre-faulted target
+    warm_secs = []
+    for _ in range(2):  # best-of-2: single-shot memcpy timings are noisy
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        warm_secs.append(time.perf_counter() - t0)
+    warm = (nbytes / 2**30) / max(min(warm_secs), 1e-9)
+    t0 = time.perf_counter()
+    fresh = np.empty_like(src)  # fresh pages -> first-touch faults
+    np.copyto(fresh, src)
+    cold = (nbytes / 2**30) / max(time.perf_counter() - t0, 1e-9)
+    del src, dst, fresh
+    return {
+        "spark_sec": round(spark_sec, 3),
+        "warm_gbps": round(warm, 2),
+        "cold_gbps": round(cold, 2),
+    }
+
+
 def _drop_view(spark, name: str) -> None:
     """Memory-sink tables hold full result sets in driver memory; drop
     them after timing or 3 runs x 4 streaming benches accumulate."""
@@ -510,6 +567,8 @@ def _pair_mode(spark, args) -> None:
     ).write.format("noop").mode("overwrite").save()
 
     per_q: dict[str, dict] = {}
+    _ruler(spark)  # untimed: the probe's own codegen/JIT warm-up
+    ruler_before = _ruler(spark)
 
     def _mins(fn) -> float:
         return round(min(fn() for _ in range(args.runs)), 3)
@@ -539,6 +598,7 @@ def _pair_mode(spark, args) -> None:
         n for n, v in per_q.items()
         if v["t_b"] > PAIR_FLOOR_SEC and v["ratio"] > threshold
     )
+    ruler_after = _ruler(spark)
     load_end = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
     out = {
         "metric": "sf_pair_scaling",
@@ -551,6 +611,9 @@ def _pair_mode(spark, args) -> None:
         "flagged": flagged,
         "load_avg_start": load_start,
         "load_avg_end": load_end,
+        "ruler_sec": min(ruler_before["spark_sec"], ruler_after["spark_sec"]),
+        "ruler_before": ruler_before,
+        "ruler_after": ruler_after,
         "queries": per_q,
     }
     path = os.path.join(
@@ -668,6 +731,9 @@ def main() -> None:
         n = len(ys)
         return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
 
+    _ruler(spark)  # untimed: the probe's own codegen/JIT warm-up
+    ruler_before = _ruler(spark)
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
 
@@ -682,6 +748,7 @@ def main() -> None:
             _record(sname, [fn(spark, args.sf_dir) for _ in range(args.runs)])
 
     total = round(sum(timings.values()), 3)
+    ruler_after = _ruler(spark)
     load_end = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
     try:
         # label like 'sf0.1' -> 0.1; anything unparseable (multi-dot,
@@ -707,6 +774,12 @@ def main() -> None:
         "load_avg_end": load_end,
         "cpus_host": n_cpus,
         "sf": sf,
+        # min of the before/after probes = the window's least-loaded
+        # estimate of the host's fixed-work cost; bench_compare divides
+        # totals by it to separate host drift from code deltas
+        "ruler_sec": min(ruler_before["spark_sec"], ruler_after["spark_sec"]),
+        "ruler_before": ruler_before,
+        "ruler_after": ruler_after,
     }
     # attach the latest two-SF scaling artifact (produced by a separate
     # quiet-host `--sf-pair` run — re-measuring both SFs per driver
@@ -759,6 +832,7 @@ def main() -> None:
         "n_queries": len(timings),
         "median_total": full["median_total"],
         "load_avg_start": load_start,
+        "ruler_sec": full["ruler_sec"],
         "queries_file": out_name,
     }
     if "sf_pair" in full:

@@ -56,6 +56,26 @@ def classify(old_min, new_min, old_med, new_med, threshold):
     return ("regressed" if ratio > 1 else "improved"), ratio
 
 
+def _ruler_line(old: dict, new: dict):
+    """Ruler normalization (round-9): both artifacts carry
+    ``ruler_sec`` — the same fixed synthetic Spark job timed in each
+    artifact's own window — so host drift divides out of the totals
+    ratio. Returns the ruler ratio (new/old) or None."""
+    ro, rn = old.get("ruler_sec"), new.get("ruler_sec")
+    if not ro or not rn:
+        return None
+    print(f"ruler: old={ro}s new={rn}s (host ratio {rn / ro:.2f})")
+    ov, nv = old.get("value"), new.get("value")
+    if ov and nv:
+        raw = nv / ov
+        norm = (nv / rn) / (ov / ro)
+        print(
+            f"ruler-normalized totals ratio: {norm:.2f} "
+            f"(raw {raw:.2f} / host {rn / ro:.2f})"
+        )
+    return rn / ro
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
@@ -68,6 +88,7 @@ def main() -> None:
     # (and carries no per-query map — totals only)
     old = old.get("parsed", old)
     new = new.get("parsed", new)
+    ruler_ratio = _ruler_line(old, new)
     if "queries" not in old or "queries" not in new:
         for label, art in (("old", old), ("new", new)):
             print(
@@ -132,11 +153,19 @@ def main() -> None:
         outliers = [r for r in out["regressed"] + out["improved"]
                     if r[3] and max(r[3] / med, med / r[3]) > 1.5]
         if shifted and spread <= 1.6 and not outliers:
+            corroboration = ""
+            if ruler_ratio:
+                agrees = max(med / ruler_ratio, ruler_ratio / med) <= 1.2
+                corroboration = (
+                    f"; ruler {'corroborates' if agrees else 'DISPUTES'} "
+                    f"the shift (host ratio {ruler_ratio:.2f}, "
+                    f"ruler-normalized median {med / ruler_ratio:.2f})"
+                )
             verdict = (
                 f"UNIFORM {'INFLATION' if med > 1 else 'DEFLATION'} "
                 f"(host tenancy signature): median ratio {med:.2f}, "
                 f"p10-p90 {p10:.2f}-{p90:.2f} — flat across unrelated "
-                f"queries, no per-query signal"
+                f"queries, no per-query signal" + corroboration
             )
         elif out["regressed"] or out["improved"]:
             names = ", ".join(r[0] for r in (out["regressed"] + out["improved"])[:6])
