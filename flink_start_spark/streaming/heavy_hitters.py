@@ -20,10 +20,26 @@ batch reordered item-adjacent (SpaceSaving's guarantees are valid for
 any arrival order, and totals at batch boundaries are order-free).
 Distinct items apply in (count desc, item asc) order so the summary is
 deterministic for a given batch decomposition.
+
+Per-step cost (round-9 verdict item 5 — the one family that saturated
+below the 2M rows/s rate source): victim selection is a LAZY-DELETION
+MIN-HEAP of (est, item) entries — every value change pushes its new
+entry, stale entries are skipped on pop by checking against the live
+dict — so an eviction costs O(log capacity) instead of the O(capacity)
+dict min-scan, while selecting the IDENTICAL victim (the heap order is
+the same (est, item) total order the min() used; an entry matching the
+live dict is a truthful representative of the current state no matter
+when it was pushed). With 50k distinct items against 64 counters the
+old scan was ~3.2M dict probes per key per batch. value_counts also
+runs on the RAW column with only the DISTINCT index stringified after
+(same strings — pandas stringifies elementwise both ways; a groupby
+re-merge guards object columns where two raw values stringify equal),
+instead of stringifying millions of rows first.
 """
 
 from __future__ import annotations
 
+import heapq
 from collections.abc import Iterator
 from typing import Any
 
@@ -81,13 +97,26 @@ def heavy_hitters_stream(
             err = dict(zip(items, errs))
         else:
             est, err, n_seen = {}, {}, 0
+        # lazy-deletion min-heap over (est, item): every value change
+        # pushes a fresh entry; pops skip entries that no longer match
+        # the live dict. Victim order is identical to the previous
+        # min(est, key=(est[i], i)) scan — see module docstring.
+        heap = [(c, i) for i, c in est.items()]
+        heapq.heapify(heap)
         for pdf in batches:
-            # drop nulls BEFORE astype(str): object-NaN/None stringify
-            # to literal 'nan'/'None' and would be tracked as phantom
-            # heavy hitters (and inflate n_seen), diverging from the
-            # batch twin's null-key handling — same rule as the NaN
-            # filters in drift.py/quantiles.py
-            vc = pdf[item_col].dropna().astype(str).value_counts()
+            # drop nulls BEFORE counting: object-NaN/None would
+            # stringify to literal 'nan'/'None' and be tracked as
+            # phantom heavy hitters (and inflate n_seen), diverging
+            # from the batch twin's null-key handling — same rule as
+            # the NaN filters in drift.py/quantiles.py. Counting runs
+            # on the raw dtype; only the distinct index stringifies.
+            vc = pdf[item_col].dropna().value_counts()
+            if len(vc):
+                vc.index = vc.index.astype(str)
+                # object columns can hold raw values that stringify
+                # identically (3 and '3'); the old per-row astype
+                # merged them before counting, so re-merge here
+                vc = vc.groupby(level=0).sum()
             n_seen += int(vc.sum())
             # deterministic application order: biggest batch count
             # first, lexicographic item tie-break
@@ -95,17 +124,25 @@ def heavy_hitters_stream(
                 c = int(c)
                 if item in est:
                     est[item] += c
+                    heapq.heappush(heap, (est[item], item))
                 elif len(est) < capacity:
                     est[item] = c
                     err[item] = 0
+                    heapq.heappush(heap, (c, item))
                 else:
                     # take over the minimum counter (smallest est,
                     # lexicographic tie-break -> deterministic victim)
-                    victim = min(est, key=lambda i: (est[i], i))
-                    m = est.pop(victim)
+                    while True:
+                        m, victim = heap[0]
+                        if est.get(victim) == m:
+                            break
+                        heapq.heappop(heap)  # stale
+                    heapq.heappop(heap)
+                    est.pop(victim)
                     err.pop(victim)
                     est[item] = m + c
                     err[item] = m
+                    heapq.heappush(heap, (m + c, item))
         ordered = sorted(est)
         state.update(
             ([i for i in ordered], [est[i] for i in ordered],
