@@ -452,26 +452,42 @@ def _cent_cte(per_cell: int) -> str:
 #: — but it UNLOCKS cell_probe by widening the member pool the probed
 #: cells are drawn from.
 #:
-#: Round 9 ships (super_probe=2, cell_probe=2), closing the round-8
-#: verdict's recall-envelope item with measurements instead of a
-#: disclosure-only fix: at the 0.8 stress threshold (exact blocked-
-#: numpy ground truth, sf1 20k vectors, fp=0 in every configuration)
-#: recall reads sp=1/cp=1 0.317 -> sp=2/cp=2 0.582, while the cost is
-#: semdedup 1.73 -> 2.04 s (1.18x) and knn purity 1.38 -> 1.75 s
-#: (1.27x) at sf1 — under the <=1.5x ship bar. At the 0.99 operating
-#: threshold multi-probe can only ADD probed cells, so the flagged set
-#: is monotone non-decreasing and the near-identical-pair argument of
-#: round 8 is unchanged. Full dial table: scripts/
-#: semdedup_recall_audit.py docstring (flat cp=3 0.859 exists for
-#: aggressive-curation users; it abandons the O(n*sqrt(k)) assignment).
+#: Round 9 SPLIT the shipped probe points after measuring the round-8
+#: verdict's ship bar ("cell_probe=2 if pair-stage cost <= ~1.5x at
+#: sf1") with the NOOP SINK — a first count()-based A/B read 1.18x/
+#: 1.27x and was WRONG: the pruned/purity columns come from a LEFT
+#: JOIN on a unique key, so count() let Catalyst eliminate the entire
+#: pair stage (left-join elimination) and timed a plan without the
+#: cost being measured. The quiet bench's per-query signal (knn 4.1 ->
+#: 11.0 s) exposed it; noop-sink min-of-3 re-measurement at sf1:
+#:
+#:   semdedup  sp1/cp1 4.58 s -> sp2/cp2 7.28 s  (1.59x ~ the bar)
+#:   knn       sp1/cp1 5.97 s -> sp2/cp2 15.19 s (2.54x — FAILS)
+#:
+#: Decision: semdedup SHIPS (2, 2) — recall at the 0.8 stress
+#: threshold 0.317 -> 0.582 (exact blocked-numpy ground truth, fp=0
+#: everywhere) for a cost at the bar; knn_label_purity stays at
+#: (1, 1) with the dial documented (its 2.54x buys an audit metric,
+#: not a dedup flag — a user who wants wider purity candidates passes
+#: _two_level_assign_fn(2, 2) and pays knowingly). At the 0.99
+#: operating threshold multi-probe only ADDS probed cells, so the
+#: semdedup flag set is monotone non-decreasing vs round 8. Full dial
+#: table: scripts/semdedup_recall_audit.py (flat cp=3 0.859 exists for
+#: aggressive-curation users; it abandons the O(n*sqrt(k)) scan).
 CATALOG_SUPER_PROBE = 2
 
-#: within-tree multi-assignment depth for the PAIR-STAGE instances —
-#: the pair-recall dial (each vector joins pairs in its cell_probe
-#: nearest cells of its probed supers' members; exchange count is
-#: unchanged, the pair stage roughly doubles at cp=2). See
-#: CATALOG_SUPER_PROBE for the shipped-measurement rationale.
+#: within-tree multi-assignment depth for semdedup_flags — the
+#: pair-recall dial (each vector joins pairs in its cell_probe nearest
+#: cells of its probed supers' members; exchange count is unchanged,
+#: pair volume grows ~cp^2). See CATALOG_SUPER_PROBE for the
+#: measured ship decision.
 CATALOG_CELL_PROBE = 2
+
+#: knn_label_purity's shipped probe point — (1, 1), NOT the semdedup
+#: default: its measured cp=2 cost is 2.54x at sf1 (above the round-8
+#: verdict's ~1.5x ship bar; table above).
+KNN_SUPER_PROBE = 1
+KNN_CELL_PROBE = 1
 
 
 def _two_level_ctes(
@@ -1517,7 +1533,9 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scripts/semdedup_recall_audit.py. At the 0.99 operating "
         "threshold near-identical vectors co-locate under any "
         "consistent argmin and multi-probe only adds probed cells. "
-        "The sp2/cp2 ship cost 1.18x at sf1 (1.73 -> 2.04 s)."
+        "The sp2/cp2 ship cost is 1.59x at sf1 (4.58 -> 7.28 s, "
+        "noop-sink min-of-3 — a count()-based A/B under-read it via "
+        "left-join elimination; see the CATALOG_SUPER_PROBE record)."
     ),
     tags=("similarity", "extension", "pipeline", "dedup"),
 )
@@ -1893,7 +1911,9 @@ def knn_label_purity_sql(
 
 @_register(
     "knn_label_purity",
-    knn_label_purity_sql(),
+    knn_label_purity_sql(
+        super_probe=KNN_SUPER_PROBE, cell_probe=KNN_CELL_PROBE
+    ),
     description=(
         "k-NN label-purity audit: per vector, the fraction of its 5 "
         "nearest cell-mates (cosine) sharing its label — the embedding-"
@@ -1904,20 +1924,25 @@ def knn_label_purity_sql(
         "~128, so the pairwise stage stays linear as the corpus grows. "
         "Assignment is the two-level coarse quantizer (shipped default "
         "since round 8 — O(n*sqrt(n_cells)) instead of the flat scan) "
-        "at the round-9 multi-probe point super_probe=2 / cell_probe=2 "
-        "(pair recall at the 0.8 stress threshold 0.317 -> 0.582 for "
-        "1.27x cost at sf1 — the measured envelope lives in scripts/"
-        "semdedup_recall_audit.py); the oracle mirrors quantizer, "
-        "super-centroid tree, both argmin tie-breaks, and the 6-dp "
-        "cosine total order CTE-for-CTE, including the count(*)-driven "
-        "cell and super counts."
+        "at single-probe (1, 1): the cell_probe=2 dial was measured "
+        "with the noop sink at 2.54x cost at sf1 (5.97 -> 15.19 s, "
+        "above the ~1.5x ship bar; pass _two_level_assign_fn(2, 2) to "
+        "buy wider purity candidates knowingly — the envelope lives "
+        "in scripts/semdedup_recall_audit.py and the "
+        "CATALOG_SUPER_PROBE decision record); the oracle mirrors "
+        "quantizer, super-centroid tree, both argmin tie-breaks, and "
+        "the 6-dp cosine total order CTE-for-CTE, including the "
+        "count(*)-driven cell and super counts."
     ),
     tags=("similarity", "extension", "audit"),
 )
 def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return S.knn_label_purity(
-        emb, k=5, per_cell=CATALOG_PER_CELL, assign_fn=_two_level_assign_fn()
+        emb,
+        k=5,
+        per_cell=CATALOG_PER_CELL,
+        assign_fn=_two_level_assign_fn(KNN_SUPER_PROBE, KNN_CELL_PROBE),
     )
 
 
