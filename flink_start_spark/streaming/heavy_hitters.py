@@ -108,15 +108,23 @@ def heavy_hitters_stream(
             # stringify to literal 'nan'/'None' and be tracked as
             # phantom heavy hitters (and inflate n_seen), diverging
             # from the batch twin's null-key handling — same rule as
-            # the NaN filters in drift.py/quantiles.py. Counting runs
-            # on the raw dtype; only the distinct index stringifies.
-            vc = pdf[item_col].dropna().value_counts()
-            if len(vc):
-                vc.index = vc.index.astype(str)
-                # object columns can hold raw values that stringify
-                # identically (3 and '3'); the old per-row astype
-                # merged them before counting, so re-merge here
-                vc = vc.groupby(level=0).sum()
+            # the NaN filters in drift.py/quantiles.py.
+            col = pdf[item_col].dropna()
+            if col.dtype == object:
+                # mixed-type object columns: stringify ELEMENTWISE
+                # before counting, exactly like the historical per-row
+                # path — counting on raw values first would merge
+                # raw-equal keys that stringify differently (3 vs 3.0
+                # vs True, 0.0 vs -0.0) under one arbitrary
+                # representative. Arrow-typed Spark columns never take
+                # this branch (uniform dtype per column).
+                vc = col.astype(str).value_counts()
+            else:
+                # uniform non-object dtype: count on the raw values
+                # (fast path), stringify only the distinct index
+                vc = col.value_counts()
+                if len(vc):
+                    vc.index = vc.index.astype(str)
             n_seen += int(vc.sum())
             # deterministic application order: biggest batch count
             # first, lexicographic item tie-break
