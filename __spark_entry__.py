@@ -77,19 +77,59 @@ def _last_verified_round() -> dict[str, tuple[int, bool]]:
     return last
 
 
+def _content_fingerprints() -> dict[str, str]:
+    """Per-query md5 of (registered oracle SQL + query function
+    source) — the definition a driver check certifies. Computed live;
+    compared against the committed QUERY_FINGERPRINTS.json snapshot
+    (scripts/update_fingerprints.py maintains it at round open)."""
+    import hashlib
+    import inspect
+
+    qm, om = query_map(), oracle_sql_map()
+    out = {}
+    for name, fn in qm.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):  # builtins / exec'd defs
+            src = getattr(fn, "__name__", repr(fn))
+        out[name] = hashlib.md5((om.get(name, "") + src).encode()).hexdigest()
+    return out
+
+
+def _recorded_fingerprints() -> dict[str, str]:
+    """name -> fingerprint covered by the latest hash-green driver
+    check, from the committed QUERY_FINGERPRINTS.json (empty if the
+    file is missing/corrupt — every entry then counts as changed,
+    which fails safe: over-checking, never under-checking)."""
+    try:
+        with open(os.path.join(_REPO_ROOT, "QUERY_FINGERPRINTS.json")) as f:
+            rec = json.load(f)
+        return {n: v.get("fp", "") for n, v in rec.items() if isinstance(v, dict)}
+    except (OSError, ValueError):
+        return {}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ §2b),
     ordered least-recently-driver-verified first so the driver's
     correctness budget always lands on the stalest entries. A query
     whose *latest* sample was not full hash-green (never checked,
     errored, or checked before it had an oracle) outranks every
-    hash-green one. Ties keep registration order (deterministic)."""
+    hash-green one — and so does a query whose DEFINITION (oracle SQL
+    + function source) changed since the fingerprint its last green
+    check certified (round-9 verdict item 2: a green round rank is
+    only as current as the code it ran against). Ties keep
+    registration order (deterministic)."""
     qm = query_map()
     last = _last_verified_round()
+    current_fp = _content_fingerprints()
+    recorded_fp = _recorded_fingerprints()
     order = {n: i for i, n in enumerate(qm)}  # registration-order tie-break
 
     def key(n: str) -> tuple[int, int, int]:
         rnd, green = last.get(n, (-1, False))
+        if green and recorded_fp.get(n) != current_fp.get(n):
+            green = False  # definition changed since that check
         return (1 if green else 0, rnd, order[n])
 
     names = sorted(qm, key=key)

@@ -74,6 +74,18 @@ SIGN_TARGET_OCC = 8
 #: sign-bit family: starting key width (the level-0 configuration is
 #: the historical 2 bands x 8 bits).
 SIGN_MIN_BITS = 8
+#: random-projection continuation levels past the coordinate-basis
+#: dim clamp (round-9 verdict item 1). 8 levels of +2 bits carry the
+#: occupancy target from the ~32k-vector coordinate terminal to
+#: ~5e8 vectors at the last firing threshold (8 * 2^26), with bounded
+#: occupancy growth beyond.
+SIGN_RP_LEVELS = 8
+#: the near-dup design point the rp band counts are calibrated to:
+#: per-bit collision probability p = 1 - acos(0.95)/pi for cos-0.95
+#: pairs, band count per level = ceil(log(1 - R) / log(1 - p^bits))
+#: holding AND/OR recall R >= 0.8 (see sign_schedule_full).
+SIGN_DESIGN_COS = 0.95
+SIGN_DESIGN_RECALL = 0.8
 
 
 def md5_level(
@@ -197,21 +209,69 @@ def minhash_band_ctes(
 
 def sign_schedule(dim: int = 64, min_bits: int = SIGN_MIN_BITS) -> list[tuple[int, int]]:
     """The sign-LSH (bands, bits) ladder feasible at ``dim``
-    coordinates: (2, min_bits), then +1 band / +2 bits per level while
+    COORDINATES: (2, min_bits), then +1 band / +2 bits per level while
     bands*bits <= dim, then extra bands at the terminal bit width while
     they still fit. dim=64 -> [(2,8), (3,10), (4,12), (5,12)]. Past the
-    terminal level the coordinate basis is exhausted — the documented
-    handoff is rp_sign_bits (random projections, unbounded planes)."""
+    terminal level the coordinate basis is exhausted — the CODED
+    handoff is the random-projection continuation of
+    :func:`sign_schedule_full` (md5-derived hyperplanes, unbounded
+    plane count)."""
+    if 2 * min_bits > dim:
+        raise ValueError(
+            f"sign-LSH schedule empty: dim={dim} cannot fit 2 bands of "
+            f"min_bits={min_bits} coordinate sign bits (need dim >= "
+            f"{2 * min_bits})"
+        )
     out: list[tuple[int, int]] = []
     k = 0
     while (2 + k) * (min_bits + 2 * k) <= dim:
         out.append((2 + k, min_bits + 2 * k))
         k += 1
-    if out:
-        bands, bits = out[-1]
-        while (bands + 1) * bits <= dim:
-            bands += 1
-            out.append((bands, bits))
+    bands, bits = out[-1]
+    while (bands + 1) * bits <= dim:
+        bands += 1
+        out.append((bands, bits))
+    return out
+
+
+def sign_schedule_full(
+    dim: int = 64,
+    min_bits: int = SIGN_MIN_BITS,
+    rp_levels: int = SIGN_RP_LEVELS,
+) -> list[tuple[int, int, bool]]:
+    """The COMPLETE sign-LSH ladder: the coordinate-basis levels of
+    :func:`sign_schedule` (rp=False), then ``rp_levels`` random-
+    projection levels (rp=True) that keep widening keys past the
+    bands*bits <= dim clamp — rp keys hash against md5-derived
+    hyperplanes (functions/vector.py::rp_weights_q), so the plane
+    count is unbounded.
+
+    rp level j: bits = terminal_bits + 2*j; bands = the smallest count
+    holding AND/OR recall >= SIGN_DESIGN_RECALL at the cos-0.95
+    near-dup design point (per-bit agreement p = 1 - acos(0.95)/pi ~
+    0.899): ceil(log(1-R) / log(1 - p^bits)), floored at prev+1 so
+    bands stay strictly increasing. dim=64 ->
+    [..., (5,12,False), (7,14,True), (9,16,True), (11,18,True),
+    (13,20,True), (16,22,True), (20,24,True), (25,26,True),
+    (31,28,True)] — unlike a flat +1-band rule (whose design recall
+    decays to ~0.49 by 28 bits), every rp level holds ~0.80 while
+    candidates stay ~ bands * occ/2 * N (linear in N, constant <= 124).
+    Bits are capped at 62 so keys pack into a BIGINT."""
+    import math
+
+    coord = sign_schedule(dim, min_bits)
+    out: list[tuple[int, int, bool]] = [(b, w, False) for b, w in coord]
+    p = 1.0 - math.acos(SIGN_DESIGN_COS) / math.pi
+    bands, bits = coord[-1]
+    for j in range(1, rp_levels + 1):
+        w = coord[-1][1] + 2 * j
+        if w > 62:
+            break
+        need = math.ceil(
+            math.log(1.0 - SIGN_DESIGN_RECALL) / math.log(1.0 - p ** w)
+        )
+        bands = max(bands + 1, need)
+        out.append((bands, w, True))
     return out
 
 
@@ -220,11 +280,13 @@ def sign_level(
     dim: int = 64,
     target_occ: int = SIGN_TARGET_OCC,
     min_bits: int = SIGN_MIN_BITS,
+    rp_levels: int = SIGN_RP_LEVELS,
 ) -> int:
     """Level k fires when ``n`` exceeds ``target_occ * 2^bits`` of
     level k-1 (expected occupancy at the previous width passes the
-    target). Integer-exact; clamped to the dim-feasible schedule."""
-    sched = sign_schedule(dim, min_bits)
+    target). Integer-exact; ranges over the FULL schedule (coordinate
+    levels, then the random-projection continuation)."""
+    sched = sign_schedule_full(dim, min_bits, rp_levels)
     lvl = 0
     while lvl + 1 < len(sched) and n > target_occ * (1 << sched[lvl][1]):
         lvl += 1
@@ -236,10 +298,15 @@ def sign_params(
     dim: int = 64,
     target_occ: int = SIGN_TARGET_OCC,
     min_bits: int = SIGN_MIN_BITS,
-) -> tuple[int, int]:
-    """(bands, bits) for the embedding sign-LSH family at corpus size
-    ``n`` — the auto default of ``similarity.lsh_near_dup_pairs``."""
-    return sign_schedule(dim, min_bits)[sign_level(n, dim, target_occ, min_bits)]
+    rp_levels: int = SIGN_RP_LEVELS,
+) -> tuple[int, int, bool]:
+    """(bands, bits, rp) for the embedding sign-LSH family at corpus
+    size ``n`` — the auto default of ``similarity.lsh_near_dup_pairs``.
+    ``rp`` True means the level keys with random-projection sign bits
+    (quantized integer dots, vector.py::rp_sign_bits apparatus) rather
+    than coordinate sign bits."""
+    sched = sign_schedule_full(dim, min_bits, rp_levels)
+    return sched[sign_level(n, dim, target_occ, min_bits, rp_levels)]
 
 
 def sign_param_cte(
@@ -247,17 +314,26 @@ def sign_param_cte(
     dim: int = 64,
     target_occ: int = SIGN_TARGET_OCC,
     min_bits: int = SIGN_MIN_BITS,
+    rp_levels: int = SIGN_RP_LEVELS,
     name: str = "spp",
 ) -> str:
-    """One-row params CTE ``name(nb, bits)`` mirroring
+    """One-row params CTE ``name(nb, bits, rp)`` mirroring
     :func:`sign_params`: a CASE staircase over the same integer
-    thresholds, highest level first."""
-    sched = sign_schedule(dim, min_bits)
-    band_whens, bit_whens = [], []
+    thresholds, highest level first. ``rp`` is 0/1 so the oracle can
+    gate its coordinate vs random-projection key branches. A
+    single-level schedule emits plain literals (a CASE with zero WHEN
+    arms is a DuckDB parse error)."""
+    sched = sign_schedule_full(dim, min_bits, rp_levels)
+    if len(sched) == 1:
+        b0, w0, r0 = sched[0]
+        return f"{name} AS (SELECT {b0} AS nb, {w0} AS bits, {int(r0)} AS rp)"
+    band_whens, bit_whens, rp_whens = [], [], []
     for lvl in range(len(sched) - 1, 0, -1):
         thr = target_occ * (1 << sched[lvl - 1][1])
         band_whens.append(f"WHEN ({count_expr}) > {thr} THEN {sched[lvl][0]}")
         bit_whens.append(f"WHEN ({count_expr}) > {thr} THEN {sched[lvl][1]}")
+        rp_whens.append(f"WHEN ({count_expr}) > {thr} THEN {int(sched[lvl][2])}")
     nb = f"(CASE {' '.join(band_whens)} ELSE {sched[0][0]} END)"
     bits = f"(CASE {' '.join(bit_whens)} ELSE {sched[0][1]} END)"
-    return f"{name} AS (SELECT {nb} AS nb, {bits} AS bits)"
+    rp = f"(CASE {' '.join(rp_whens)} ELSE {int(sched[0][2])} END)"
+    return f"{name} AS (SELECT {nb} AS nb, {bits} AS bits, {rp} AS rp)"

@@ -104,6 +104,97 @@ def rp_sign_bits(a: Column, n_bits: int, dim: int, offset: int = 0) -> Column:
     return out.cast("long")
 
 
+#: quantization grid shared by every integer-exact vector primitive in
+#: the repo (the lang_centroid_outliers precedent): components are
+#: clamped to ±2048 then floored onto a 2^-20 grid, making downstream
+#: sums exact integers — summation-order-free and engine-identical.
+QUANT_SCALE = 1_048_576
+QUANT_CLAMP = 2048.0
+
+
+def rp_weights_q(plane: int, dim: int) -> list[int]:
+    """Integer twin of :func:`rp_weights`: weight i is ``2*nibble - 15``
+    (= 2x the float weight, so the hyperplane DIRECTION is identical —
+    positive scaling never flips a sign). All-integer weights + the
+    quantized components of :func:`quantize_embedding` make the sign
+    dots exact int64 arithmetic: bit-identical across engines AND
+    summation orders, so the DuckDB oracle can compute the weights
+    dynamically (md5 in SQL) instead of embedding megabytes of
+    literals, and the Spark side can use a single numpy int64 matmul
+    for hundreds of planes."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"rp|{plane}|{i // 32}".encode()).hexdigest()
+        out.append(2 * int(h[i % 32], 16) - 15)
+    return out
+
+
+def rp_weight_matrix_q(n_planes: int, dim: int):
+    """(n_planes, dim) int64 numpy matrix of :func:`rp_weights_q` rows —
+    the batch form for the mapInPandas rp-key path."""
+    import numpy as np
+
+    return np.array(
+        [rp_weights_q(p, dim) for p in range(n_planes)], dtype=np.int64
+    )
+
+
+def quantize_embedding(a: Column) -> Column:
+    """Exact-integer quantization of a float-array column: clamp ±2048,
+    scale by 2^20, floor to LONG. The clamp keeps ANSI floor→LONG from
+    overflowing on out-of-domain components; the grid keeps every
+    downstream integer sum exact (order-free, engine-identical).
+    NULL/NaN-free input per the corpus contract; a NULL element passes
+    through as NULL and is treated as a zero contribution by
+    :func:`rp_sign_bits_q` (the oracle mirrors with coalesce)."""
+    # explicit isNotNull gate: Spark's greatest() SKIPS nulls (a NULL
+    # component would silently clamp to -2048 instead of staying NULL
+    # for the coalesce-to-0 convention downstream)
+    return F.transform(
+        a,
+        lambda x: F.when(
+            x.isNotNull(),
+            F.floor(
+                F.least(
+                    F.greatest(x.cast("double"), F.lit(-QUANT_CLAMP)),
+                    F.lit(QUANT_CLAMP),
+                )
+                * F.lit(float(QUANT_SCALE))
+            ).cast("long"),
+        ),
+    )
+
+
+def rp_sign_bits_q(xq: Column, n_bits: int, dim: int, offset: int = 0) -> Column:
+    """Random-hyperplane LSH key over a PRE-QUANTIZED long-array column
+    (:func:`quantize_embedding`): bit j is the sign of the exact int64
+    dot <xq, wq_(offset+j)> against :func:`rp_weights_q` literals.
+
+    This is the column-expression form, fine for a few bands; the
+    sign-LSH occupancy ladder's rp levels (up to 868 planes) go through
+    the numpy matmul path in operators/similarity.py instead — both
+    produce identical integers by construction (exact arithmetic).
+    Missing components (short vectors / zip_with padding) contribute 0
+    via coalesce, mirroring the oracle's coalesce(x*w, 0)."""
+    out = F.lit(0).cast("long")
+    for j in range(n_bits):
+        w = F.array(*[F.lit(int(x)) for x in rp_weights_q(offset + j, dim)])
+        dotp = F.aggregate(
+            F.zip_with(
+                xq, w, lambda x, y: F.coalesce(x * y.cast("long"), F.lit(0).cast("long"))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        # coalesce: a NULL array gives a NULL fold result; treat it as
+        # the zero dot (all bits 1) — the convention the numpy-matmul
+        # path and the DuckDB oracle share for NULL embeddings
+        out = out + F.when(
+            F.coalesce(dotp, F.lit(0).cast("long")) >= 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out.cast("long")
+
+
 def sign_bits(a: Column, n_bits: int, offset: int = 0) -> Column:
     """Random-hyperplane LSH key, basis-vector variant: the sign pattern of
     coordinates ``[offset, offset + n_bits)`` packed into a BIGINT.

@@ -384,6 +384,62 @@ def ivf_topk(
     )
 
 
+def _rp_keyed(
+    df: DataFrame,
+    bands: int,
+    bits: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, band0..band{bands-1}) with quantized random-projection
+    sign keys — the sign-LSH ladder's past-the-dim-clamp key path
+    (round-9 verdict item 1, coded handoff).
+
+    One Arrow ``mapInPandas`` pass: components are quantized onto the
+    repo's exact-integer grid (clamp ±2048, floor * 2^20 → int64), then
+    ALL bands*bits plane dots are one int64 matmul against the
+    md5-derived weight matrix (vector.py::rp_weights_q). Integer
+    arithmetic is summation-order-free, so the keys are bit-identical
+    to the column-expression fold (vector.py::rp_sign_bits_q) and to
+    the DuckDB oracle's dynamic md5 weights — while an rp ladder level
+    (up to 868 planes at (31, 28)) costs one vectorized matmul per
+    batch instead of hundreds of codegen'd aggregate expressions.
+    Missing/NULL components contribute 0 (oracle: coalesce(x*w, 0));
+    a NULL embedding keys as the zero vector (all sign bits 1)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_planes = bands * bits
+    schema = StructType(
+        [df.schema[id_col], df.schema[vec_col]]
+        + [StructField(f"band{b}", LongType(), False) for b in range(bands)]
+    )
+
+    def mapper(batches):
+        import numpy as np
+
+        W = V.rp_weight_matrix_q(n_planes, dim)  # (planes, dim) int64
+        pw = 1 << np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            X = np.zeros((len(pdf), dim), dtype=np.float64)
+            for r, v in enumerate(pdf[vec_col].to_numpy()):
+                if v is None:
+                    continue  # NULL embedding -> zero vector
+                a = np.asarray(v, dtype=np.float64)[:dim]
+                X[r, : len(a)] = np.nan_to_num(a, nan=0.0)
+            Xq = np.floor(np.clip(X, -V.QUANT_CLAMP, V.QUANT_CLAMP) * float(V.QUANT_SCALE)).astype(np.int64)
+            sgn = (Xq @ W.T) >= 0  # exact int64 dots
+            out = pdf[[id_col, vec_col]].copy()
+            for b in range(bands):
+                out[f"band{b}"] = pd.Series(
+                    sgn[:, b * bits : (b + 1) * bits] @ pw, index=pdf.index
+                )
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(mapper, schema)
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -392,6 +448,7 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    key: str = "auto",
 ) -> DataFrame:
     """Embedding near-duplicate pairs via banded sign-LSH + cosine confirm.
 
@@ -408,8 +465,18 @@ def lsh_near_dup_pairs(
     ~8 vectors/bucket, clamped at bands*bits <= dim; at sf1 that is
     (4 bands, 12 bits) = 197k candidates (8x fewer) with AND/OR recall
     at the cosine-0.95 near-dup design point RISING (0.73 vs 0.67).
-    Past the dim clamp the scale path is :func:`rp_lsh_topk`'s
-    rp_sign_bits (random projections — unbounded plane count).
+    Past the dim clamp (> ~32k vectors at the default occupancy target)
+    the ladder KEEPS GOING on random-projection sign bits
+    (lsh_scale.py::sign_schedule_full rp levels; keys via
+    :func:`_rp_keyed`'s quantized int64 matmul against md5-derived
+    hyperplanes) — band counts there hold the cos-0.95 design-point
+    recall at ~0.8 while candidates stay ~ bands * occ/2 * N, linear in
+    N at every level.
+
+    ``key`` selects the key family: "auto" (default) follows the
+    ladder level's own family; "coord" / "rp" force one — explicit
+    (bands, bits) default to the historical coordinate keys unless
+    key="rp".
 
     Recall/cost dial: more bands -> higher recall, more candidates.
     With near-orthogonal random embeddings recall at moderate thresholds
@@ -419,22 +486,30 @@ def lsh_near_dup_pairs(
     """
     if (bands is None) != (bits is None):
         raise ValueError("pass both bands and bits, or neither (corpus-scaled auto)")
+    if key not in ("auto", "coord", "rp"):
+        raise ValueError(f"key must be auto|coord|rp, got {key!r}")
+    rp = key == "rp"
     if bands is None:
-        bands, bits = LS.sign_params(C.memo_count(df), dim)
+        bands, bits, auto_rp = LS.sign_params(C.memo_count(df), dim)
+        if key == "auto":
+            rp = auto_rp
     # Persisted base projection (id, vec, band keys) = ONE scan of the
     # input relation; bands flattened to rows with stack() so candidate
     # generation is a single (band, key) hash self-join — an OR-of-bands
     # predicate would degrade to a nested-loop cross join, the quadratic
     # shape this operator exists to avoid, and a per-band union of joins
     # would re-evaluate the projection per band without the persist.
-    keyed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        *[
-            V.sign_bits(F.col(vec_col), bits, offset=b * bits).alias(f"band{b}")
-            for b in range(bands)
-        ],
-    )
+    if rp:
+        keyed = _rp_keyed(df, bands, bits, dim, id_col, vec_col)
+    else:
+        keyed = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            *[
+                V.sign_bits(F.col(vec_col), bits, offset=b * bits).alias(f"band{b}")
+                for b in range(bands)
+            ],
+        )
     keyed = C.track(keyed)
     pairs = ", ".join(f"{b}, band{b}" for b in range(bands))
     stacked = keyed.selectExpr(id_col, f"stack({bands}, {pairs}) AS (band, key)")

@@ -820,28 +820,77 @@ def q_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_sql(
-    target_occ: int = LS.SIGN_TARGET_OCC, dim: int = 64, threshold: float = 0.4
+    target_occ: int = LS.SIGN_TARGET_OCC,
+    dim: int = 64,
+    threshold: float = 0.4,
+    min_bits: int = LS.SIGN_MIN_BITS,
+    rp_levels: int = LS.SIGN_RP_LEVELS,
 ) -> str:
     """embedding_near_dup_lsh oracle at arbitrary (target_occ, dim,
-    threshold) — the catalog registers the shipped literals; the
-    config-fuzz lane rebuilds both engines at random target_occ to
-    exercise the sign-LSH occupancy ladder's non-default branches."""
+    threshold, min_bits) — the catalog registers the shipped literals;
+    the config-fuzz lane rebuilds both engines at random
+    target_occ/min_bits to exercise the sign-LSH occupancy ladder's
+    non-default branches, INCLUDING the random-projection levels past
+    the bands*bits <= dim clamp.
+
+    Two key branches gated by the staircase's ``rp`` flag:
+
+    - coordinate levels (rp=0): the historical per-coordinate sign
+      keys — text and values unchanged at the driver SFs.
+    - rp levels (rp=1): the weights are computed IN SQL from the same
+      md5 strings as vector.py::rp_weights_q (one row per plane, not
+      per vector), components are quantized onto the repo's exact
+      2^-20 integer grid, and each plane dot is an exact int64
+      list_sum — summation-order-free, so it matches Spark's numpy
+      matmul bit-for-bit without embedding thousands of weight
+      literals in the oracle text. Missing components contribute 0
+      (coalesce), mirroring the Spark side's zero-padding.
+    """
+    cos = _COS.replace("qv", "x.embedding").replace("cv", "y.embedding")
     return f"""
-    WITH {LS.sign_param_cte("SELECT count(*) FROM embeddings", dim=dim, target_occ=target_occ)},
+    WITH {LS.sign_param_cte("SELECT count(*) FROM embeddings", dim=dim, target_occ=target_occ, min_bits=min_bits, rp_levels=rp_levels)},
     ke AS (SELECT vec_id, embedding, unnest(range(spp.nb)) AS band
-           FROM embeddings, spp),
-    keyed AS (
+           FROM embeddings, spp WHERE spp.rp = 0),
+    keyed_c AS (
       SELECT vec_id, band,
              list_sum([CASE WHEN embedding[band * spp.bits + i + 1] >= 0
                             THEN 1 << i ELSE 0 END
                        FOR i IN range(spp.bits)])::BIGINT AS key
       FROM ke, spp),
+    pl AS (SELECT unnest(range(spp.nb * spp.bits)) AS plane FROM spp WHERE spp.rp = 1),
+    rpw AS (
+      SELECT pl.plane,
+             list(2 * strpos('0123456789abcdef',
+                    substr(md5('rp|' || pl.plane::VARCHAR || '|' || (t.i // 32)::VARCHAR),
+                           (t.i % 32) + 1, 1)) - 17 ORDER BY t.i) AS wq
+      FROM pl, range({dim}) t(i) GROUP BY pl.plane),
+    eq AS (
+      -- explicit NULL gate: DuckDB's greatest() SKIPS NULLs (a NULL
+      -- component would clamp to -2048 instead of staying NULL for
+      -- the coalesce-to-0 convention in bitsl)
+      SELECT vec_id, embedding,
+             [CASE WHEN embedding[i + 1] IS NULL THEN NULL
+                   ELSE floor(least(greatest(embedding[i + 1]::DOUBLE, -2048.0),
+                                    2048.0) * 1048576)::BIGINT END
+              FOR i IN range({dim})] AS xq
+      FROM embeddings, spp WHERE spp.rp = 1),
+    bitsl AS (
+      SELECT e.vec_id, w.plane,
+             CASE WHEN list_sum([coalesce(e.xq[i + 1] * w.wq[i + 1], 0)
+                                 FOR i IN range({dim})]) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM eq e CROSS JOIN rpw w),
+    keyed_r AS (
+      SELECT vec_id, plane // spp.bits AS band,
+             sum(bit * (1::BIGINT << (plane % spp.bits)))::BIGINT AS key
+      FROM bitsl, spp GROUP BY vec_id, plane // spp.bits),
+    keyed AS (SELECT * FROM keyed_c UNION ALL SELECT * FROM keyed_r),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM keyed a JOIN keyed b
         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
     scored AS (
-      SELECT id_a, id_b, {_COS.replace('qv', 'x.embedding').replace('cv', 'y.embedding')} AS cosine
+      SELECT id_a, id_b, {cos} AS cosine
       FROM cand JOIN embeddings x ON x.vec_id = id_a
                 JOIN embeddings y ON y.vec_id = id_b)
     SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
@@ -868,8 +917,13 @@ def embedding_near_dup_sql(
         "cosine stratum, (2,8) → (4,12): 0.8s: 0.26 → 0.18; 0.7s: "
         "0.16 → 0.09; 0.4s: 0.05 → 0.015 — loose-threshold retrieval "
         "belongs to ann_topk_*, not the near-dup miner. Past "
-        "bands*bits = dim the documented handoff is rp_sign_bits "
-        "(unbounded plane count)."
+        "bands*bits = dim (> ~32k vectors at occ 8) the ladder is CODED "
+        "to continue on random-projection sign bits: quantized int64 "
+        "matmul keys against md5-derived hyperplanes (one Arrow "
+        "mapInPandas pass), band counts holding cos-0.95 design recall "
+        "≈ 0.8 per level — (7,14) → … → (31,28), firing thresholds "
+        "8·2^12 … 8·2^26; the oracle mirrors the whole rule (staircase "
+        "+ in-SQL md5 weights + exact-integer dots)."
     ),
     tags=("similarity", "extension", "lsh"),
 )

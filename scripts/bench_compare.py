@@ -179,6 +179,15 @@ def main() -> None:
                 f"EQUIVALENT: median ratio {med:.2f}, "
                 f"p10-p90 {p10:.2f}-{p90:.2f}, no outliers"
             )
+        # cross-ROUND verdicts quote the RULER-NORMALIZED median
+        # (round-9 verdict item 4: cross-day totals on this host class
+        # are only comparable through the ruler) — appended to every
+        # branch, not just the uniform-shift one
+        if ruler_ratio:
+            verdict += (
+                f" | ruler-normalized median {med / ruler_ratio:.2f} "
+                f"(host ratio {ruler_ratio:.2f})"
+            )
         print(f"\nverdict: {verdict}")
 
 

@@ -123,7 +123,25 @@ def _cases(seed: int):
 
     yield (
         "sign_lsh_scaled",
-        {"target_occ": int(round(math.exp(rng.uniform(0.0, math.log(64)))))},
+        {
+            "target_occ": int(round(math.exp(rng.uniform(0.0, math.log(64))))),
+            "dim": 64,
+            "min_bits": 8,
+        },
+    )
+    # rp-region draw: a small coordinate budget (dim) + narrow min_bits
+    # makes the ladder exhaust its coordinate levels well under the
+    # sf0.01 corpus size, so the RANDOM-PROJECTION levels (rp=1 branch
+    # of the staircase, md5-weight keys) fire and get Spark/DuckDB
+    # hash-checked — unreachable at the shipped dim=64 below ~32k
+    # vectors (round-10 ladder handoff).
+    yield (
+        "sign_lsh_scaled",
+        {
+            "target_occ": rng.randint(1, 4),
+            "dim": rng.choice([8, 16]),
+            "min_bits": 2,
+        },
     )
 
 
@@ -238,11 +256,21 @@ def _run_scaled_case(spark, sf_dir: str, name: str, knobs: dict):
     try:
         if name == "sign_lsh_scaled":
             emb = load_table(spark, "embeddings", sf_dir)
-            bands, bits = LS.sign_params(emb.count(), target_occ=knobs["target_occ"])
+            dim, min_bits = knobs.get("dim", 64), knobs.get("min_bits", 8)
+            bands, bits, rp = LS.sign_params(
+                emb.count(), dim=dim, target_occ=knobs["target_occ"], min_bits=min_bits
+            )
             sdf = S.lsh_near_dup_pairs(
-                emb, threshold=0.4, bands=bands, bits=bits
+                emb,
+                threshold=0.4,
+                bands=bands,
+                bits=bits,
+                dim=dim,
+                key="rp" if rp else "coord",
             ).toPandas()
-            return sdf, embedding_near_dup_sql(target_occ=knobs["target_occ"])
+            return sdf, embedding_near_dup_sql(
+                target_occ=knobs["target_occ"], dim=dim, min_bits=min_bits
+            )
         docs, base, step, fam, nh, nb = _md5_case_params(spark, sf_dir, name, knobs)
         if fam == "word":
             sdf = D.minhash_near_dups(

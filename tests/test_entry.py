@@ -36,8 +36,15 @@ def test_rotation_ranks_non_hash_green_first():
     outrank every hash-green one, or a newly-oracled query waits a full
     rotation for its first hash check (round-6 verdict item 1)."""
     last = entrymod._last_verified_round()
+    current_fp = entrymod._content_fingerprints()
+    recorded_fp = entrymod._recorded_fingerprints()
     names = list(entrymod.queries())
-    greens = [last.get(n, (-1, False))[1] for n in names]
+    # effective green = artifact hash-green AND definition unchanged
+    # since the fingerprint that check certified (round-9 verdict #2)
+    greens = [
+        last.get(n, (-1, False))[1] and recorded_fp.get(n) == current_fp.get(n)
+        for n in names
+    ]
     # all non-green entries form a contiguous prefix
     if True in greens:
         first_green = greens.index(True)
@@ -49,3 +56,29 @@ def test_rotation_ranks_non_hash_green_first():
     for cls in (False, True):
         rounds = [last.get(n, (-1, False))[0] for n, g in zip(names, greens) if g is cls]
         assert rounds == sorted(rounds)
+
+
+def test_rotation_ranks_changed_definition_first(monkeypatch):
+    """An entry whose definition (oracle SQL + query source) changed
+    since its last hash-green driver check must sort with the
+    never-checked ones — a green round rank is only as current as the
+    code it certified (round-9 verdict item 2: the ladder-rewritten
+    LSH queries waited a full rotation for their new oracles' first
+    hard check)."""
+    current = entrymod._content_fingerprints()
+    last = entrymod._last_verified_round()
+    green = [n for n in current if last.get(n, (-1, False))[1]]
+    if len(green) < 2:
+        import pytest
+
+        pytest.skip("needs >= 2 hash-green entries")
+    victim, others = green[0], green[1:]
+    # recorded snapshot: every green entry current EXCEPT the victim,
+    # whose recorded fingerprint predates a rewrite
+    fake = {n: current[n] for n in others}
+    fake[victim] = "0" * 32
+    monkeypatch.setattr(entrymod, "_recorded_fingerprints", lambda: fake)
+    names = list(entrymod.queries())
+    assert names.index(victim) < min(names.index(o) for o in others), (
+        "changed-definition entry did not outrank unchanged hash-green ones"
+    )

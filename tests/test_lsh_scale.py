@@ -52,17 +52,53 @@ def test_minhash_schedule_midpoint_preserving():
 
 def test_sign_schedule_dim64():
     assert LS.sign_schedule(64) == [(2, 8), (3, 10), (4, 12), (5, 12)]
-    # every level fits the coordinate budget
+    # every coordinate level fits the coordinate budget
     assert all(b * w <= 64 for b, w in LS.sign_schedule(64))
 
 
+def test_sign_schedule_full_dim64():
+    # coordinate levels then the random-projection continuation whose
+    # band counts hold the cos-0.95 design-point AND/OR recall >= 0.8
+    # (ceil(log(0.2)/log(1 - p^bits)), p = 1 - acos(0.95)/pi ~ 0.899)
+    assert LS.sign_schedule_full(64) == [
+        (2, 8, False), (3, 10, False), (4, 12, False), (5, 12, False),
+        (7, 14, True), (9, 16, True), (11, 18, True), (13, 20, True),
+        (16, 22, True), (20, 24, True), (25, 26, True), (31, 28, True),
+    ]
+    # rp levels hold the design point: recompute the recall each band
+    # count was chosen for and check the floor
+    import math
+
+    p = 1.0 - math.acos(LS.SIGN_DESIGN_COS) / math.pi
+    for b, w, rp in LS.sign_schedule_full(64):
+        if rp:
+            assert 1.0 - (1.0 - p ** w) ** b >= LS.SIGN_DESIGN_RECALL, (b, w)
+    # bands strictly increase, bits pack into a BIGINT
+    full = LS.sign_schedule_full(64)
+    assert all(a[0] < b[0] for a, b in zip(full, full[1:]) if b[2])
+    assert all(w <= 62 for _, w, _ in full)
+
+
+def test_sign_schedule_empty_raises():
+    with pytest.raises(ValueError, match="dim=15"):
+        LS.sign_schedule(15, 8)
+    with pytest.raises(ValueError, match="schedule empty"):
+        LS.sign_params(100, dim=10, min_bits=8)
+
+
 def test_sign_params_fires_at_sf1_not_before():
-    assert LS.sign_params(500) == (2, 8)
-    assert LS.sign_params(2_000) == (2, 8)  # sf0.1 embeddings
-    assert LS.sign_params(2_048) == (2, 8)  # boundary: occ == target
-    assert LS.sign_params(2_049) == (3, 10)
-    assert LS.sign_params(20_000) == (4, 12)  # sf1 embeddings
-    assert LS.sign_params(10 ** 9) == (5, 12)  # terminal clamp at dim 64
+    assert LS.sign_params(500) == (2, 8, False)
+    assert LS.sign_params(2_000) == (2, 8, False)  # sf0.1 embeddings
+    assert LS.sign_params(2_048) == (2, 8, False)  # boundary: occ == target
+    assert LS.sign_params(2_049) == (3, 10, False)
+    assert LS.sign_params(20_000) == (4, 12, False)  # sf1 embeddings
+    # past the coordinate clamp the rp continuation takes over (the
+    # round-9 terminal (5,12) is superseded: its firing threshold
+    # equals (7,14)'s, so the ladder steps straight through it)
+    assert LS.sign_params(32_768) == (4, 12, False)
+    assert LS.sign_params(32_769) == (7, 14, True)
+    assert LS.sign_params(200_000) == (9, 16, True)  # the demo corpus
+    assert LS.sign_params(10 ** 9) == (31, 28, True)  # deepest rp level
 
 
 # ---------------------------------------------------------------------
@@ -96,11 +132,21 @@ def test_md5_param_cte_twin():
 
 def test_sign_param_cte_twin():
     cte = LS.sign_param_cte("(SELECT n FROM probe)")
-    for n in (1, 2_000, 2_048, 2_049, 8_192, 8_193, 20_000, 32_768, 32_769, 10 ** 9):
+    for n in (1, 2_000, 2_048, 2_049, 8_192, 8_193, 20_000, 32_768, 32_769,
+              200_000, 2 ** 23, 10 ** 9):
         got = duckdb.sql(
-            f"WITH probe AS (SELECT {n} AS n), {cte} SELECT nb, bits FROM spp"
+            f"WITH probe AS (SELECT {n} AS n), {cte} SELECT nb, bits, rp FROM spp"
         ).fetchone()
-        assert tuple(got) == LS.sign_params(n), n
+        assert (got[0], got[1], bool(got[2])) == LS.sign_params(n), n
+
+
+def test_sign_param_cte_single_level_plain_literals():
+    # a one-level schedule must emit plain literals — a CASE with zero
+    # WHEN arms is a DuckDB parse error (round-9 ADVICE item 1)
+    cte = LS.sign_param_cte("1", dim=16, rp_levels=0)
+    assert "CASE" not in cte
+    got = duckdb.sql(f"WITH {cte} SELECT nb, bits, rp FROM spp").fetchone()
+    assert (got[0], got[1], bool(got[2])) == LS.sign_params(1, dim=16, rp_levels=0)
 
 
 def test_param_overrides_reach_sql():
@@ -109,7 +155,7 @@ def test_param_overrides_reach_sql():
         300, base=50, step=4
     ) == 1
     cte = LS.sign_param_cte("600", target_occ=2)
-    assert tuple(duckdb.sql(f"WITH {cte} SELECT nb, bits FROM spp").fetchone()) == (
+    assert tuple(duckdb.sql(f"WITH {cte} SELECT nb, bits, rp FROM spp").fetchone()) == (
         LS.sign_params(600, target_occ=2)
     )
 
@@ -247,8 +293,8 @@ def test_forced_sign_ladder_spark_oracle_parity(spark):
         {"vec_id": range(n), "embedding": [x.astype("float64").tolist() for x in X]}
     )
     target_occ = 2  # forces (4, 12) at n=600: 600 > 2*256 and > 2*1024? no ->
-    bands, bits = LS.sign_params(n, target_occ=target_occ)
-    assert (bands, bits) != (2, 8)
+    bands, bits, rp = LS.sign_params(n, target_occ=target_occ)
+    assert (bands, bits) != (2, 8) and not rp
 
     sdf = spark.createDataFrame(pdf)
     got = (
@@ -278,3 +324,155 @@ def test_forced_sign_ladder_spark_oracle_parity(spark):
     want = con.execute(sql).df()
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------
+# Random-projection continuation (round-10: the coded handoff past the
+# coordinate bands*bits <= dim clamp)
+# ---------------------------------------------------------------------
+
+
+def test_rp_weights_q_twin_of_float_weights():
+    """rp_weights_q is exactly 2x rp_weights elementwise — same
+    hyperplane directions (positive scaling never flips a sign)."""
+    from flink_start_spark.functions import vector as V
+
+    for plane in (0, 1, 97, 867):
+        f = V.rp_weights(plane, 64)
+        q = V.rp_weights_q(plane, 64)
+        assert q == [int(2 * x) for x in f]
+        assert all(isinstance(w, int) and -15 <= w <= 15 for w in q)
+
+
+def test_rp_weights_q_sql_twin():
+    """The oracle computes the SAME integer weights dynamically in SQL
+    (md5 + strpos over the hex alphabet) — no literal embedding."""
+    from flink_start_spark.functions import vector as V
+
+    got = duckdb.sql(
+        """
+        SELECT p.plane,
+               list(2 * strpos('0123456789abcdef',
+                      substr(md5('rp|' || p.plane::VARCHAR || '|' || (t.i // 32)::VARCHAR),
+                             (t.i % 32) + 1, 1)) - 17 ORDER BY t.i) AS wq
+        FROM range(5) p(plane), range(64) t(i) GROUP BY p.plane ORDER BY p.plane
+        """
+    ).fetchall()
+    for plane, wq in got:
+        assert list(wq) == V.rp_weights_q(plane, 64), plane
+
+
+def test_rp_keyed_mapper_matches_column_expression(spark):
+    """The numpy int64-matmul key path (_rp_keyed) and the codegen'd
+    column fold (rp_sign_bits_q over quantize_embedding) must produce
+    IDENTICAL keys — both are exact integer arithmetic, so any split
+    is a bug, not float noise."""
+    import numpy as np
+
+    from flink_start_spark.functions import vector as V
+    from flink_start_spark.operators.similarity import _rp_keyed
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((200, 64))
+    pdf = pd.DataFrame(
+        {"vec_id": range(200), "embedding": [x.tolist() for x in X]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    bands, bits = 3, 14
+    got = (
+        _rp_keyed(sdf, bands, bits, 64, "vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    xq = V.quantize_embedding(F.col("embedding"))
+    want = (
+        sdf.select(
+            "vec_id",
+            *[
+                V.rp_sign_bits_q(xq, bits, 64, offset=b * bits).alias(f"band{b}")
+                for b in range(bands)
+            ],
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    for b in range(bands):
+        assert list(got[f"band{b}"]) == list(want[f"band{b}"]), b
+
+
+def test_forced_rp_level_spark_oracle_parity(spark):
+    """Full pipeline Spark-vs-DuckDB hash parity on an ACTIVE rp level:
+    min_bits=2 / target_occ=1 exhaust the coordinate ladder at n=2000,
+    so sign_params lands on a random-projection level and both engines
+    must agree on md5-derived hyperplanes, quantized integer dots, and
+    the banded join."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    X = rng.standard_normal((n, 64))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    for i in range(0, 100, 2):  # 50 planted near-dup pairs
+        X[i + 1] = X[i] * 0.98 + X[i + 1] * 0.02
+        X[i + 1] /= np.linalg.norm(X[i + 1])
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [x.tolist() for x in X]}
+    )
+    target_occ, dim, min_bits = 1, 64, 2
+    bands, bits, rp = LS.sign_params(
+        n, dim=dim, target_occ=target_occ, min_bits=min_bits
+    )
+    assert rp  # the point of the test
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        S.lsh_near_dup_pairs(
+            sdf, threshold=0.4, bands=bands, bits=bits, dim=dim, key="rp"
+        )
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    C.release()
+
+    from flink_start_spark.plans.extensions import embedding_near_dup_sql
+
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = con.execute(
+        embedding_near_dup_sql(target_occ=target_occ, dim=dim, min_bits=min_bits)
+        + " ORDER BY id_a, id_b"
+    ).df()
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-6, atol=1e-6)
+
+
+def test_rp_levels_hold_design_recall_numpy():
+    """Planted cos~0.95 pairs in an isotropic corpus collide at >= ~0.75
+    of the theoretical 0.8 design recall at EVERY rp level the ladder
+    can reach (the +1-band flat rule the design-recall band counts
+    replaced decays to ~0.49 by 28 bits). Pure numpy twin of the
+    quantized rp keys — same weights, same quantization."""
+    import numpy as np
+
+    from flink_start_spark.functions import vector as V
+
+    rng = np.random.default_rng(42)
+    n, dim = 4000, 64
+    X = rng.standard_normal((n, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    Y = X[:500] + 0.041 * rng.standard_normal((500, dim))
+    Y /= np.linalg.norm(Y, axis=1, keepdims=True)
+    A = np.vstack([X, Y])
+    Aq = np.floor(np.clip(A, -2048.0, 2048.0) * 1048576.0).astype(np.int64)
+
+    for bands, bits, rp in LS.sign_schedule_full(64):
+        if not rp:
+            continue
+        W = V.rp_weight_matrix_q(bands * bits, dim)
+        sgn = (Aq @ W.T) >= 0
+        pw = 1 << np.arange(bits, dtype=np.int64)
+        hit = np.zeros(500, dtype=bool)
+        for b in range(bands):
+            k = sgn[:, b * bits : (b + 1) * bits] @ pw
+            hit |= k[:500] == k[n : n + 500]
+        assert hit.mean() >= 0.72, (bands, bits, hit.mean())
