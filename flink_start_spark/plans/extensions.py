@@ -932,6 +932,51 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_near_dup_pairs(emb, threshold=0.4)
 
 
+#: the rp-probe's ladder overrides: a 16-coordinate key budget with
+#: 2-bit starting width exhausts the coordinate levels by n=16, so the
+#: RANDOM-PROJECTION branch is the active one at every driver SF
+#: (sf0.001 (5,6) … sf1 (9,14)) — the shipped dim=64 ladder only
+#: reaches rp past ~32k vectors, beyond the driver's corpora.
+_RP_PROBE = {"target_occ": 1, "dim": 16, "min_bits": 2}
+
+
+@_register(
+    "embedding_near_dup_rp",
+    embedding_near_dup_sql(**_RP_PROBE),
+    description=(
+        "Continuous driver-checked probe of the sign-LSH ladder's "
+        "random-projection levels (round-10 coded handoff): same "
+        "operator as embedding_near_dup_lsh but with a deliberately "
+        "small coordinate budget (dim=16, min_bits=2, occ 1) so the "
+        "count(*) staircase lands on an rp level at EVERY driver SF — "
+        "the md5-derived integer hyperplanes, 2^-20 quantized int64 "
+        "matmul keys (one Arrow mapInPandas pass), and the oracle's "
+        "in-SQL weight computation are hash-checked each rotation, not "
+        "only in pytest. Keys read the first 16 components; the cosine "
+        "confirm stage uses the full embedding, so output pairs are "
+        "true cos >= 0.4 near-dups under a recall profile set by the "
+        "probe widths."
+    ),
+    tags=("similarity", "extension", "lsh"),
+)
+def q_embedding_near_dup_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    bands, bits, rp = LS.sign_params(
+        C.memo_count(emb),
+        dim=_RP_PROBE["dim"],
+        target_occ=_RP_PROBE["target_occ"],
+        min_bits=_RP_PROBE["min_bits"],
+    )
+    return S.lsh_near_dup_pairs(
+        emb,
+        threshold=0.4,
+        bands=bands,
+        bits=bits,
+        dim=_RP_PROBE["dim"],
+        key="rp" if rp else "coord",
+    )
+
+
 # ---------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------
