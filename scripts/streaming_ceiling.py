@@ -1,26 +1,40 @@
-"""Find each streaming family's TRUE capacity ceiling (round-9 verdict
-item 5): round 9 left all 10 families input-bound at the 2M rows/s
-generator, which makes 2M a lower bound, not a measurement.
+"""Measure each streaming family's TRUE capacity ceiling (round-9
+verdict item 5): round 9 left all 10 families input-bound at the 2M
+rows/s wall-clock rate source, which makes 2M a lower bound, not a
+measurement.
 
     python scripts/streaming_ceiling.py [--seconds N] [--families a,b]
+    python scripts/streaming_ceiling.py --one <family> <rows_per_batch> <seconds>
 
-Per family, a rate LADDER (2M -> 4M -> 8M -> 16M rows/s) runs until the
-family stops keeping up with the generator (input_bound flips false) —
-that measured steady-state rate is the knee. A bare source->noop
-"passthrough" lane runs first: any family whose knee matches it is
-bounded by source+projection, not its stateful stage; below that the
-bottleneck is named by the family's execution class (JVM windowed
-aggregation / RocksDB vs Arrow applyInPandasWithState vs foreachBatch
-store rewrite).
+Design (second iteration — the first used a wall-clock `rate` ladder
+and OOM-killed the shared JVM: with no batch cap, a family slower than
+the configured rate accrues an unbounded backlog, and a 16M rows/s
+window means a several-hundred-million-row catch-up batch):
+
+- **`rate-micro-batch` source**: every micro-batch carries EXACTLY
+  rows_per_batch rows and event time advances 1 s per batch, so state
+  is bounded, there is no backlog, and measured rows/sec = processing
+  capacity directly — no input-bound ambiguity, no ladder needed.
+  rows_per_batch doubles (2M → 4M → 8M) until the mean batch takes
+  >= 1 s, so trigger overhead is out of the number.
+- **Per-family subprocess isolation** (`--one` recursion): a family
+  that kills its JVM cannot take the rest of the sweep with it.
+- **Attribution**: a bare source→noop `passthrough` lane measures the
+  harness ceiling; a family within 0.85 of it is source-capped, below
+  that the bottleneck is the family's own stage, named by execution
+  class (JVM windowed aggregation / RocksDB vs Arrow
+  applyInPandasWithState vs foreachBatch store rewrite).
 
 Writes BENCH_STREAMING.json (same `families.<name>.rows_per_sec` shape
-bench.py's full-run embed reads, plus `ladder`/`knee`/`bottleneck`).
+bench.py's full-run embed reads, plus per-family `rows_per_batch`,
+`steady_batches`, `mean_batch_sec`, `bottleneck`).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -28,16 +42,138 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import bench as B  # noqa: E402
-from flink_start_spark.session import get_spark  # noqa: E402
-
-RATES = [2_000_000, 4_000_000, 8_000_000, 16_000_000]
-
 #: families whose stateful stage is an Arrow-batched python worker
 PANDAS_FAMILIES = {"quantiles", "drift_psi", "heavy_hitters", "count_trigger"}
 
+FAMILIES = [
+    "passthrough",
+    "tumbling",
+    "keyed_tumbling",
+    "sliding",
+    "session_windows",
+    "dedup_within_watermark",
+    "quantiles",
+    "drift_psi",
+    "heavy_hitters",
+    "count_trigger",
+    "upsert",
+]
 
-def _measure(q, seconds: int, rate: int) -> dict:
+BATCH_SIZES = [2_000_000, 4_000_000, 8_000_000]
+
+
+def _mb_events(spark, rows_per_batch: int):
+    """rate-micro-batch source mapped onto the event shape the
+    streaming operators consume — same columns as bench._rate_events,
+    but with a FIXED per-batch row count and event time advancing 1 s
+    per batch (bounded state, zero backlog)."""
+    from pyspark.sql import functions as F
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("advanceMillisPerBatch", 1000)  # event time: 1 s/batch
+        .option("numPartitions", parts)
+        .load()
+    )
+    types = F.array(
+        *[
+            F.lit(t)
+            for t in (
+                "view", "click", "signup", "purchase", "login", "logout", "register",
+            )
+        ]
+    )
+    return src.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50000).alias("user_id"),
+        F.element_at(types, (F.col("value") % 7 + 1).cast("int")).alias("activity"),
+        F.element_at(types, (F.col("value") % 7 + 1).cast("int")).alias("event_type"),
+        (F.col("value") % 1100).cast("double").alias("value"),
+    )
+
+
+def _build_query(spark, name: str, rows_per_batch: int):
+    """Start the family's streaming query against the micro-batch
+    source; returns the StreamingQuery."""
+    import bench as B
+
+    ev = _mb_events(spark, rows_per_batch)
+    if name == "passthrough":
+        ckpt = tempfile.mkdtemp(prefix="sceil_pt_")
+        return (
+            ev.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    if name == "upsert":
+        from flink_start_spark.streaming.upsert import latest_per_key
+
+        store_dir = tempfile.mkdtemp(prefix="sceil_upsert_store_")
+        store = os.path.join(store_dir, "store.parquet")
+        ckpt = tempfile.mkdtemp(prefix="sceil_upsert_ckpt_")
+
+        def _merge(batch, batch_id):
+            import glob as _glob
+            import os as _os
+            import shutil as _shutil
+
+            upd = latest_per_key(batch, ["user_id"], ["event_id"])
+            tmp = store + "._tmp"
+            if _os.path.exists(store) and _glob.glob(_os.path.join(store, "part-*")):
+                cur = spark.read.parquet(store).select(*upd.columns)
+                merged = latest_per_key(
+                    cur.unionByName(upd), ["user_id"], ["event_id"]
+                )
+            else:
+                merged = upd
+            merged.write.mode("overwrite").parquet(tmp)
+            if _os.path.exists(store):
+                _shutil.rmtree(store)
+            _os.rename(tmp, store)
+
+        return (
+            ev.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    # stateful families share bench.py's builders; monkey-patch the
+    # source factory so they read the micro-batch source instead of
+    # the wall-clock rate source
+    orig = B._rate_events
+    B._rate_events = lambda s, rps: _mb_events(s, rows_per_batch)
+    try:
+        build, mode = B._throughput_builders(spark, rows_per_batch)[name]
+        ckpt = tempfile.mkdtemp(prefix=f"sceil_{name}_")
+        return (
+            build()
+            .writeStream.format("noop")
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    finally:
+        B._rate_events = orig
+
+
+def _one(name: str, rows_per_batch: int, seconds: int) -> None:
+    """Subprocess body: measure ONE family at one batch size and print
+    a single JSON line."""
+    import bench as B
+    from flink_start_spark.session import get_spark
+
+    spark = get_spark("streaming_ceiling")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", B.ROCKSDB_PROVIDER
+    )
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    q = _build_query(spark, name, rows_per_batch)
     err = None
     try:
         time.sleep(seconds)
@@ -51,130 +187,97 @@ def _measure(q, seconds: int, rate: int) -> dict:
         q.stop()
         q.awaitTermination(60)
     if err is not None:
-        return {"rate": rate, "rows_per_sec": None, "error": err[:400]}
+        print(json.dumps({"rows_per_sec": None, "error": err[:400]}))
+        return
     rps, n = B._steady_state_rows_per_sec(progresses)
-    return {
-        "rate": rate,
-        "rows_per_sec": rps,
-        "steady_batches": n,
-        "input_bound": bool(rps is not None and rps > 0.9 * rate),
-    }
-
-
-def _start_upsert(spark, rate: int):
-    from flink_start_spark.streaming.upsert import latest_per_key
-
-    store_dir = tempfile.mkdtemp(prefix="sceil_upsert_store_")
-    store = os.path.join(store_dir, "store.parquet")
-    ckpt = tempfile.mkdtemp(prefix="sceil_upsert_ckpt_")
-
-    def _merge(batch, batch_id):
-        import glob as _glob
-        import os as _os
-        import shutil as _shutil
-
-        upd = latest_per_key(batch, ["user_id"], ["event_id"])
-        tmp = store + "._tmp"
-        if _os.path.exists(store) and _glob.glob(_os.path.join(store, "part-*")):
-            cur = spark.read.parquet(store).select(*upd.columns)
-            merged = latest_per_key(cur.unionByName(upd), ["user_id"], ["event_id"])
-        else:
-            merged = upd
-        merged.write.mode("overwrite").parquet(tmp)
-        if _os.path.exists(store):
-            _shutil.rmtree(store)
-        _os.rename(tmp, store)
-
-    return (
-        B._rate_events(spark, rate)
-        .writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", ckpt)
-        .start()
+    durs = [
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in progresses
+        if p.get("numInputRows", 0) > 0
+        and p.get("durationMs", {}).get("triggerExecution")
+    ]
+    print(
+        json.dumps(
+            {
+                "rows_per_sec": rps,
+                "steady_batches": n,
+                "mean_batch_sec": round(sum(durs) / len(durs), 2) if durs else None,
+            }
+        )
     )
 
 
-def _ladder(spark, name: str, seconds: int) -> dict:
-    points = []
-    for rate in RATES:
-        if name == "passthrough":
-            ckpt = tempfile.mkdtemp(prefix=f"sceil_{name}_")
-            q = (
-                B._rate_events(spark, rate)
-                .writeStream.format("noop")
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-        elif name == "upsert":
-            q = _start_upsert(spark, rate)
-        else:
-            build, mode = B._throughput_builders(spark, rate)[name]
-            ckpt = tempfile.mkdtemp(prefix=f"sceil_{name}_")
-            q = (
-                build()
-                .writeStream.format("noop")
-                .outputMode(mode)
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-        pt = _measure(q, seconds, rate)
-        points.append(pt)
-        print(json.dumps({"family": name, **pt}), file=sys.stderr)
-        if pt.get("error") or not pt.get("input_bound"):
-            break
-    last = points[-1]
-    return {
-        "rows_per_sec": last.get("rows_per_sec"),
-        "input_bound": bool(last.get("input_bound")),
-        "knee_rate": last.get("rate"),
-        "ladder": points,
-        **({"error": last["error"]} if last.get("error") else {}),
-    }
+def _spawn(name: str, rows_per_batch: int, seconds: int) -> dict:
+    """Run one (family, batch size) measurement in an isolated python
+    subprocess; a JVM death there becomes an error record, not a sweep
+    abort."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--one",
+            name,
+            str(rows_per_batch),
+            str(seconds),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=seconds + 240,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+    return {"rows_per_sec": None, "error": " | ".join(tail)[:400]}
 
 
 def main() -> int:
-    seconds = 20
-    only = None
     argv = sys.argv[1:]
+    if argv and argv[0] == "--one":
+        _one(argv[1], int(argv[2]), int(argv[3]))
+        return 0
+
+    seconds = 30
+    only = None
     if "--seconds" in argv:
-        i = argv.index("--seconds")
-        seconds = int(argv[i + 1])
+        seconds = int(argv[argv.index("--seconds") + 1])
     if "--families" in argv:
-        i = argv.index("--families")
-        only = set(argv[i + 1].split(","))
+        only = set(argv[argv.index("--families") + 1].split(","))
+    load_start = round(os.getloadavg()[0], 2)  # before the sweep inflates it
 
-    spark = get_spark("streaming_ceiling")
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", B.ROCKSDB_PROVIDER
-    )
-    # python-worker pool warm-up (pandas-state families reuse it)
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: it, "id long"
-    ).write.format("noop").mode("overwrite").save()
-
-    names = ["passthrough"] + list(B._throughput_builders(spark, RATES[0])) + [
-        "upsert"
-    ]
-    if only:
-        names = [n for n in names if n in only or n == "passthrough"]
     results: dict[str, dict] = {}
-    for name in names:
-        results[name] = _ladder(spark, name, seconds)
+    for name in FAMILIES:
+        if only and name not in only and name != "passthrough":
+            continue
+        curve = []
+        for rpb in BATCH_SIZES:
+            pt = _spawn(name, rpb, seconds)
+            pt["rows_per_batch"] = rpb
+            curve.append(pt)
+            print(json.dumps({"family": name, **pt}), file=sys.stderr, flush=True)
+            if pt.get("error"):
+                break
+        # capacity = best point on the batch-size curve (per-batch
+        # fixed costs — planning, state-store commit — amortize with
+        # batch size; the curve shows where it flattens)
+        best = max(
+            (p for p in curve if p.get("rows_per_sec")),
+            key=lambda p: p["rows_per_sec"],
+            default=curve[-1],
+        )
+        results[name] = {**best, "curve": curve}
 
-    # bottleneck attribution
     pt_max = results.get("passthrough", {}).get("rows_per_sec") or float("inf")
     for name, rec in results.items():
         if name == "passthrough" or rec.get("error"):
             continue
         rps = rec.get("rows_per_sec")
-        if rec["input_bound"]:
-            rec["bottleneck"] = (
-                f"source (still input-bound at {rec['knee_rate']} rows/s)"
-            )
-        elif rps is not None and rps >= 0.85 * pt_max:
-            rec["bottleneck"] = (
-                "source+projection ceiling (knee matches passthrough)"
-            )
+        if rps is not None and rps >= 0.85 * pt_max:
+            rec["bottleneck"] = "source+projection ceiling (matches passthrough)"
         elif name in PANDAS_FAMILIES:
             rec["bottleneck"] = "python stateful stage (applyInPandasWithState)"
         elif name == "upsert":
@@ -184,12 +287,12 @@ def main() -> int:
 
     out = {
         "metric": "streaming_steady_state_rows_per_sec",
-        "mode": "rate_ladder",
-        "rates": RATES,
-        "rate_rows_per_sec": RATES[-1],
-        "seconds_per_family_per_rate": seconds,
+        "mode": "rate_micro_batch_capacity",
+        "batch_sizes": BATCH_SIZES,
+        "seconds_per_measurement": seconds,
         "state_store": "rocksdb",
-        "load_avg_start": round(os.getloadavg()[0], 2),
+        "load_avg_start": load_start,
+        "load_avg_end": round(os.getloadavg()[0], 2),
         "families": results,
     }
     with open(os.path.join(REPO, "BENCH_STREAMING.json"), "w") as f:
