@@ -257,19 +257,15 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def _rate_events(spark, rps: int):
-    """Map the rate source onto the event shape the streaming operators
-    consume (same columns the parquet fixtures carry): 7 activity
-    values, 50k distinct users, values in [0, 1100)."""
+def _event_shape(src):
+    """Project a rate-style source (value, timestamp) onto the event
+    shape the streaming operators consume (same columns the parquet
+    fixtures carry): 7 activity values, 50k distinct users, values in
+    [0, 1100). Shared by the wall-clock rate benches here and the
+    rate-micro-batch capacity sweep (scripts/streaming_ceiling.py) so
+    the two measurements can never drift onto different event shapes."""
     from pyspark.sql import functions as F
 
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    src = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", rps)
-        .option("numPartitions", parts)
-        .load()
-    )
     types = F.array(
         *[
             F.lit(t)
@@ -286,6 +282,18 @@ def _rate_events(spark, rps: int):
         F.element_at(types, (F.col("value") % 7 + 1).cast("int")).alias("event_type"),
         (F.col("value") % 1100).cast("double").alias("value"),
     )
+
+
+def _rate_events(spark, rps: int):
+    """Wall-clock rate source in the shared event shape."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rps)
+        .option("numPartitions", parts)
+        .load()
+    )
+    return _event_shape(src)
 
 
 def _throughput_builders(spark, rps: int):

@@ -396,21 +396,28 @@ def _rp_keyed(
     sign keys — the sign-LSH ladder's past-the-dim-clamp key path
     (round-9 verdict item 1, coded handoff).
 
-    One Arrow ``mapInPandas`` pass: components are quantized onto the
-    repo's exact-integer grid (clamp ±2048, floor * 2^20 → int64), then
-    ALL bands*bits plane dots are one int64 matmul against the
-    md5-derived weight matrix (vector.py::rp_weights_q). Integer
-    arithmetic is summation-order-free, so the keys are bit-identical
-    to the column-expression fold (vector.py::rp_sign_bits_q) and to
-    the DuckDB oracle's dynamic md5 weights — while an rp ladder level
+    Components are quantized onto the repo's exact-integer grid BY THE
+    SAME JVM EXPRESSION as the column fold (vector.py::
+    quantize_embedding — clamp ±2048, floor * 2^20 → int64), so every
+    edge semantic (NaN and ±inf clamp to +2048/-2048, a NULL element
+    stays NULL) is identical-by-construction to rp_sign_bits_q and to
+    the DuckDB oracle; a float-side re-quantization would diverge on
+    NaN (numpy can't tell an Arrow NULL element from a true NaN — both
+    arrive as NaN — while the engines clamp NaN and zero NULLs). The
+    Arrow ``mapInPandas`` pass then computes ALL bands*bits plane dots
+    as one int64 matmul against the md5-derived weight matrix
+    (vector.py::rp_weights_q). Integer arithmetic is summation-order-
+    free, so the keys are bit-identical to the column-expression fold
+    and to the oracle's dynamic md5 weights — while an rp ladder level
     (up to 868 planes at (31, 28)) costs one vectorized matmul per
     batch instead of hundreds of codegen'd aggregate expressions.
-    Missing/NULL components contribute 0 (oracle: coalesce(x*w, 0));
-    a NULL embedding keys as the zero vector (all sign bits 1)."""
+    NULL elements contribute 0 (oracle: coalesce(x*w, 0)); a NULL
+    embedding keys as the zero vector (all sign bits 1)."""
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
     n_planes = bands * bits
+    qcol = "__rp_q"
     schema = StructType(
         [df.schema[id_col], df.schema[vec_col]]
         + [StructField(f"band{b}", LongType(), False) for b in range(bands)]
@@ -422,13 +429,16 @@ def _rp_keyed(
         W = V.rp_weight_matrix_q(n_planes, dim)  # (planes, dim) int64
         pw = 1 << np.arange(bits, dtype=np.int64)
         for pdf in batches:
-            X = np.zeros((len(pdf), dim), dtype=np.float64)
-            for r, v in enumerate(pdf[vec_col].to_numpy()):
+            # pre-quantized longs; NULL elements surface as NaN after
+            # Arrow's float64 promotion and mean "0 contribution" (the
+            # rp_sign_bits_q / oracle coalesce convention). Quantized
+            # magnitudes are <= 2048 * 2^20 = 2^31, exact in float64.
+            Xq = np.zeros((len(pdf), dim), dtype=np.int64)
+            for r, v in enumerate(pdf[qcol].to_numpy()):
                 if v is None:
                     continue  # NULL embedding -> zero vector
                 a = np.asarray(v, dtype=np.float64)[:dim]
-                X[r, : len(a)] = np.nan_to_num(a, nan=0.0)
-            Xq = np.floor(np.clip(X, -V.QUANT_CLAMP, V.QUANT_CLAMP) * float(V.QUANT_SCALE)).astype(np.int64)
+                Xq[r, : len(a)] = np.nan_to_num(a, nan=0.0).astype(np.int64)
             sgn = (Xq @ W.T) >= 0  # exact int64 dots
             out = pdf[[id_col, vec_col]].copy()
             for b in range(bands):
@@ -437,7 +447,9 @@ def _rp_keyed(
                 )
             yield out
 
-    return df.select(id_col, vec_col).mapInPandas(mapper, schema)
+    return df.select(
+        id_col, vec_col, V.quantize_embedding(F.col(vec_col)).alias(qcol)
+    ).mapInPandas(mapper, schema)
 
 
 def lsh_near_dup_pairs(

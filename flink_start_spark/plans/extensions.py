@@ -935,7 +935,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the rp-probe's ladder overrides: a 16-coordinate key budget with
 #: 2-bit starting width exhausts the coordinate levels by n=16, so the
 #: RANDOM-PROJECTION branch is the active one at every driver SF
-#: (sf0.001 (5,6) … sf1 (9,14)) — the shipped dim=64 ladder only
+#: (sf0.001 (5,6), sf0.01 (6,8), sf0.1 (8,12), sf1 (10,16)) — the
+#: shipped dim=64 ladder only
 #: reaches rp past ~32k vectors, beyond the driver's corpora.
 _RP_PROBE = {"target_occ": 1, "dim": 16, "min_bits": 2}
 

@@ -182,8 +182,8 @@ def main() -> None:
         # cross-ROUND verdicts quote the RULER-NORMALIZED median
         # (round-9 verdict item 4: cross-day totals on this host class
         # are only comparable through the ruler) — appended to every
-        # branch, not just the uniform-shift one
-        if ruler_ratio:
+        # branch that doesn't already carry it in its corroboration text
+        if ruler_ratio and "ruler-normalized median" not in verdict:
             verdict += (
                 f" | ruler-normalized median {med / ruler_ratio:.2f} "
                 f"(host ratio {ruler_ratio:.2f})"

@@ -1,7 +1,13 @@
 """Measure the sign-LSH ladder's random-projection handoff at a corpus
 size where the round-9 coordinate terminal (5, 12) saturates.
 
-    python scripts/sign_ladder_demo.py [n_vectors] [n_planted]
+    python scripts/sign_ladder_demo.py [n_vectors] [n_planted] [--baseline-prev]
+
+``--baseline-prev`` compares the fired level against the PREVIOUS
+ladder level instead of the (5, 12) coordinate terminal and writes
+SIGN_LADDER_DEMO_DEEP.json — the level-over-level proof that each rp
+step stays sub-quadratic where the prior width saturates (e.g. at
+600k vectors the fired (11, 18) vs the one-step-short (9, 16)).
 
 Round-9 verdict item 1: past bands*bits <= dim the coordinate basis is
 exhausted — at 200k vectors the terminal (5, 12) width reads expected
@@ -120,24 +126,40 @@ def _run(df, n: int, n_planted: int, bands: int, bits: int, key: str) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    n_planted = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    baseline = "prev" if "--baseline-prev" in sys.argv[1:] else "coord"
+    n = int(args[0]) if args else 200_000
+    n_planted = int(args[1]) if len(args) > 1 else 1_000
     spark = get_spark("sign-ladder-demo")
     df = _corpus(spark, n, n_planted)
     total = n + n_planted
 
-    ab, abits, arp = LS.sign_params(total)
+    lvl = LS.sign_level(total)
+    sched = LS.sign_schedule_full()
+    ab, abits, arp = sched[lvl]
+    if baseline == "prev":
+        # level-over-level proof: the PREVIOUS ladder level is the
+        # counterfactual "staircase stopped one step short" — shows each
+        # rp step keeps candidates ~linear where the prior width's
+        # occupancy has passed the target (vs the coord baseline, which
+        # only proves the handoff point itself)
+        pb, pbits, prp = sched[max(lvl - 1, 0)]
+        base_run = _run(df, n, n_planted, pb, pbits, "rp" if prp else "coord")
+        base_key, out_name = "prev_level", "SIGN_LADDER_DEMO_DEEP.json"
+    else:
+        base_run = _run(df, n, n_planted, 5, 12, "coord")
+        base_key, out_name = "coord_terminal", "SIGN_LADDER_DEMO.json"
     results = {
         "n_vectors": total,
-        "coord_terminal": _run(df, n, n_planted, 5, 12, "coord"),
+        base_key: base_run,
         "fired_ladder": _run(df, n, n_planted, ab, abits, "rp" if arp else "coord"),
     }
     results["candidate_ratio"] = round(
-        results["coord_terminal"]["candidates"]
+        results[base_key]["candidates"]
         / max(results["fired_ladder"]["candidates"], 1),
         2,
     )
-    with open(os.path.join(REPO, "SIGN_LADDER_DEMO.json"), "w") as f:
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

@@ -57,13 +57,26 @@ def main() -> int:
             print(" ", n)
         return 0
 
+    latest_round = max((rnd for rnd, _ in last.values()), default=-1)
     updated = 0
     for name, fp in current.items():
         rnd, green = last.get(name, (-1, False))
         if not green:
             continue
         rec = recorded.get(name)
-        if rec is None or rnd > rec.get("round", -1):
+        if rec is None:
+            # first-time recording: the CURRENT fingerprint only
+            # certifies the check if nothing was edited since it ran —
+            # which the round-open ritual (run before any edits) only
+            # guarantees for the just-closed round. An older green
+            # check with no recorded fingerprint (bootstrap gap,
+            # previously-dropped entry) must NOT be stamped with
+            # post-edit content; leaving it unrecorded fails safe (the
+            # rotation front-ranks it until its next driver check).
+            if rnd == latest_round:
+                recorded[name] = {"fp": fp, "round": rnd}
+                updated += 1
+        elif rnd > rec.get("round", -1):
             recorded[name] = {"fp": fp, "round": rnd}
             updated += 1
     # drop entries for queries no longer in the catalog

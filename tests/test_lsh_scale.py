@@ -446,6 +446,69 @@ def test_forced_rp_level_spark_oracle_parity(spark):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-6, atol=1e-6)
 
 
+def test_rp_keyed_edge_semantics_match_column_fold(spark):
+    """NaN components clamp to +2048 (NOT zero), NULL elements
+    contribute 0, and a NULL embedding keys as the zero vector — in
+    the _rp_keyed mapper exactly as in the codegen'd column fold
+    (whose oracle parity is pinned above). Round-10 review fix: the
+    mapper used to re-quantize floats itself, where an Arrow NULL
+    element and a true NaN are indistinguishable — it zeroed NaN while
+    both engines clamp it; quantization now happens in the SAME JVM
+    expression (quantize_embedding) for both key paths."""
+    import numpy as np
+
+    from flink_start_spark.functions import vector as V
+    from flink_start_spark.operators.similarity import _rp_keyed
+
+    rng = np.random.default_rng(7)
+    rows = [x.tolist() for x in rng.standard_normal((8, 64))]
+    rows[1][3] = float("nan")  # true NaN -> clamps to +2048
+    rows[2][5] = None  # NULL element -> 0 contribution
+    rows[3] = None  # NULL embedding -> zero vector
+    rows[4][0] = float("inf")  # +inf -> clamps to +2048
+    rows[5][7] = float("-inf")  # -inf -> clamps to -2048
+    # plain Python rows, NOT pandas: pandas->Spark conversion coerces
+    # NaN to NULL, which would erase the case under test
+    sdf = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    bands, bits = 2, 10
+    got = (
+        _rp_keyed(sdf, bands, bits, 64, "vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    xq = V.quantize_embedding(F.col("embedding"))
+    want = (
+        sdf.select(
+            "vec_id",
+            *[
+                V.rp_sign_bits_q(xq, bits, 64, offset=b * bits).alias(f"band{b}")
+                for b in range(bands)
+            ],
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    for b in range(bands):
+        assert list(got[f"band{b}"]) == list(want[f"band{b}"]), b
+    # the NaN row's keys must differ from a zeroed-NaN re-quantization
+    # for at least one band IF any plane weights coordinate 3 with a
+    # sign-determining contribution — sanity that the test has teeth:
+    # clamped value is 2048 * 2^20, far above typical |dot| magnitudes
+    z = np.asarray(rows[1], dtype=np.float64)
+    z[3] = 0.0
+    Xq = np.floor(np.clip(z, -2048, 2048) * float(V.QUANT_SCALE)).astype(np.int64)
+    W = V.rp_weight_matrix_q(bands * bits, 64)
+    pw = 1 << np.arange(bits, dtype=np.int64)
+    sgn = (Xq @ W.T) >= 0
+    zero_nan_keys = [
+        int(sgn[b * bits : (b + 1) * bits] @ pw) for b in range(bands)
+    ]
+    assert [got[f"band{b}"][1] for b in range(bands)] != zero_nan_keys
+
+
 def test_rp_levels_hold_design_recall_numpy():
     """Planted cos~0.95 pairs in an isotropic corpus collide at >= ~0.75
     of the theoretical 0.8 design recall at EVERY rp level the ladder
