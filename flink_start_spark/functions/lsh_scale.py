@@ -75,11 +75,14 @@ SIGN_TARGET_OCC = 8
 #: the historical 2 bands x 8 bits).
 SIGN_MIN_BITS = 8
 #: random-projection continuation levels past the coordinate-basis
-#: dim clamp (round-9 verdict item 1). 8 levels of +2 bits carry the
-#: occupancy target from the ~32k-vector coordinate terminal to
-#: ~5e8 vectors at the last firing threshold (8 * 2^26), with bounded
-#: occupancy growth beyond.
-SIGN_RP_LEVELS = 8
+#: dim clamp (round-9 verdict item 1). 12 levels of +2 bits carry the
+#: occupancy target from the ~32k-vector coordinate terminal to the
+#: (74, 36) terminal: last firing threshold 8 * 2^34 ~ 1.4e11
+#: vectors, occupancy <= target through ~5.5e11 — past a full 100 TB
+#: embedding corpus (64-dim float64 ~ 512 B/vector ~ 2e11 vectors).
+#: The terminal costs 2664 planes/vector, still one int64 matmul per
+#: Arrow batch, and 36 bits pack well under the 62-bit BIGINT cap.
+SIGN_RP_LEVELS = 12
 #: the near-dup design point the rp band counts are calibrated to:
 #: per-bit collision probability p = 1 - acos(0.95)/pi for cos-0.95
 #: pairs, band count per level = ceil(log(1 - R) / log(1 - p^bits))
@@ -253,9 +256,10 @@ def sign_schedule_full(
     bands stay strictly increasing. dim=64 ->
     [..., (5,12,False), (7,14,True), (9,16,True), (11,18,True),
     (13,20,True), (16,22,True), (20,24,True), (25,26,True),
-    (31,28,True)] — unlike a flat +1-band rule (whose design recall
+    (31,28,True), (39,30,True), (48,32,True), (60,34,True),
+    (74,36,True)] — unlike a flat +1-band rule (whose design recall
     decays to ~0.49 by 28 bits), every rp level holds ~0.80 while
-    candidates stay ~ bands * occ/2 * N (linear in N, constant <= 124).
+    candidates stay ~ bands * occ/2 * N (linear in N, constant <= 296).
     Bits are capped at 62 so keys pack into a BIGINT."""
     import math
 

@@ -171,7 +171,7 @@ def rp_sign_bits_q(xq: Column, n_bits: int, dim: int, offset: int = 0) -> Column
     dot <xq, wq_(offset+j)> against :func:`rp_weights_q` literals.
 
     This is the column-expression form, fine for a few bands; the
-    sign-LSH occupancy ladder's rp levels (up to 868 planes) go through
+    sign-LSH occupancy ladder's rp levels (up to 2664 planes) go through
     the numpy matmul path in operators/similarity.py instead — both
     produce identical integers by construction (exact arithmetic).
     Missing components (short vectors / zip_with padding) contribute 0

@@ -409,7 +409,7 @@ def _rp_keyed(
     (vector.py::rp_weights_q). Integer arithmetic is summation-order-
     free, so the keys are bit-identical to the column-expression fold
     and to the oracle's dynamic md5 weights — while an rp ladder level
-    (up to 868 planes at (31, 28)) costs one vectorized matmul per
+    (up to 2664 planes at the (74, 36) terminal) costs one vectorized matmul per
     batch instead of hundreds of codegen'd aggregate expressions.
     NULL elements contribute 0 (oracle: coalesce(x*w, 0)); a NULL
     embedding keys as the zero vector (all sign bits 1)."""

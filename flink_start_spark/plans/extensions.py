@@ -921,9 +921,11 @@ def embedding_near_dup_sql(
         "to continue on random-projection sign bits: quantized int64 "
         "matmul keys against md5-derived hyperplanes (one Arrow "
         "mapInPandas pass), band counts holding cos-0.95 design recall "
-        "≈ 0.8 per level — (7,14) → … → (31,28), firing thresholds "
-        "8·2^12 … 8·2^26; the oracle mirrors the whole rule (staircase "
-        "+ in-SQL md5 weights + exact-integer dots)."
+        "≈ 0.8 per level — (7,14) → … → (74,36), firing thresholds "
+        "8·2^12 … 8·2^34 (occupancy ≤ target through ~5.5e11 vectors, "
+        "past a full 100 TB embedding corpus); the oracle mirrors the "
+        "whole rule (staircase + in-SQL md5 weights + exact-integer "
+        "dots)."
     ),
     tags=("similarity", "extension", "lsh"),
 )

@@ -64,6 +64,7 @@ def test_sign_schedule_full_dim64():
         (2, 8, False), (3, 10, False), (4, 12, False), (5, 12, False),
         (7, 14, True), (9, 16, True), (11, 18, True), (13, 20, True),
         (16, 22, True), (20, 24, True), (25, 26, True), (31, 28, True),
+        (39, 30, True), (48, 32, True), (60, 34, True), (74, 36, True),
     ]
     # rp levels hold the design point: recompute the recall each band
     # count was chosen for and check the floor
@@ -98,7 +99,9 @@ def test_sign_params_fires_at_sf1_not_before():
     assert LS.sign_params(32_768) == (4, 12, False)
     assert LS.sign_params(32_769) == (7, 14, True)
     assert LS.sign_params(200_000) == (9, 16, True)  # the demo corpus
-    assert LS.sign_params(10 ** 9) == (31, 28, True)  # deepest rp level
+    assert LS.sign_params(10 ** 9) == (31, 28, True)
+    # the 100-TB-class tail: occupancy <= target through ~5.5e11
+    assert LS.sign_params(2 * 10 ** 11) == (74, 36, True)  # deepest level
 
 
 # ---------------------------------------------------------------------
