@@ -2325,6 +2325,160 @@ def q_semdedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: embedding_lsh_recall_audit knobs: a FIXED md5-ranked query sample
+#: (the semdedup_recall_audit precedent — fixed, not a percentage,
+#: keeps the exact stage LINEAR in corpus size) audited at the
+#: near-dup operator's own confirm threshold, so the subset invariant
+#: (LSH pairs are cosine-confirmed at the same bar) holds exactly.
+EMB_LSH_AUDIT_SAMPLE = 128
+EMB_LSH_AUDIT_THRESHOLD = 0.4
+
+
+def embedding_lsh_recall_audit_sql(
+    sample_n: int = EMB_LSH_AUDIT_SAMPLE,
+    threshold: float = EMB_LSH_AUDIT_THRESHOLD,
+) -> str:
+    """embedding_lsh_recall_audit oracle: sample-touching exact
+    cosine pairs (sample x corpus, round-6 cosine >= threshold —
+    byte-identical to the pipeline's confirm expression) full-joined
+    against the sample-touching subset of the auto-laddered sign-LSH
+    near-dup output (same builder the embedding_near_dup_lsh oracle
+    uses, staircase + rp branch and all)."""
+    cos_se = _COS.replace("qv", "s.embedding").replace("cv", "e.embedding")
+    return f"""
+    WITH lsh AS ({embedding_near_dup_sql()}),
+    smp AS (SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY md5('ela|' || vec_id::VARCHAR), vec_id) AS rk
+        FROM embeddings) WHERE rk <= {sample_n}),
+    ex AS (SELECT DISTINCT least(e.vec_id, s.vec_id) AS id_a,
+                  greatest(e.vec_id, s.vec_id) AS id_b,
+                  {cos_se} AS cos
+           FROM smp s JOIN embeddings e ON e.vec_id <> s.vec_id
+           WHERE {cos_se} >= {threshold}),
+    tl AS (SELECT DISTINCT l.id_a, l.id_b
+           FROM lsh l JOIN smp s ON s.vec_id IN (l.id_a, l.id_b)),
+    j AS (SELECT ex.id_a IS NOT NULL AS in_ex, tl.id_a IS NOT NULL AS in_lsh,
+                 ex.cos AS cos
+          FROM ex FULL JOIN tl ON ex.id_a = tl.id_a AND ex.id_b = tl.id_b)
+    SELECT coalesce(sum(CASE WHEN in_ex THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_exact_pairs,
+           coalesce(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_lsh_pairs,
+           coalesce(sum(CASE WHEN in_ex AND in_lsh THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_both,
+           CASE WHEN coalesce(sum(CASE WHEN in_ex THEN 1 ELSE 0 END), 0) = 0
+                THEN NULL
+                ELSE round(sum(CASE WHEN in_ex AND in_lsh THEN 1 ELSE 0 END)::DOUBLE
+                           / sum(CASE WHEN in_ex THEN 1 ELSE 0 END), 6)
+           END AS lsh_recall,
+           coalesce(sum(CASE WHEN in_ex AND cos >= 0.9 THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_exact_ge90,
+           CASE WHEN coalesce(sum(CASE WHEN in_ex AND cos >= 0.9 THEN 1 ELSE 0 END), 0) = 0
+                THEN NULL
+                ELSE round(sum(CASE WHEN in_ex AND in_lsh AND cos >= 0.9
+                               THEN 1 ELSE 0 END)::DOUBLE
+                           / sum(CASE WHEN in_ex AND cos >= 0.9 THEN 1 ELSE 0 END), 6)
+           END AS recall_ge90
+    FROM j
+    """
+
+
+@_register(
+    "embedding_lsh_recall_audit",
+    embedding_lsh_recall_audit_sql(),
+    description=(
+        "Approximation-quality audit for the embedding sign/rp-LSH "
+        "near-dup family (the lsh_recall_audit twin the md5-MinHash "
+        "family already has): recall of the SHIPPED auto-laddered "
+        "pipeline (embedding_near_dup_lsh — coordinate levels at "
+        "driver SFs, random-projection levels past the dim clamp) "
+        "against EXACT sample-touching cosine pairs at the operator's "
+        "0.4 confirm threshold, over a fixed md5-ranked 128-vector "
+        "query sample scored against the WHOLE corpus (one broadcast "
+        "— linear in N at any scale). Because LSH output pairs are "
+        "cosine-confirmed at the same rounded threshold, the "
+        "sample-touching LSH set is structurally a subset of the "
+        "exact set: n_lsh_pairs != n_both means engine drift. "
+        "lsh_recall is the ALL-STRATA number — on the isotropic "
+        "driver corpora (no sample pairs above cos 0.7) it reads the "
+        "moderate-band ~0.03-0.07, consistent with the per-stratum "
+        "measurements in embedding_near_dup_lsh's description; "
+        "recall_ge90 isolates the design-point stratum (NULL when no "
+        "ge-0.9 sample pairs exist, meaningful on planted/duplicate-"
+        "bearing corpora like the fuzz lanes; its batch twin is the "
+        "planted-pair measurement in SIGN_LADDER_DEMO*.json)."
+    ),
+    tags=("similarity", "extension", "audit"),
+)
+def q_embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_start_spark.plans.catalog import QUERIES as _Q
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    thr = EMB_LSH_AUDIT_THRESHOLD
+    smp = (
+        emb.select(
+            F.md5(F.concat(F.lit("ela|"), F.col("vec_id").cast("string"))).alias("_h"),
+            "vec_id",
+            "embedding",
+        )
+        .orderBy("_h", "vec_id")
+        .limit(EMB_LSH_AUDIT_SAMPLE)
+        .select(F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec"))
+    )
+    # tracked: referenced by the exact stage AND the lsh restriction
+    smp = C.track(smp)
+    # exact stage: sample x corpus via one bounded broadcast (128 rows)
+    # — linear in N; the round-6 cosine is the SAME expression the
+    # pipeline's confirm stage applies, so the subset invariant is
+    # exact, not approximate
+    ex = (
+        emb.join(F.broadcast(smp), F.col("vec_id") != F.col("s_id"))
+        .select(
+            F.least("vec_id", "s_id").alias("id_a"),
+            F.greatest("vec_id", "s_id").alias("id_b"),
+            F.round(V.cosine(F.col("s_vec"), F.col("embedding")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= thr)
+        .distinct()
+        .withColumn("in_ex", F.lit(True))
+    )
+    lsh = _Q["embedding_near_dup_lsh"].spark(spark, sf_dir)
+    # restrict the pipeline's pairs to sample-touching ones with ONE
+    # equi broadcast join over the exploded pair sides (an OR-of-sides
+    # join condition would plan as a second nested loop)
+    tl = (
+        lsh.select("id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("s_id"))
+        .join(F.broadcast(smp.select("s_id")), "s_id")
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("in_lsh", F.lit(True))
+    )
+    j = ex.join(tl, ["id_a", "id_b"], "full")
+    n_ex = F.coalesce(F.sum(F.when(F.col("in_ex"), 1).otherwise(0)), F.lit(0))
+    n_lsh = F.coalesce(F.sum(F.when(F.col("in_lsh"), 1).otherwise(0)), F.lit(0))
+    n_both = F.coalesce(
+        F.sum(F.when(F.col("in_ex") & F.col("in_lsh"), 1).otherwise(0)), F.lit(0)
+    )
+    ge90 = F.col("in_ex") & (F.col("cos") >= 0.9)
+    n_ex90 = F.coalesce(F.sum(F.when(ge90, 1).otherwise(0)), F.lit(0))
+    n_both90 = F.coalesce(
+        F.sum(F.when(ge90 & F.col("in_lsh"), 1).otherwise(0)), F.lit(0)
+    )
+    return j.agg(
+        n_ex.cast("long").alias("n_exact_pairs"),
+        n_lsh.cast("long").alias("n_lsh_pairs"),
+        n_both.cast("long").alias("n_both"),
+        F.when(n_ex == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(n_both.cast("double") / n_ex, 6))
+        .alias("lsh_recall"),
+        n_ex90.cast("long").alias("n_exact_ge90"),
+        F.when(n_ex90 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(n_both90.cast("double") / n_ex90, 6))
+        .alias("recall_ge90"),
+    )
+
+
 @_register(
     "host_blocklist_audit",
     f"""

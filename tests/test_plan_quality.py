@@ -31,6 +31,10 @@ _ALLOWED_NESTED_LOOP = {
     # the corpus (linear in N, smaller-id condition in the join), plus
     # the semdedup pipeline's own allowlisted centroid broadcasts
     "semdedup_recall_audit",
+    # exact stage = fixed 128-row md5-ranked sample broadcast against
+    # the corpus (linear in N, non-equi self-pair exclusion in the
+    # join condition)
+    "embedding_lsh_recall_audit",
     "kmeans_clusters",
     "knn_label_purity",
     # 1-row corpus-total broadcasts (crossJoin of global count rows)
