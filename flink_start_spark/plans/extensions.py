@@ -2280,21 +2280,35 @@ def q_semdedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_h", "vec_id")
         .limit(SEMDEDUP_AUDIT_SAMPLE)
-        .select(F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec"))
+        .select(
+            F.col("vec_id").alias("s_id"),
+            F.col("embedding").alias("s_vec"),
+            # norm is per-ROW, not per-pair: materializing both sides'
+            # norms before the pair join replaces V.cosine's three
+            # interpreted 64-element folds per pair with one (the dot)
+            # — measured 7.27 s -> 2.14 s on the exact stage at sf0.1
+            # (round-10 optimization, guide §2.3/§1.2 "per-task work";
+            # the same trick semdedup_flags' pair stage already uses).
+            # Bit-identical: same sqrt of the same fold, and the
+            # denominator product s_n * e_n multiplies the same doubles
+            # in the same order as V.cosine's norm(a) * norm(b).
+            V.norm(F.col("embedding")).alias("s_n"),
+        )
     )
     # tracked: referenced by the exact-stage join AND the final join
     smp = C.track(smp)
     # exact stage: sample x corpus via broadcast (256 rows — bounded),
     # smaller-id restriction in the join condition; groupBy collapses
     # map-side, so the shuffle carries one row per sampled vector
+    big = emb.select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("_en")
+    )
+    den = F.col("s_n") * F.col("_en")
+    cos = F.when(den != 0.0, V.dot(F.col("s_vec"), F.col("embedding")) / den)
     ex = (
-        emb.join(F.broadcast(smp), F.col("vec_id") < F.col("s_id"))
+        big.join(F.broadcast(smp), F.col("vec_id") < F.col("s_id"))
         .groupBy("s_id")
-        .agg(
-            F.max(F.round(V.cosine(F.col("s_vec"), F.col("embedding")), 6)).alias(
-                "_mx"
-            )
-        )
+        .agg(F.max(F.round(cos, 6)).alias("_mx"))
     )
     j = (
         smp.select("s_id")
@@ -2428,18 +2442,53 @@ def q_embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tracked: referenced by the exact stage AND the lsh restriction
     smp = C.track(smp)
-    # exact stage: sample x corpus via one bounded broadcast (128 rows)
-    # — linear in N; the round-6 cosine is the SAME expression the
-    # pipeline's confirm stage applies, so the subset invariant is
-    # exact, not approximate
-    ex = (
-        emb.join(F.broadcast(smp), F.col("vec_id") != F.col("s_id"))
-        .select(
-            F.least("vec_id", "s_id").alias("id_a"),
-            F.greatest("vec_id", "s_id").alias("id_b"),
-            F.round(V.cosine(F.col("s_vec"), F.col("embedding")), 6).alias("cos"),
+    # exact stage: sample x corpus, restructured (round-10 optimization,
+    # guide §2.3 "project before the exchange" / §1.2 per-task work)
+    # from a broadcast nested-loop join materializing one wide row per
+    # (sample, corpus) pair into ONE packed broadcast row + a per-corpus-
+    # row transform lambda that emits only threshold survivors — no
+    # 2x64-float pair rows ever materialize, and the per-row norms are
+    # computed once per ROW instead of once per PAIR (V.cosine's two
+    # norm folds per pair were 2/3 of the exact stage's flops). Measured
+    # 5.19 s -> 2.23 s at sf0.1 through the noop sink. Bit-identical:
+    # same dot fold, same s_n * e_n denominator order as
+    # V.cosine(s_vec, embedding), same round-6-then-filter semantics
+    # (F.filter keeps only TRUE, exactly like the .filter it replaces
+    # dropped NULL cosines of zero-norm vectors).
+    packed = (
+        smp.select("s_id", "s_vec", V.norm(F.col("s_vec")).alias("s_n"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s_id", "s_vec", "s_n"))).alias(
+                "_smp"
+            )
         )
-        .filter(F.col("cos") >= thr)
+    )
+    big = emb.select("vec_id", "embedding", V.norm(F.col("embedding")).alias("_en"))
+    scored = F.filter(
+        F.transform(
+            F.col("_smp"),
+            lambda s: F.struct(
+                s["s_id"].alias("s_id"),
+                F.round(
+                    F.when(
+                        (s["s_n"] * F.col("_en")) != 0.0,
+                        V.dot(s["s_vec"], F.col("embedding"))
+                        / (s["s_n"] * F.col("_en")),
+                    ),
+                    6,
+                ).alias("cos"),
+            ),
+        ),
+        lambda st: (st["s_id"] != F.col("vec_id")) & (st["cos"] >= thr),
+    )
+    ex = (
+        big.crossJoin(F.broadcast(packed))
+        .select(F.col("vec_id"), F.explode(scored).alias("_p"))
+        .select(
+            F.least(F.col("vec_id"), F.col("_p")["s_id"]).alias("id_a"),
+            F.greatest(F.col("vec_id"), F.col("_p")["s_id"]).alias("id_b"),
+            F.col("_p")["cos"].alias("cos"),
+        )
         .distinct()
         .withColumn("in_ex", F.lit(True))
     )
