@@ -330,6 +330,18 @@ def main() -> int:
     seed = int(sys.argv[1])
     check = "--check" in sys.argv[2:]
     rest = [a for a in sys.argv[2:] if a != "--check"]
+    names: list[str] = []
+    if "--queries" in rest:
+        # restrict the gate to named queries (forwarded to crosscheck)
+        i = rest.index("--queries")
+        names = rest[i + 1 :]
+        rest = rest[:i]
+    if any(a.startswith("-") for a in rest):
+        # an unknown flag would otherwise be swallowed as the OUTPUT
+        # DIRECTORY and the corpus written to a junk path like
+        # ./--foo (this happened: a tracked ./--queries directory)
+        print(f"unknown argument(s): {[a for a in rest if a.startswith('-')]}")
+        return 2
     out = rest[0] if rest else f"/tmp/sf_fuzz_{seed}"
     build(seed, out)
     print(f"fuzz corpus (seed={seed}) written to {out}")
@@ -344,7 +356,7 @@ def main() -> int:
             active.stop()
         rc = subprocess.call(
             [sys.executable, os.path.join(os.path.dirname(__file__),
-                                          "crosscheck.py"), out]
+                                          "crosscheck.py"), out, *names]
         )
         return rc
     return 0
