@@ -366,60 +366,84 @@ def connected_components(
 
     Output: node (id), cluster (min id in its component). Only nodes
     appearing in ``pairs`` are labeled — singletons are implicit.
+
+    Round 1 is special-cased to a single ``groupBy`` over the edge
+    list: with identity starting labels the propagate+jump round
+    reduces algebraically to ``least(src, min(dst))``, so the identity
+    label table (and its materialization) plus round 1's three joins
+    never exist. Rounds 2+ run the general step.
     """
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "cluster", F.col("node")
-    )
-    labels.persist().count()
+    labels = None
     converged = False
     for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("cluster").alias("_nbr"))
-        )
-        prop = labels.join(
-            nbr_min, labels["node"] == nbr_min["src"], "left"
-        ).select(
-            "node",
-            F.col("cluster").alias("_old"),
-            F.least(
-                F.col("cluster"), F.coalesce(F.col("_nbr"), F.col("cluster"))
-            ).alias("_mid"),
-        )
-        # Pointer jump: _mid is itself a node id (labels are node ids by
-        # construction), so chase one level through the CURRENT label
-        # table. label(_mid) <= _mid, same component — pure shrink.
-        mapping = labels.select(
-            F.col("node").alias("_mnode"), F.col("cluster").alias("_mcluster")
-        )
-        new_labels = (
-            prop.join(mapping, prop["_mid"] == mapping["_mnode"], "left")
-            .select(
+        if labels is None:
+            # Round 1 collapses to ONE groupBy (round-10 optimization,
+            # guide §2.4 "remove shuffles outright"): with identity
+            # starting labels, neighbor-min propagation is min(dst)
+            # over the symmetric edge list — no label join — and the
+            # pointer jump is the identity map, so
+            # least(src, min(dst)) IS round 1's exact output. This
+            # also deletes the identity label table's own
+            # distinct + persist + count warm-up entirely. Rounds 2+
+            # are unchanged.
+            new_labels = (
+                sym.groupBy("src")
+                .agg(F.least(F.col("src"), F.min("dst")).alias("cluster"))
+                .select(
+                    F.col("src").alias("node"),
+                    "cluster",
+                    (F.col("cluster") != F.col("src")).alias("_changed"),
+                )
+            )
+        else:
+            nbr_min = (
+                sym.join(labels, sym["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("cluster").alias("_nbr"))
+            )
+            prop = labels.join(
+                nbr_min, labels["node"] == nbr_min["src"], "left"
+            ).select(
                 "node",
+                F.col("cluster").alias("_old"),
                 F.least(
-                    F.col("_mid"), F.coalesce(F.col("_mcluster"), F.col("_mid"))
-                ).alias("cluster"),
-                "_old",
+                    F.col("cluster"), F.coalesce(F.col("_nbr"), F.col("cluster"))
+                ).alias("_mid"),
             )
-            .select(
-                "node",
-                "cluster",
-                (F.col("cluster") != F.col("_old")).alias("_changed"),
+            # Pointer jump: _mid is itself a node id (labels are node
+            # ids by construction), so chase one level through the
+            # CURRENT label table. label(_mid) <= _mid, same component
+            # — pure shrink.
+            mapping = labels.select(
+                F.col("node").alias("_mnode"), F.col("cluster").alias("_mcluster")
             )
-        )
+            new_labels = (
+                prop.join(mapping, prop["_mid"] == mapping["_mnode"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("_mid"), F.coalesce(F.col("_mcluster"), F.col("_mid"))
+                    ).alias("cluster"),
+                    "_old",
+                )
+                .select(
+                    "node",
+                    "cluster",
+                    (F.col("cluster") != F.col("_old")).alias("_changed"),
+                )
+            )
         # Materialize AND cut lineage: the checkpointed frame is a
         # constant-size leaf, so round N+1's analysis cost is flat.
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
-        if labels.is_cached:
-            labels.unpersist()
         labels = new_labels.select("node", "cluster")
         if changed == 0:
             converged = True
