@@ -146,10 +146,21 @@ def pagerank(
     ed = edges.withColumn(
         "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
     ).localCheckpoint(eager=True)
-    nodes = ed.select(F.col("src").alias("id")).distinct()
-    ranks = nodes.select(
-        "id", F.lit(SCALE).cast("long").alias("rank")
-    ).localCheckpoint(eager=True)
+    # Rounds are chained LAZILY into one plan (round-10 optimization,
+    # guide §1.2): each round's relation is node-sized and used exactly
+    # once (by the next round), so per-round eager checkpoints bought
+    # no re-execution safety — they only added n_iter driver
+    # round-trips and materializations. The plan grows linearly in
+    # n_iter (one join + one aggregate per round — no fold-inlining
+    # hazard like BPE's when-trees), and each round's broadcast
+    # executes exactly once inside the single action. ``nodes`` IS
+    # checkpointed: the all_nodes_receive=False branch references it
+    # every round, and the lazy chain would otherwise recompute the
+    # distinct per round.
+    nodes = ed.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    ranks = nodes.select("id", F.lit(SCALE).cast("long").alias("rank"))
     base = 15 * SCALE // 100
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(n_iter):
@@ -163,16 +174,14 @@ def pagerank(
             ranks = contrib.select(
                 F.col("dst").alias("id"),
                 (F.lit(base) + F.expr("(85 * c) div 100")).alias("rank"),
-            ).localCheckpoint(eager=True)
+            )
         else:
-            ranks = (
-                nodes.join(hint(contrib), nodes["id"] == contrib["dst"], "left")
-                .select(
-                    nodes["id"],
-                    (
-                        F.lit(base) + F.expr("(85 * coalesce(c, 0L)) div 100")
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = nodes.join(
+                hint(contrib), nodes["id"] == contrib["dst"], "left"
+            ).select(
+                nodes["id"],
+                (
+                    F.lit(base) + F.expr("(85 * coalesce(c, 0L)) div 100")
+                ).alias("rank"),
             )
     return ranks
