@@ -38,6 +38,89 @@ def _cell_cosine(av, bv, an, bn):
     return F.round(F.when(denom != 0.0, V.dot(av, bv) / denom), 6)
 
 
+def _cell_max_smaller_pd(pdf):
+    """Per-cell pandas scorer for :func:`semdedup_flags`: for every
+    member, the max RAW cosine to any smaller-id member of the same
+    cell (rows with no valid smaller-id pair are omitted). Runs inside
+    ``groupBy("cell").applyInPandas`` — the guide-§8 shape: the cell
+    equi-join's pair rows never materialize in the JVM; each vector
+    crosses the Arrow boundary once per probed cell and the |cell|^2
+    scoring happens in vectorized numpy.
+
+    BIT-EXACT with the JVM expression it replaces
+    (``V.dot(av, bv) / (an * bn)``, per-row norms pre-materialized):
+
+    - the dot and the squared norm accumulate COLUMN BY COLUMN
+      (``acc += col_i_products``), i.e. the same left-to-right
+      element order as the ``F.aggregate`` fold, in the same float64
+      IEEE adds/multiplies — numpy's pairwise-summation shortcut is
+      never invoked because each ``+=`` is a single vectorized add;
+    - float32 inputs are widened to float64 BEFORE any arithmetic,
+      exactly like the fold's per-element ``cast("double")``;
+    - the division is the same IEEE double divide; ``den == 0.0``
+      pairs are excluded exactly like the ``F.when(den != 0.0, ...)``
+      guard (NULL cosine never participates in the max);
+    - rounding is NOT done here: callers round the per-vector MAX in
+      the JVM (half-up rounding is monotone, so
+      ``max(round(c)) == round(max(c))`` — the Spark-side
+      ``F.round`` keeps rounding semantics engine-owned).
+
+    Memory: the scorer materializes an ``m x chunk`` cosine block
+    (chunk <= 2048 columns), so per-task memory is bounded by
+    ``8 * m * 2048`` bytes. ``m`` is the probed-cell population —
+    ~``per_cell * cell_probe`` by the auto-scaled cell rule, the same
+    bound the JVM pair join's |cell|^2 row count already relied on.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(pdf)
+    if m < 2:
+        return pd.DataFrame(
+            {"_sd_id": pdf["_sd_id"][:0], "_sd_mx": pd.Series([], dtype="float64")}
+        )
+    pdf = pdf.sort_values("_sd_id")
+    ids = pdf["_sd_id"].to_numpy()
+    mat = np.stack(pdf["_sd_v"].to_numpy()).astype(np.float64, copy=False)
+    dim = mat.shape[1]
+    nrm2 = np.zeros(m, dtype=np.float64)
+    for i in range(dim):
+        nrm2 += mat[:, i] * mat[:, i]
+    nrm = np.sqrt(nrm2)
+    out_ids, out_mx = [], []
+    neg_inf = -np.inf
+    for lo in range(1, m, 2048):
+        hi = min(lo + 2048, m)
+        block = np.zeros((m, hi - lo), dtype=np.float64)
+        for i in range(dim):
+            block += np.multiply.outer(mat[:, i], mat[lo:hi, i])
+        den = np.multiply.outer(nrm, nrm[lo:hi])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = block / den
+        # valid pair = strictly-smaller row position (ids are unique
+        # and sorted, so position order IS id order) and nonzero
+        # denominator
+        rows = np.arange(m)[:, None]
+        cols = np.arange(lo, hi)[None, :]
+        valid = (rows < cols) & (den != 0.0)
+        cos[~valid] = neg_inf
+        any_valid = valid.any(axis=0)
+        if any_valid.any():
+            mx = cos.max(axis=0)
+            out_ids.append(ids[lo:hi][any_valid])
+            out_mx.append(mx[any_valid])
+    if not out_ids:
+        return pd.DataFrame(
+            {"_sd_id": pdf["_sd_id"][:0], "_sd_mx": pd.Series([], dtype="float64")}
+        )
+    return pd.DataFrame(
+        {
+            "_sd_id": np.concatenate(out_ids),
+            "_sd_mx": np.concatenate(out_mx),
+        }
+    )
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared top-k epilogue for the ``*_topk`` family: rank scored
     (query_id, neighbor_id, cosine) rows by (cosine desc, neighbor_id)
@@ -656,10 +739,11 @@ def semdedup_flags(
     semantic duplicate group, same rule as the exact-dedup tier.
 
     Reuses the ingest-time IVF build (:func:`precompute_cells`) as the
-    clustering step, so query time is one cell-keyed self-join over
-    cell-sized blocks — the paper's design point: pairwise cost is
-    |cell|^2, held constant by scaling the cluster count with the
-    corpus. The default ``n_cells=None`` ENFORCES that rule via
+    clustering step, so query time is one cell-keyed exchange feeding a
+    per-cell vectorized scorer (``applyInPandas`` + numpy — see
+    :func:`_cell_max_smaller_pd`) — the paper's design point: pairwise
+    cost is |cell|^2, held constant by scaling the cluster count with
+    the corpus, and no per-pair row ever materializes in the JVM. The default ``n_cells=None`` ENFORCES that rule via
     :func:`auto_n_cells` (max(16, n/per_cell)); the catalog instance
     passes ``per_cell=128`` and its oracle mirrors the same
     count(*)-driven rule, so the shipped configuration scales instead
@@ -688,38 +772,35 @@ def semdedup_flags(
     """
     assign_fn = _resolve_probe_assign_fn(assign_fn, cell_probe)
     assigned, _ = precompute_cells(emb, n_cells, id_col, vec_col, per_cell, assign_fn)
-    # Both sides of the self-join and the final projection read it.
+    # The per-cell scorer and the final projection read it.
     assigned = C.track(assigned)
-    # Norms are per-row, not per-pair: computing them in the keyed
-    # projections (before the join) instead of inside a per-pair
-    # cosine cuts ~2/3 of the join-side flops with bit-identical
-    # results (same sqrt of the same double accumulation, same final
-    # division tree as V.cosine).
-    a = assigned.select(
-        F.col(id_col).alias("_a_id"),
-        F.col(vec_col).alias("_av"),
-        V.norm(F.col(vec_col)).alias("_an"),
-        "cell",
-    )
-    b = assigned.select(
-        F.col(id_col).alias("_b_id"),
-        F.col(vec_col).alias("_bv"),
-        V.norm(F.col(vec_col)).alias("_bn"),
-        "cell",
-    )
+    # Pair scoring is a per-cell Arrow/numpy pass (round-10
+    # optimization, guide §8 / §4.2): the former cell-keyed self-join
+    # materialized one wide JVM row per candidate pair (|cell|^2 rows
+    # through the join, scored by an interpreted 64-element fold —
+    # measured ~3.0 s for the 557k sf0.1 pairs through the noop sink),
+    # where every pairing decision needs only the cell's own vectors.
+    # Now each vector crosses the exchange once per probed cell and the
+    # pairwise max happens in vectorized numpy — bit-identically (see
+    # _cell_max_smaller_pd for the exactness argument; the per-vector
+    # MAX is rounded in the JVM, which commutes with max). A pair
+    # sharing two probed cells scores the same raw cosine in both —
+    # the groupBy max is the dedup, as before.
     scored = (
-        a.join(b, "cell")
-        .where(F.col("_a_id") < F.col("_b_id"))
-        .select(
-            F.col("_b_id").alias(id_col),
-            _cell_cosine(
-                F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn")
-            ).alias("_cos"),
+        assigned.select(
+            F.col(id_col).alias("_sd_id"),
+            F.col(vec_col).alias("_sd_v"),
+            "cell",
+        )
+        .groupBy("cell")
+        .applyInPandas(
+            _cell_max_smaller_pd,
+            f"_sd_id {emb.schema[id_col].dataType.simpleString()}, _sd_mx double",
         )
     )
-    mx = scored.groupBy(id_col).agg(
-        F.max("_cos").alias("max_cosine_smaller")
-    )
+    mx = scored.groupBy("_sd_id").agg(
+        F.round(F.max("_sd_mx"), 6).alias("max_cosine_smaller")
+    ).select(F.col("_sd_id").alias(id_col), "max_cosine_smaller")
     # Multi-probe assignments carry one row per (vector, probed cell);
     # the canonical output row is the argmin (_crk = 1) cell. A pair
     # sharing two probed cells scores twice into the SAME max — the
