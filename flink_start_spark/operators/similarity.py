@@ -121,6 +121,74 @@ def _cell_max_smaller_pd(pdf):
     )
 
 
+def _cell_pairs_pd(pdf):
+    """Per-cell pandas scorer for :func:`knn_label_purity`: every
+    directed pair (a, b), a != b, of the cell with its RAW cosine —
+    the same blocked, bit-exact column-accumulation arithmetic as
+    :func:`_cell_max_smaller_pd` (see there for the exactness
+    argument), but emitting the pair relation instead of a per-vector
+    max, because the k-NN contract ranks on the 6-dp-ROUNDED cosine
+    with neighbor-id tie-break and rounding must therefore stay
+    JVM-side (re-implementing Spark's decimal-string HALF_UP round in
+    numpy is exactly the kind of last-ulp divergence the repo bans).
+
+    Zero-denominator cosines are emitted as NaN, which the
+    pandas->Arrow conversion turns into SQL NULL — the same NULL the
+    former ``F.when(den != 0.0, ...)`` guard produced (those pairs DO
+    participate in the rank: NULLS LAST under the descending order,
+    so they fill trailing top-k slots in degenerate cells exactly as
+    before; pinned by the adversarial zero-norm corpus).
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(pdf)
+    empty = {
+        "_a_id": pdf["_kn_id"][:0],
+        "_a_label": pdf["_kn_label"][:0],
+        "_b_id": pdf["_kn_id"][:0],
+        "_b_label": pdf["_kn_label"][:0],
+        "_cos_raw": pd.Series([], dtype="float64"),
+    }
+    if m < 2:
+        return pd.DataFrame(empty)
+    ids = pdf["_kn_id"].to_numpy()
+    labels = pdf["_kn_label"].to_numpy()
+    mat = np.stack(pdf["_kn_v"].to_numpy()).astype(np.float64, copy=False)
+    dim = mat.shape[1]
+    nrm2 = np.zeros(m, dtype=np.float64)
+    for i in range(dim):
+        nrm2 += mat[:, i] * mat[:, i]
+    nrm = np.sqrt(nrm2)
+    frames = []
+    for lo in range(0, m, 2048):
+        hi = min(lo + 2048, m)
+        block = np.zeros((m, hi - lo), dtype=np.float64)
+        for i in range(dim):
+            block += np.multiply.outer(mat[:, i], mat[lo:hi, i])
+        den = np.multiply.outer(nrm, nrm[lo:hi])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = block / den
+        cos[den == 0.0] = np.nan  # -> SQL NULL at the Arrow boundary
+        rows = np.arange(m)[:, None]
+        cols = np.arange(lo, hi)[None, :]
+        keep = (rows != cols).ravel()
+        a_idx = np.broadcast_to(rows, cos.shape).ravel()[keep]
+        b_idx = np.broadcast_to(cols, cos.shape).ravel()[keep]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "_a_id": ids[a_idx],
+                    "_a_label": labels[a_idx],
+                    "_b_id": ids[b_idx],
+                    "_b_label": labels[b_idx],
+                    "_cos_raw": cos.ravel()[keep],
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared top-k epilogue for the ``*_topk`` family: rank scored
     (query_id, neighbor_id, cosine) rows by (cosine desc, neighbor_id)
@@ -1200,31 +1268,35 @@ def knn_label_purity(
     labeled = C.track(
         assigned.join(emb.select(id_col, label_col), id_col)
     )
-    a = labeled.select(
-        F.col(id_col).alias("_a_id"),
-        F.col(vec_col).alias("_av"),
-        V.norm(F.col(vec_col)).alias("_an"),
-        F.col(label_col).alias("_a_label"),
-        "cell",
-    )
-    b = labeled.select(
-        F.col(id_col).alias("_b_id"),
-        F.col(vec_col).alias("_bv"),
-        V.norm(F.col(vec_col)).alias("_bn"),
-        F.col(label_col).alias("_b_label"),
-        "cell",
-    )
+    # Candidate pairs come from a per-cell Arrow/numpy pass (round-10
+    # optimization, guide §8 / §4.2 — the semdedup_flags treatment):
+    # the former cell self-join shipped one wide 2x64-float JVM row
+    # per directed pair and scored it with an interpreted fold. Each
+    # vector now crosses the exchange once per probed cell; the pair
+    # relation comes back NARROW (ids + labels + one raw double).
+    # Rounding stays JVM-side (see _cell_pairs_pd) so the rounded-
+    # cosine rank order is bit-identical to the fold's.
+    id_t = emb.schema[id_col].dataType.simpleString()
+    lbl_t = emb.schema[label_col].dataType.simpleString()
     pairs = (
-        a.join(b, "cell")
-        .where(F.col("_a_id") != F.col("_b_id"))
+        labeled.select(
+            F.col(id_col).alias("_kn_id"),
+            F.col(vec_col).alias("_kn_v"),
+            F.col(label_col).alias("_kn_label"),
+            "cell",
+        )
+        .groupBy("cell")
+        .applyInPandas(
+            _cell_pairs_pd,
+            f"_a_id {id_t}, _a_label {lbl_t}, "
+            f"_b_id {id_t}, _b_label {lbl_t}, _cos_raw double",
+        )
         .select(
             "_a_id",
             "_a_label",
             "_b_id",
             "_b_label",
-            _cell_cosine(
-                F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn")
-            ).alias("_cos"),
+            F.round(F.col("_cos_raw"), 6).alias("_cos"),
         )
     )
     if "_crk" in assigned.columns:
