@@ -189,6 +189,106 @@ def _cell_pairs_pd(pdf):
     return pd.concat(frames, ignore_index=True)
 
 
+def _np_cos_matrix(c_mat, s_mat):
+    """Corpus-block x sample cosine matrix with the repo's bit-exact
+    column-order accumulation (see :func:`_cell_max_smaller_pd`).
+    Returns ``(cos, den)`` float64 arrays of shape (n_corpus,
+    n_sample); entries with ``den == 0`` hold undefined values — the
+    caller must mask on ``den != 0.0`` (the ``F.when`` guard's
+    semantics)."""
+    import numpy as np
+
+    dim = c_mat.shape[1]
+    cn2 = np.zeros(c_mat.shape[0], dtype=np.float64)
+    sn2 = np.zeros(s_mat.shape[0], dtype=np.float64)
+    g = np.zeros((c_mat.shape[0], s_mat.shape[0]), dtype=np.float64)
+    for i in range(dim):
+        cn2 += c_mat[:, i] * c_mat[:, i]
+        sn2 += s_mat[:, i] * s_mat[:, i]
+        g += np.multiply.outer(c_mat[:, i], s_mat[:, i])
+    # the JVM expression multiplies s_n * e_n; IEEE float multiply is
+    # commutative bit-for-bit, so the (corpus, sample) orientation here
+    # is the same double
+    den = np.multiply.outer(np.sqrt(cn2), np.sqrt(sn2))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = g / den
+    return cos, den
+
+
+def _sample_pairs_pd_factory(raw_floor: float):
+    """Factory for the sharded sample-x-corpus exact stage of
+    embedding_lsh_recall_audit: each group holds one corpus shard plus
+    the full replicated sample; emits (sample id, corpus id, RAW
+    cosine) for non-self pairs with nonzero denominator and raw cosine
+    >= ``raw_floor`` — a CONSERVATIVE margin below the audit threshold
+    (the caller re-applies the exact JVM ``round(...) >= thr`` filter,
+    so the margin only over-emits, never drops a true survivor)."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        s = pdf[pdf["_is_s"]]
+        c = pdf[~pdf["_is_s"]]
+        empty = {
+            "_s_id": pdf["_id"][:0],
+            "_c_id": pdf["_id"][:0],
+            "_raw": pd.Series([], dtype="float64"),
+        }
+        if len(s) == 0 or len(c) == 0:
+            return pd.DataFrame(empty)
+        s_ids = s["_id"].to_numpy()
+        c_ids = c["_id"].to_numpy()
+        s_mat = np.stack(s["_v"].to_numpy()).astype(np.float64, copy=False)
+        c_mat = np.stack(c["_v"].to_numpy()).astype(np.float64, copy=False)
+        cos, den = _np_cos_matrix(c_mat, s_mat)
+        keep = (
+            (den != 0.0)
+            & (c_ids[:, None] != s_ids[None, :])
+            & (cos >= raw_floor)
+        )
+        ci, si = np.nonzero(keep)
+        if len(ci) == 0:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {"_s_id": s_ids[si], "_c_id": c_ids[ci], "_raw": cos[ci, si]}
+        )
+
+    return fn
+
+
+def _sample_max_smaller_pd(pdf):
+    """Sharded sample-x-corpus exact stage of semdedup_recall_audit:
+    per sample vector, the shard-local max RAW cosine over corpus
+    rows with a STRICTLY SMALLER id (the audit's smaller-id
+    restriction) and nonzero denominator. The caller maxes the
+    shard partials and rounds in the JVM (max commutes with half-up
+    rounding)."""
+    import numpy as np
+    import pandas as pd
+
+    s = pdf[pdf["_is_s"]]
+    c = pdf[~pdf["_is_s"]]
+    empty = {
+        "_s_id": pdf["_id"][:0],
+        "_pmax": pd.Series([], dtype="float64"),
+    }
+    if len(s) == 0 or len(c) == 0:
+        return pd.DataFrame(empty)
+    s_ids = s["_id"].to_numpy()
+    c_ids = c["_id"].to_numpy()
+    s_mat = np.stack(s["_v"].to_numpy()).astype(np.float64, copy=False)
+    c_mat = np.stack(c["_v"].to_numpy()).astype(np.float64, copy=False)
+    cos, den = _np_cos_matrix(c_mat, s_mat)
+    valid = (den != 0.0) & (c_ids[:, None] < s_ids[None, :])
+    cos = np.where(valid, cos, -np.inf)
+    any_valid = valid.any(axis=0)
+    if not any_valid.any():
+        return pd.DataFrame(empty)
+    mx = cos.max(axis=0)
+    return pd.DataFrame({"_s_id": s_ids[any_valid], "_pmax": mx[any_valid]})
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared top-k epilogue for the ``*_topk`` family: rank scored
     (query_id, neighbor_id, cosine) rows by (cosine desc, neighbor_id)

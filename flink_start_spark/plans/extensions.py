@@ -2283,32 +2283,44 @@ def q_semdedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("s_id"),
             F.col("embedding").alias("s_vec"),
-            # norm is per-ROW, not per-pair: materializing both sides'
-            # norms before the pair join replaces V.cosine's three
-            # interpreted 64-element folds per pair with one (the dot)
-            # — measured 7.27 s -> 2.14 s on the exact stage at sf0.1
-            # (round-10 optimization, guide §2.3/§1.2 "per-task work";
-            # the same trick semdedup_flags' pair stage already uses).
-            # Bit-identical: same sqrt of the same fold, and the
-            # denominator product s_n * e_n multiplies the same doubles
-            # in the same order as V.cosine's norm(a) * norm(b).
-            V.norm(F.col("embedding")).alias("s_n"),
         )
     )
-    # tracked: referenced by the exact-stage join AND the final join
+    # tracked: referenced by the exact-stage shards AND the final join
     smp = C.track(smp)
-    # exact stage: sample x corpus via broadcast (256 rows — bounded),
-    # smaller-id restriction in the join condition; groupBy collapses
-    # map-side, so the shuffle carries one row per sampled vector
-    big = emb.select(
-        "vec_id", "embedding", V.norm(F.col("embedding")).alias("_en")
+    # exact stage: sample x corpus as a sharded Arrow/numpy pass
+    # (round-10 optimization, guide §8 / §4.2 — second restructure this
+    # round; the first pre-materialized per-row norms, 7.27 s ->
+    # 2.14 s, but the per-pair dot was still an INTERPRETED 64-element
+    # fold in a broadcast nested-loop join). The corpus is hash-sharded
+    # on a deterministic key, the fixed 256-row sample rides every
+    # shard, and each shard emits per-sample partial maxima over its
+    # smaller-id pairs — the JVM maxes the partials and rounds (max
+    # commutes with half-up rounding), so results are bit-identical
+    # (see similarity._np_cos_matrix for the accumulation-order
+    # argument).
+    n_emb = C.memo_count(emb)
+    ns = max(spark.sparkContext.defaultParallelism, n_emb // 50_000 + 1)
+    rep = smp.crossJoin(
+        spark.range(ns).select(F.col("id").cast("int").alias("_pk"))
+    ).select(
+        "_pk",
+        F.col("s_id").alias("_id"),
+        F.col("s_vec").alias("_v"),
+        F.lit(True).alias("_is_s"),
     )
-    den = F.col("s_n") * F.col("_en")
-    cos = F.when(den != 0.0, V.dot(F.col("s_vec"), F.col("embedding")) / den)
+    corp = emb.select(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(ns)).cast("int").alias("_pk"),
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_v"),
+        F.lit(False).alias("_is_s"),
+    )
+    idt = emb.schema["vec_id"].dataType.simpleString()
     ex = (
-        big.join(F.broadcast(smp), F.col("vec_id") < F.col("s_id"))
-        .groupBy("s_id")
-        .agg(F.max(F.round(cos, 6)).alias("_mx"))
+        corp.unionByName(rep)
+        .groupBy("_pk")
+        .applyInPandas(S._sample_max_smaller_pd, f"_s_id {idt}, _pmax double")
+        .groupBy(F.col("_s_id").alias("s_id"))
+        .agg(F.round(F.max("_pmax"), 6).alias("_mx"))
     )
     j = (
         smp.select("s_id")
@@ -2442,53 +2454,51 @@ def q_embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tracked: referenced by the exact stage AND the lsh restriction
     smp = C.track(smp)
-    # exact stage: sample x corpus, restructured (round-10 optimization,
-    # guide §2.3 "project before the exchange" / §1.2 per-task work)
-    # from a broadcast nested-loop join materializing one wide row per
-    # (sample, corpus) pair into ONE packed broadcast row + a per-corpus-
-    # row transform lambda that emits only threshold survivors — no
-    # 2x64-float pair rows ever materialize, and the per-row norms are
-    # computed once per ROW instead of once per PAIR (V.cosine's two
-    # norm folds per pair were 2/3 of the exact stage's flops). Measured
-    # 5.19 s -> 2.23 s at sf0.1 through the noop sink. Bit-identical:
-    # same dot fold, same s_n * e_n denominator order as
-    # V.cosine(s_vec, embedding), same round-6-then-filter semantics
-    # (F.filter keeps only TRUE, exactly like the .filter it replaces
-    # dropped NULL cosines of zero-norm vectors).
-    packed = (
-        smp.select("s_id", "s_vec", V.norm(F.col("s_vec")).alias("s_n"))
-        .agg(
-            F.array_sort(F.collect_list(F.struct("s_id", "s_vec", "s_n"))).alias(
-                "_smp"
-            )
-        )
+    # exact stage: sample x corpus as a sharded Arrow/numpy pass
+    # (round-10 optimization, guide §8 / §4.2 — second restructure this
+    # round; the first moved the broadcast nested-loop join into a
+    # packed-row transform lambda, 5.19 s -> 2.23 s, but the per-pair
+    # dot was still an INTERPRETED 64-element fold). The corpus is
+    # hash-sharded on a deterministic key (guide §2.5: never rand()),
+    # the fixed sample rides every shard (the broadcast equivalent —
+    # shard count scales with the corpus via the memoized count, so
+    # group size stays bounded at any scale), and the survivors come
+    # back narrow. numpy emits RAW cosines at a conservative margin
+    # below the threshold; the exact JVM round(...,6) >= thr filter is
+    # re-applied, so results are bit-identical (half-up rounding is
+    # monotone and the margin only over-emits).
+    n_emb = C.memo_count(emb)
+    ns = max(spark.sparkContext.defaultParallelism, n_emb // 50_000 + 1)
+    rep = smp.crossJoin(
+        spark.range(ns).select(F.col("id").cast("int").alias("_pk"))
+    ).select(
+        "_pk",
+        F.col("s_id").alias("_id"),
+        F.col("s_vec").alias("_v"),
+        F.lit(True).alias("_is_s"),
     )
-    big = emb.select("vec_id", "embedding", V.norm(F.col("embedding")).alias("_en"))
-    scored = F.filter(
-        F.transform(
-            F.col("_smp"),
-            lambda s: F.struct(
-                s["s_id"].alias("s_id"),
-                F.round(
-                    F.when(
-                        (s["s_n"] * F.col("_en")) != 0.0,
-                        V.dot(s["s_vec"], F.col("embedding"))
-                        / (s["s_n"] * F.col("_en")),
-                    ),
-                    6,
-                ).alias("cos"),
-            ),
-        ),
-        lambda st: (st["s_id"] != F.col("vec_id")) & (st["cos"] >= thr),
+    corp = emb.select(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(ns)).cast("int").alias("_pk"),
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_v"),
+        F.lit(False).alias("_is_s"),
+    )
+    idt = emb.schema["vec_id"].dataType.simpleString()
+    raw_pairs = (
+        corp.unionByName(rep)
+        .groupBy("_pk")
+        .applyInPandas(
+            S._sample_pairs_pd_factory(thr - 1e-6),
+            f"_s_id {idt}, _c_id {idt}, _raw double",
+        )
     )
     ex = (
-        big.crossJoin(F.broadcast(packed))
-        .select(F.col("vec_id"), F.explode(scored).alias("_p"))
-        .select(
-            F.least(F.col("vec_id"), F.col("_p")["s_id"]).alias("id_a"),
-            F.greatest(F.col("vec_id"), F.col("_p")["s_id"]).alias("id_b"),
-            F.col("_p")["cos"].alias("cos"),
+        raw_pairs.select(
+            F.least(F.col("_c_id"), F.col("_s_id")).alias("id_a"),
+            F.greatest(F.col("_c_id"), F.col("_s_id")).alias("id_b"),
+            F.round(F.col("_raw"), 6).alias("cos"),
         )
+        .filter(F.col("cos") >= thr)
         .distinct()
         .withColumn("in_ex", F.lit(True))
     )
