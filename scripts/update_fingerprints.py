@@ -3,6 +3,8 @@ driver-rotation state (round-9 verdict item 2).
 
     python scripts/update_fingerprints.py          # merge-update
     python scripts/update_fingerprints.py --print  # show stale entries
+    python scripts/update_fingerprints.py --invalidate NAME...
+        # drop recorded entries whose UNDERLYING implementation changed
 
 The driver's correctness rotation (__spark_entry__.queries()) ranks
 queries by the round of their last hash-green check — but a check
@@ -21,6 +23,16 @@ hash-green driver check exists for it (CORRECTNESS_r{N}.json round >
 the recorded round). Mid-round reruns are no-ops — no new driver
 artifact, no update — so an edited query can never overwrite the
 fingerprint its last check certified.
+
+``--invalidate``: the fingerprint hashes only the registered query
+function's own source + its oracle SQL — a rewrite INSIDE an operator
+module the query calls (e.g. round 10's similarity.py Arrow kernels)
+does not flip it. When an optimization round rewrites a query's
+underlying operator, drop its recorded entry here: with no recorded
+fingerprint the rotation treats the query as never-certified and
+front-ranks it for the next driver correctness sample, which is the
+truthful state — the last green check certified code that no longer
+exists.
 """
 
 from __future__ import annotations
@@ -45,6 +57,18 @@ def main() -> int:
             recorded = json.load(f)
     except (OSError, ValueError):
         recorded = {}
+
+    if "--invalidate" in sys.argv:
+        names = sys.argv[sys.argv.index("--invalidate") + 1 :]
+        unknown = [n for n in names if n not in current]
+        if unknown or not names:
+            print(f"unknown or missing query names: {unknown or '(none given)'}")
+            return 1
+        dropped = [n for n in names if recorded.pop(n, None) is not None]
+        with open(FP_PATH, "w") as f:
+            json.dump(dict(sorted(recorded.items())), f, indent=1)
+        print(f"invalidated {len(dropped)}: {' '.join(dropped)}")
+        return 0
 
     if "--print" in sys.argv:
         stale = sorted(
