@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_start_spark import cache as C
@@ -528,24 +528,33 @@ def winnowing_shared_pairs(
         )
     )
     e = base.select(F.col(id_col), F.explode("fps").alias("fp"))
-    rare = (
+    # Round-11 (guide §3.4): ONE groupBy(fp) replaces the old
+    # df-count + postings join + postings-vs-postings self-join. The
+    # df-cut bounds every retained group at max_df ids, so all (a < b)
+    # pairs expand from the sorted id array with two generates —
+    # ≤ max_df²/2 pairs per fingerprint, no join, and two fewer
+    # corpus-sized exchanges. array_sort makes the expansion order
+    # deterministic; (id, fp) is unique upstream (fps arrays are
+    # distinct), so pair multiplicity is unchanged.
+    grp = C.track(
         e.groupBy("fp")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("fp")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") <= max_df)
     )
-    postings = C.track(e.join(rare, "fp"))
-    n_kept = postings.groupBy(id_col).agg(F.count("*").alias("n_fps"))
-    a, b = postings.alias("a"), postings.alias("b")
+    n_kept = (
+        grp.select(F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_fps"))
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        grp.select(F.posexplode("_ids").alias("_i", "id_a"), "_ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.expr("slice(_ids, _i + 2, size(_ids))")
+            ).alias("id_b"),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
     )
     return (
@@ -921,11 +930,15 @@ def ppjoin_exact_pairs(
     all-pairs — measured 8 s at sf0.1; 3-shingles have near-unique df
     and restore the designed selectivity.)
 
-    Scale shape: one df-count aggregation, one token join to attach
-    ranks (shuffle on token — rare keys), per-doc reassembly, a
-    prefix-token equi-join for candidates, then the exact-Jaccard
-    confirm on the two full token arrays. Every stage is keyed;
-    nothing is quadratic in the corpus.
+    Scale shape: one window over partitionBy(token) attaches the
+    global df (high-cardinality key, one exchange), per-doc
+    reassembly, a prefix-token equi-join for candidates, then the
+    exact-Jaccard confirm on the two full token arrays. Every stage is
+    keyed; nothing is quadratic in the corpus. The candidate stage
+    stays a JOIN (not a collect_list pair expansion like winnowing's):
+    prefix tokens are rare by construction but carry no hard df bound,
+    and a join spreads a pathological hot key across tasks where a
+    per-group array would not.
     """
     toks = fan_out(df).select(
         F.col(id_col),
@@ -933,11 +946,14 @@ def ppjoin_exact_pairs(
             F.array_distinct(TH.shingles(F.col(content_col), 3))
         ).alias("tok"),
     )
-    toks = C.track(toks)
-    dfc = toks.groupBy("tok").agg(F.count("*").alias("_df"))
-    ranked = toks.join(dfc, "tok").select(
-        id_col, F.struct(F.col("_df"), F.col("tok")).alias("_key")
-    )
+    # Round-11 (guide §2.1): the global df attaches via ONE window over
+    # partitionBy(tok) — high-cardinality key, whole-partition frame —
+    # instead of a groupBy + re-join of the token relation (two
+    # exchanges + a cache became one exchange, and the token relation
+    # no longer needs persisting: it is consumed exactly once now).
+    ranked = toks.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    ).select(id_col, F.struct(F.col("_df"), F.col("tok")).alias("_key"))
     docs = ranked.groupBy(id_col).agg(
         F.transform(
             F.array_sort(F.collect_list("_key")), lambda s: s["tok"]

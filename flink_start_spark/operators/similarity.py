@@ -1029,9 +1029,18 @@ def kmeans_lloyd(
     pinning the full clustering — as ``vec_id, cell, cell_size``.
     """
     quant = 1 << 20
-    cents = deterministic_centroids(emb, k, id_col, vec_col)
+    # Round-11 (guide §5.2): every iteration re-scans the corpus (the
+    # init sample, i assignment passes, the final assignment) — persist
+    # the slim (id, vector) projection ONCE so iterations read the
+    # cache instead of re-decoding parquet each round (the standard
+    # iterative-ML shape; the cache is released by the harness's
+    # cache-ownership contract).
+    e = emb.select(id_col, vec_col)
+    if not emb.is_cached:
+        e = C.track(e)
+    cents = deterministic_centroids(e, k, id_col, vec_col)
     for _ in range(iters):
-        assigned = assign_cells_maponly(emb, cents, id_col, vec_col)
+        assigned = assign_cells_maponly(e, cents, id_col, vec_col)
         by_pos = assigned.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
@@ -1055,8 +1064,15 @@ def kmeans_lloyd(
             ).alias("center")
         )
         cents = C.track(cents)
-    final = assign_cells_maponly(emb, cents, id_col, vec_col).select(
-        F.col(id_col), F.col("cell").cast("bigint").alias("cell")
+    # final is consumed twice (sizes aggregate + the join's left side):
+    # persist it so the last assignment pass runs once, not twice. The
+    # sizes side stays a groupBy + broadcast join — NOT a window over
+    # partitionBy(cell), which would funnel each cluster through one
+    # task (k is small; the hot-key hazard the repo bans).
+    final = C.track(
+        assign_cells_maponly(e, cents, id_col, vec_col).select(
+            F.col(id_col), F.col("cell").cast("bigint").alias("cell")
+        )
     )
     sizes = final.groupBy("cell").agg(F.count("*").alias("cell_size"))
     return final.join(F.broadcast(sizes), "cell").select(

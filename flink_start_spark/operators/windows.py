@@ -175,26 +175,28 @@ def interval_peak(
         ).alias("e")
     ).select(F.col("e.k").alias("k"), F.col("e.d").alias("d"))
     grouped = pts.groupBy("k").agg(F.sum("d").alias("delta"))
-    run = S.with_rank_and_sum(
-        grouped, [], "k", "delta", out_rank="_rn", out_sum="running"
+    # Round-11 (guide §1.2/§2.1): no rank output (it was dropped), and
+    # "earliest instant attaining the max" is ONE lexicographic-max
+    # aggregate over struct(running, -k) — the old peak-broadcast +
+    # re-filter re-executed the whole running-sum subtree twice and
+    # added a crossJoin round-trip.
+    run = S.with_rank_and_sum(grouped, [], "k", "delta", out_sum="running")
+    m = run.agg(
+        F.max(
+            F.struct(F.col("running").alias("r"), (-F.col("k")).alias("nk"))
+        ).alias("_m")
     )
-    peak = run.agg(F.max("running").alias("peak_concurrent"))
-    return (
-        run.crossJoin(F.broadcast(peak))
-        .where(F.col("running") == F.col("peak_concurrent"))
-        .agg(
-            F.max("peak_concurrent").alias("peak_concurrent"),
-            # pmod-floor division (matches the oracle's pmod form and
-            # the repo-wide floor-epoch convention). Bare `div` would
-            # truncate toward zero on pre-epoch instants — and so does
-            # DuckDB's integer `//` (they agree in the wrong direction;
-            # the floor convention is what the window queries emit).
-            F.expr(
-                "CAST((CAST((min(k) - pmod(min(k), 2)) AS BIGINT) div 2 "
-                " - pmod(CAST((min(k) - pmod(min(k), 2)) AS BIGINT) div 2, 1000000)"
-                ") div 1000000 AS BIGINT)"
-            ).alias("first_peak_epoch_s"),
-        )
+    return m.selectExpr(
+        "_m.r AS peak_concurrent",
+        # pmod-floor division on first_k = -_m.nk (matches the oracle's
+        # pmod form and the repo-wide floor-epoch convention). Bare
+        # `div` would truncate toward zero on pre-epoch instants — and
+        # so does DuckDB's integer `//` (they agree in the wrong
+        # direction; the floor convention is what the window queries
+        # emit).
+        "CAST((CAST(((-_m.nk) - pmod(-_m.nk, 2)) AS BIGINT) div 2 "
+        " - pmod(CAST(((-_m.nk) - pmod(-_m.nk, 2)) AS BIGINT) div 2, 1000000)"
+        ") div 1000000 AS BIGINT) AS first_peak_epoch_s",
     )
 
 

@@ -1224,14 +1224,29 @@ def q_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_start_spark.operators import selection as S
 
     docs = fan_out(load_table(spark, "documents", sf_dir))
-    q = docs.select(
-        "lang",
-        F.round(TX.quality_expr(TH.words(F.col("text"))), 6).alias(
-            "quality_score"
-        ),
+    # Round-11: quantiles are multiset functions — collapse the corpus
+    # to per-(lang, score) counts in the same scan that computes the
+    # scores, and run the weighted selection on that (guide §2.2). The
+    # expensive per-doc quality expression now runs exactly once per
+    # row, in one pass, instead of the topology caching the corpus-
+    # sized projection.
+    q = C.track(
+        docs.select(
+            "lang",
+            F.round(TX.quality_expr(TH.words(F.col("text"))), 6).alias(
+                "quality_score"
+            ),
+        )
+        .groupBy("lang", "quality_score")
+        .agg(F.count(F.lit(1)).alias("_w"))
     )
     out = S.exact_quantile_values(
-        q, ["lang"], "quality_score", [0.25, 0.50, 0.75], out_col="q_value"
+        q,
+        ["lang"],
+        "quality_score",
+        [0.25, 0.50, 0.75],
+        out_col="q_value",
+        weight_col="_w",
     )
     return out.select(
         "lang",
