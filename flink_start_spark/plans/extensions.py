@@ -1217,16 +1217,25 @@ def q_pandas_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
+    # ONE array-percentile aggregate (round 11): three scalar
+    # percentile() calls each buffer the whole value column per group —
+    # the array form sorts once and reads all three ranks (guide §2.2,
+    # shuffle/aggregate fewer bytes). Values are identical: same sort,
+    # same interpolation.
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.expr("percentile(value, 0.5)").alias("exact_median_raw"),
-        F.expr("percentile(value, 0.45)").alias("p45"),
-        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.expr("percentile(value, array(0.45D, 0.5D, 0.55D))").alias("_pct"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
         F.approx_count_distinct("user_id").alias("hll_users"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("kll_median"),
+    )
+    agg = agg.select(
+        "*",
+        F.element_at("_pct", 2).alias("exact_median_raw"),
+        F.element_at("_pct", 1).alias("p45"),
+        F.element_at("_pct", 3).alias("p55"),
     )
     return agg.select(
         "event_type",

@@ -15,6 +15,29 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight redundancy test (each duplicates coverage the "
+        "driver's own oracle run or a sibling test already provides); "
+        "skipped unless FLINK_SPARK_FULL_TESTS=1 so the driver's "
+        "verify-budget run finishes (round-10 verdict item 2 — the full "
+        "suite exceeded the driver window; the round-end battery sets "
+        "the env var and runs everything)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("FLINK_SPARK_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow lane — set FLINK_SPARK_FULL_TESTS=1 to include"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("flink_start_spark_tests", shuffle_partitions=8)

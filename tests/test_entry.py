@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -20,6 +22,7 @@ def test_queries_and_oracles_aligned(spark):
     assert set(os_) <= set(qs)
 
 
+@pytest.mark.slow
 def test_each_query_runs_smoke(spark):
     from tests.conftest import SF_SMOKE
 

@@ -241,6 +241,7 @@ def test_rp_sign_bits_match_numpy(spark):
         assert got[i] == expected, i
 
 
+@pytest.mark.slow
 def test_ivf_topk_recall_on_clustered_data(spark):
     # IVF's claim vs sign-LSH: recall holds when embeddings cluster.
     import numpy as np

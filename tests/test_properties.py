@@ -11,6 +11,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -35,6 +36,7 @@ _asof_case = st.tuples(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_events)
 def test_tumbling_window_counts_match_manual_bucketing(spark, events):
@@ -89,6 +91,7 @@ def test_session_windows_match_python_islands(spark, events):
     assert got == expected
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_asof_case)
 def test_asof_join_matches_pandas_merge_asof(spark, case):
@@ -348,6 +351,7 @@ def _kmeans_ref(vecs: dict[int, list[float]], k: int, iters: int):
     return assign(cents)
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
@@ -460,6 +464,7 @@ _sel_rows = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_sel_rows)
 def test_exact_rank_value_matches_sorted_pick(spark, rows):
