@@ -1,11 +1,14 @@
 """Vector math over ``array<float>`` columns — pure Catalyst expressions.
 
-No UDFs: ``F.zip_with`` + ``F.aggregate`` compile to codegen'd JVM
-loops, so cosine over a 64-dim column runs at memory bandwidth inside
-whole-stage codegen. Elements are cast to double *before* multiplication
-and folded left-to-right — the same order DuckDB's ``list_*`` lambdas
-use, which keeps cross-engine results bit-comparable (we still round at
-the query edge).
+No UDFs: ``F.zip_with`` + ``F.aggregate`` run as JVM lambda evaluation
+(higher-order functions are interpreted, NOT whole-stage-codegen'd —
+the round-10/11 optimization lesson: per-PAIR folds dominate pair
+stages, so hot paths precompute per-ROW norms and pass them to
+:func:`cosine_with_norms`, and the heaviest kernels batch through
+numpy/Arrow in operators/similarity.py). Elements are cast to double
+*before* multiplication and folded left-to-right — the same order
+DuckDB's ``list_*`` lambdas use, which keeps cross-engine results
+bit-comparable (we still round at the query edge).
 
 The reference has no vector surface; this implements the similarity-
 search extension (SURVEY §2b, BASELINE.json north_star).
@@ -46,6 +49,19 @@ def cosine(a: Column, b: Column) -> Column:
     whole query. Oracle mirrors use ``NULLIF(denominator, 0)`` for the
     same semantics."""
     denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the two L2 norms PRECOMPUTED per row
+    (round 11, guide §4.2): a pair-scoring stage that joins two vector
+    relations evaluates cosine once per PAIR — folding both norms there
+    re-runs two 64-element interpreted folds per pair (higher-order
+    functions are not whole-stage-codegen'd). Computing ``norm()`` once
+    per ROW before the join and passing it in leaves only the dot fold
+    per pair. Bit-identical: same folds, same sqrt, same product, same
+    zero-denominator NULL guard."""
+    denom = na * nb
     return F.when(denom != 0.0, dot(a, b) / denom)
 
 

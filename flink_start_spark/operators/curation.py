@@ -98,22 +98,18 @@ def curation_audit(
     # WEIGHTED selection — one scan of the corpus-sized cache instead
     # of three, and the topology's own cached projection shrinks to
     # distinct-value size (guide §2.2).
-    # The |langs|-row median table is checkpointed: the selection
-    # topology's lineage never re-embeds in the disposition join plan
-    # and executes exactly once.
-    medians = (
-        SEL.exact_rank_value(
-            base.groupBy(stratum_col, "quality_score").agg(
-                F.count(F.lit(1)).alias("_w")
-            ),
-            [stratum_col],
-            "quality_score",
-            out_col="median_quality",
-            weight_col="_w",
-        )
-        .select(stratum_col, "median_quality")
-        .localCheckpoint(eager=True)
-    )
+    # medians is consumed exactly once (broadcast join below): no
+    # cache/checkpoint — an eager checkpoint A/B'd ~a job slower at
+    # sf0.1 for lineage this short.
+    medians = SEL.exact_rank_value(
+        base.groupBy(stratum_col, "quality_score").agg(
+            F.count(F.lit(1)).alias("_w")
+        ),
+        [stratum_col],
+        "quality_score",
+        out_col="median_quality",
+        weight_col="_w",
+    ).select(stratum_col, "median_quality")
     flagged = base.join(F.broadcast(medians), stratum_col)
     # -- decontamination: the one doc_id join (aggregated left side) ----
     decon = TX.decontaminate(

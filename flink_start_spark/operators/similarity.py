@@ -317,11 +317,17 @@ def brute_force_topk(
     (cosine desc, neighbor_id) so ties are deterministic. Self-matches
     excluded. ``queries`` is broadcast (small side by contract).
     """
+    # norms are per-ROW (computed before the pair join); only the dot
+    # fold runs per pair — see vector.cosine_with_norms (guide §4.2)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        V.norm(F.col(vec_col)).alias("_qn"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        V.norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -329,7 +335,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.round(
+                V.cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     return _rank_topk(scored, k)
@@ -367,10 +378,13 @@ def lsh_topk(
         key_fn = lambda col, b: V.sign_bits(col, bits, offset=b * bits)  # noqa: E731
 
     def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        # per-row norm rides the persisted projection so the pair stage
+        # only folds the dot product (vector.cosine_with_norms)
         return C.track(
             df.select(
                 F.col(id_col).alias(f"{prefix}_id"),
                 F.col(vec_col).alias(f"{prefix}_vec"),
+                V.norm(F.col(vec_col)).alias(f"{prefix}_n"),
                 *[
                     key_fn(F.col(vec_col), b).alias(f"{prefix}_band{b}")
                     for b in range(bands)
@@ -395,13 +409,18 @@ def lsh_topk(
     )
     scored = (
         matched.join(
-            q.select("q_id", "q_vec"), "q_id"
+            q.select("q_id", "q_vec", "q_n"), "q_id"
         )
-        .join(c.select("c_id", "c_vec"), "c_id")
+        .join(c.select("c_id", "c_vec", "c_n"), "c_id")
         .select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),
-            F.round(V.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.round(
+                V.cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     return _rank_topk(scored, k)
@@ -553,7 +572,11 @@ def ivf_topk_precomputed(
     assigned there — ~``n_probe/n_cells`` of the corpus, via a cell-id
     equi-join (same sub-linear topology as :func:`lsh_topk`, but the
     buckets follow the data distribution)."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        V.norm(F.col(vec_col)).alias("_qn"),
+    )
     probe = (
         q.crossJoin(F.broadcast(centroids))
         .withColumn("_d2", V.sq_dist(F.col("q_vec"), F.col("center")))
@@ -564,15 +587,23 @@ def ivf_topk_precomputed(
             ),
         )
         .filter(F.col("_rk") <= n_probe)
-        .select("q_id", "q_vec", "cell")
+        .select("q_id", "q_vec", "_qn", "cell")
     )
+    # candidate-side norm per ROW before the cell join; only the dot
+    # fold runs per (query, candidate) pair — vector.cosine_with_norms
     scored = (
-        assigned.join(F.broadcast(probe), "cell")
+        assigned.withColumn("_cn", V.norm(F.col(vec_col)))
+        .join(F.broadcast(probe), "cell")
         .filter(F.col("q_id") != F.col(id_col))
         .select(
             F.col("q_id").alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
-            F.round(V.cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+            F.round(
+                V.cosine_with_norms(
+                    F.col("q_vec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     return _rank_topk(scored, k)
@@ -789,20 +820,33 @@ def lsh_near_dup_pairs(
         )
         .distinct()
     )
-    vecs = keyed.select(F.col(id_col), F.col(vec_col))
+    # per-row norms ride the vec projections; only the dot fold runs
+    # per candidate pair (vector.cosine_with_norms, guide §4.2)
+    vecs = keyed.select(
+        F.col(id_col), F.col(vec_col), V.norm(F.col(vec_col)).alias("_n")
+    )
     return (
         candidates.join(
-            vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "vec_a"),
+            vecs.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed(vec_col, "vec_a")
+            .withColumnRenamed("_n", "_na"),
             "id_a",
         )
         .join(
-            vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vec_b"),
+            vecs.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed(vec_col, "vec_b")
+            .withColumnRenamed("_n", "_nb"),
             "id_b",
         )
         .select(
             "id_a",
             "id_b",
-            F.round(V.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+            F.round(
+                V.cosine_with_norms(
+                    F.col("vec_a"), F.col("vec_b"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

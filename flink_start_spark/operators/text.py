@@ -397,25 +397,13 @@ def quality_median_filter(
     from flink_start_spark.operators import selection as S
 
     st = C.track(text_stats(df, text_col, extra_cols=(group_col,)))
-    # Round-11: median is a multiset function of (group, score) —
-    # collapse to distinct-score counts and run the WEIGHTED selection,
-    # one scan of the cached stats instead of three (guide §2.2).
-    # checkpoint the |groups|-row median table: cuts the selection
-    # topology's lineage out of the final join plan and guarantees it
-    # executes once (guide §5.4)
-    medians = (
-        S.exact_rank_value(
-            st.groupBy(group_col, "quality_score").agg(
-                F.count(F.lit(1)).alias("_w")
-            ),
-            [group_col],
-            "quality_score",
-            out_col="median_quality",
-            weight_col="_w",
-        )
-        .select(group_col, "median_quality")
-        .localCheckpoint(eager=True)
-    )
+    # Round-11: the weighted distinct-value collapse was A/B'd here and
+    # measured 1.25x SLOWER at sf0.1 (extra shuffle + aggregate, no row
+    # reduction on this corpus — see q_value_outliers_mad's note in
+    # plans/advanced.py); row-level kept.
+    medians = S.exact_rank_value(
+        st, [group_col], "quality_score", out_col="median_quality"
+    ).select(group_col, "median_quality")
     return st.join(F.broadcast(medians), group_col).select(
         "doc_id",
         group_col,

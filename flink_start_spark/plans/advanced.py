@@ -585,41 +585,33 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_start_spark import cache as C
     from flink_start_spark.operators import selection as S
 
-    # Round-11 (guide §2.2: shuffle fewer bytes — aggregate first):
-    # median, MAD and the outlier count are all functions of the
-    # per-(event_type, value) MULTISET, so collapse the corpus to
-    # distinct-value counts in one scan and run the weighted selection
-    # topology on that — the corpus never flows through the machinery,
-    # is never cached, and the second (deviation) relation is
-    # distinct-value-sized instead of corpus-sized. Values are
-    # quantized in this corpus (sf0.1: 100k rows -> 49k pairs), and at
-    # 100 TB the collapse is map-side partial aggregation's best case.
+    # Round-11 NOTE (verdict item 4, measured and REJECTED): two
+    # candidate rewrites were built and paired-A/B'd against this form —
+    # (a) collapsing the corpus to groupBy(event_type, value) counts and
+    # running the WEIGHTED selection topology (selection.py weight_col)
+    # on the distinct-value multiset, and (b) the same plus eager
+    # localCheckpoints of the tiny med/mad relations to cut the
+    # 1396-line plan. Both lost at sf0.1: (b) 1.15x slower, (a) 1.23-
+    # 1.34x slower across two windows — the 2x distinct-value collapse
+    # (100k -> 49k) does not pay for the extra shuffle + hash aggregate
+    # + cache, and each eager checkpoint costs ~a job. The weighted
+    # machinery (kept, tested) is the right call when values are
+    # heavily quantized relative to corpus size (the 100 TB shape:
+    # collapse ratios of 10^3+, map-side partial agg's best case) —
+    # curation_audit ships it — but HERE row-level is the measured
+    # winner and this query keeps it.
     ev = load_table(spark, "events", sf_dir)
-    vcnt = C.track(
-        ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("_w"))
-    )
-    # med/mad are |event_type|-row relations re-embedded at every scan
-    # site of their consumers — localCheckpoint cuts that lineage (plan
-    # 1396 -> ~100 lines) and guarantees each selection topology
-    # executes exactly once (guide §5.4).
+    base = C.track(ev.select("event_type", "value"))
     med = S.exact_rank_value(
-        vcnt, ["event_type"], "value", out_col="_med", weight_col="_w"
-    ).select(
-        "event_type", F.col("_gcnt").alias("n_events"), "_med"
-    ).localCheckpoint(eager=True)
-    # |v - med| on distinct values is bit-identical to per-row: same
-    # doubles, same abs — each distinct value just carries its count.
-    # dev itself stays lazy (one broadcast join over the cached vcnt);
-    # the selection topology caches its own slim projection of it.
-    dev = vcnt.join(F.broadcast(med), "event_type").withColumn(
-        "_dev", F.abs(F.col("value") - F.col("_med"))
-    )
-    mad = (
-        S.exact_rank_value(
-            dev, ["event_type"], "_dev", out_col="_mad", weight_col="_w"
+        base, ["event_type"], "value", out_col="_med"
+    ).select("event_type", F.col("_gcnt").alias("n_events"), "_med")
+    dev = C.track(
+        base.join(F.broadcast(med), "event_type").withColumn(
+            "_dev", F.abs(F.col("value") - F.col("_med"))
         )
-        .select("event_type", "_mad")
-        .localCheckpoint(eager=True)
+    )
+    mad = S.exact_rank_value(dev, ["event_type"], "_dev", out_col="_mad").select(
+        "event_type", "_mad"
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -628,11 +620,9 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n_events").alias("n_events"),
             F.round(F.any_value("_med"), 6).alias("median_value"),
             F.round(F.any_value("_mad"), 6).alias("mad"),
-            F.sum(
-                F.when(F.col("_dev") > 3 * F.col("_mad"), F.col("_w")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("n_outliers"),
+            F.sum((F.col("_dev") > 3 * F.col("_mad")).cast("long")).alias(
+                "n_outliers"
+            ),
         )
     )
 
@@ -680,38 +670,29 @@ def q_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_start_spark import cache as C
     from flink_start_spark.operators import selection as S
 
-    # Round-11: collapse to per-(event_type, value) counts first —
-    # quantiles AND the quantized winsorized mean are multiset
-    # functions, so the corpus-sized relation never enters the
-    # selection topology or the clip/sum pass (same rewrite as
-    # value_outliers_mad; guide §2.2).
+    # Round-11: the weighted distinct-value collapse was A/B'd here and
+    # measured 1.23x SLOWER at sf0.1 (see q_value_outliers_mad's note);
+    # row-level kept.
     ev = load_table(spark, "events", sf_dir)
-    vcnt = C.track(
-        ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("_w"))
-    )
+    base = C.track(ev.select("event_type", "value"))
     qs = S.exact_quantile_values(
-        vcnt, ["event_type"], "value", [0.05, 0.95], out_col="qv", weight_col="_w"
+        base, ["event_type"], "value", [0.05, 0.95], out_col="qv"
     )
-    # |event_type|-row relation: checkpoint to cut the topology's
-    # lineage out of the final join (same rationale as
-    # value_outliers_mad's med/mad)
     lohi = qs.groupBy("event_type").agg(
         F.any_value("_gcnt").alias("n_events"),
         F.max(F.when(F.col("_prob") == 0.05, F.col("qv"))).alias("p05"),
         F.max(F.when(F.col("_prob") == 0.95, F.col("qv"))).alias("p95"),
-    ).localCheckpoint(eager=True)
-    # sum over rows of floor(clip(v)*2^20) == sum over distinct values
-    # of w * floor(clip(v)*2^20) — exact long arithmetic either way
-    clipped = vcnt.join(F.broadcast(lohi), "event_type").withColumn(
+    )
+    clipped = base.join(F.broadcast(lohi), "event_type").withColumn(
         "_cv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
     )
     return clipped.groupBy("event_type").agg(
-        F.sum("_w").alias("n_events"),
+        F.count(F.lit(1)).alias("n_events"),
         F.round(F.any_value("p05"), 6).alias("p05"),
         F.round(F.any_value("p95"), 6).alias("p95"),
         F.round(
-            F.sum(F.col("_w") * F.floor(F.col("_cv") * 1048576))
-            / (F.sum("_w") * F.lit(1048576.0)),
+            F.sum(F.floor(F.col("_cv") * 1048576))
+            / (F.count(F.lit(1)) * F.lit(1048576.0)),
             6,
         ).alias("winsorized_mean"),
     )

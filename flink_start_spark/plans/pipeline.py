@@ -1224,29 +1224,17 @@ def q_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_start_spark.operators import selection as S
 
     docs = fan_out(load_table(spark, "documents", sf_dir))
-    # Round-11: quantiles are multiset functions — collapse the corpus
-    # to per-(lang, score) counts in the same scan that computes the
-    # scores, and run the weighted selection on that (guide §2.2). The
-    # expensive per-doc quality expression now runs exactly once per
-    # row, in one pass, instead of the topology caching the corpus-
-    # sized projection.
-    q = C.track(
-        docs.select(
-            "lang",
-            F.round(TX.quality_expr(TH.words(F.col("text"))), 6).alias(
-                "quality_score"
-            ),
-        )
-        .groupBy("lang", "quality_score")
-        .agg(F.count(F.lit(1)).alias("_w"))
+    # Round-11: the weighted distinct-value collapse was A/B'd here and
+    # measured 1.14x SLOWER at sf0.1 (no row reduction on this corpus —
+    # see q_value_outliers_mad's note); row-level kept.
+    q = docs.select(
+        "lang",
+        F.round(TX.quality_expr(TH.words(F.col("text"))), 6).alias(
+            "quality_score"
+        ),
     )
     out = S.exact_quantile_values(
-        q,
-        ["lang"],
-        "quality_score",
-        [0.25, 0.50, 0.75],
-        out_col="q_value",
-        weight_col="_w",
+        q, ["lang"], "quality_score", [0.25, 0.50, 0.75], out_col="q_value"
     )
     return out.select(
         "lang",
